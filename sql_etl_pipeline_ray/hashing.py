@@ -1,0 +1,87 @@
+"""Deterministic hashing: key→partition assignment and content digests.
+
+Partition assignment must be stable across processes AND across runs
+(resume matches new events to previously committed partitions), so Python's
+per-process-salted ``hash()`` is unusable.  We use pandas'
+``hash_pandas_object`` (SipHash-1-3 with a fixed key), which is vectorized,
+deterministic for a pinned pandas version, and fast.  A cluster runs one
+pinned image, so cross-node stability holds; the manifest records the
+partition count so a resume can detect a mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Separator that cannot appear inside repo/path values.
+_KEY_SEP = "\x00"
+
+
+def key_hash(repo: pa.ChunkedArray | pa.Array, path: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized uint64 hash of the upsert key ``(repo, path)``.
+
+    Hashing the full composite key spreads a hot repo's paths uniformly
+    across partitions — this IS the salting strategy for hot repos (the key
+    is ``(repo, path)``, so splitting a repo by path-hash preserves per-key
+    ordering; SURVEY.md §7 known-hard #2).
+    """
+    combined = pc.binary_join_element_wise(repo, path, _KEY_SEP)
+    if isinstance(combined, pa.ChunkedArray):
+        combined = combined.combine_chunks()
+    ser = combined.to_pandas()
+    # categorize=False is REQUIRED for correctness: the categorize fast path
+    # hashes via the series' category layout, so the same value hashes
+    # differently in different batches — which would scatter one key across
+    # partitions. categorize=False hashes each value's bytes directly.
+    return pd.util.hash_pandas_object(ser, index=False, categorize=False).to_numpy()
+
+
+def partition_ids(
+    repo: pa.ChunkedArray | pa.Array,
+    path: pa.ChunkedArray | pa.Array,
+    num_partitions: int,
+) -> np.ndarray:
+    """Partition id per row: ``key_hash(repo, path) % num_partitions``."""
+    return (key_hash(repo, path) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def sha256_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row sha256 hex digest of a string/binary column (null → null).
+
+    The per-row invariant vs the reference replay semantics (BASELINE.json
+    ``input_hint``): final-state rows must match on ``sha256(content)``.
+    Runs only over merge-surviving rows, not the raw event stream.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    out: list[str | None] = []
+    for v in arr:
+        buf = v.as_buffer() if v.is_valid else None
+        out.append(hashlib.sha256(buf).hexdigest() if buf is not None else None)
+    return pa.array(out, type=pa.string())
+
+
+def table_digest(tbl: pa.Table, sort_keys: list[str]) -> str:
+    """Order-independent digest of a table: sha256 over rows sorted by keys.
+
+    Used in manifests so idempotence tests can compare partition content
+    without re-reading data files.
+    """
+    if len(tbl) == 0:
+        return hashlib.sha256(b"empty").hexdigest()
+    tbl = tbl.sort_by([(k, "ascending") for k in sort_keys])
+    h = hashlib.sha256()
+    for name in sorted(tbl.column_names):
+        h.update(name.encode())
+        col = tbl.column(name).cast(pa.string()) if tbl.column(name).type != pa.string() else tbl.column(name)
+        for v in col.to_pylist():
+            h.update(b"\x01" if v is None else v.encode())
+            h.update(b"\x00")
+    return h.hexdigest()

@@ -1,0 +1,76 @@
+"""Change-log source: schema-unified, LSN-pruned Parquet scan.
+
+The reference's incremental extract narrows a SQL WHERE clause
+(``WHERE updated_date > :last_ts``, ``src/etl_pipeline.py:231-236``).  Our
+log is LSN-bucketed Parquet; pruning happens at two levels:
+
+1. FILE level (here, driver-side, metadata only): a bucket file whose
+   row-group LSN statistics are wholly ``<= min(checkpoint LSNs)`` cannot
+   contribute to any partition — skipped before a byte of data is read.
+2. ROW level (normalize stage): per-partition ``lsn > checkpoint[part]``
+   filter, vectorized.
+
+Schema evolution is resolved up front from Parquet FOOTERS only (cheap at
+any scale — no data read): all file schemas are unified permissively
+(add-column → nulls, int32→int64 / string→large_string widen), and every
+batch is conformed to the unified schema in the normalize stage so
+downstream stages never see schema drift (SURVEY.md §7 known-hard #7).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schemas import unify_event_schemas
+
+
+@dataclass
+class LogScan:
+    files: list[str]
+    schema: pa.Schema  # unified
+    pruned_files: int
+
+
+def scan_change_log(
+    log_dir: str, min_lsn: int | None = None, extra_schemas: list[pa.Schema] | None = None
+) -> LogScan:
+    """Footer-only scan: unified schema + file-level LSN pruning."""
+    files = sorted(glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True))
+    schemas, kept, pruned = [], [], 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        schemas.append(pf.schema_arrow)
+        if min_lsn is not None:
+            lsn_idx = pf.schema_arrow.get_field_index("lsn")
+            maxes = [
+                pf.metadata.row_group(i).column(lsn_idx).statistics.max
+                for i in range(pf.metadata.num_row_groups)
+                if pf.metadata.row_group(i).column(lsn_idx).statistics is not None
+            ]
+            if maxes and max(maxes) <= min_lsn:
+                pruned += 1
+                continue
+        kept.append(f)
+    unified = unify_event_schemas(schemas + list(extra_schemas or []))
+    return LogScan(files=kept, schema=unified, pruned_files=pruned)
+
+
+def read_change_log(scan: LogScan, concurrency: int | None = None) -> ray.data.Dataset:
+    """Streaming Parquet read over the surviving files.
+
+    ``read_parquet`` keeps only needed columns at the scanner; the change
+    log needs every event column, so no projection here — analytics readers
+    over the lake DO prune columns (see pipelines.analytics).
+    """
+    if not scan.files:
+        return ray.data.from_arrow(scan.schema.empty_table())
+    kwargs = {}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return ray.data.read_parquet(scan.files, **kwargs)

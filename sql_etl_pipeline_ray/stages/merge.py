@@ -1,0 +1,139 @@
+"""Last-writer-wins merge — the heart of the CDC engine.
+
+Semantics match the reference's keyed upsert + pick-latest idioms:
+
+- ``INSERT ... ON CONFLICT (key) DO UPDATE SET ...``
+  (``sql/etl_transformations.sql:27-38``): every I/U event carries the full
+  row and sets the key's state; the *latest* event wins.  The reference's
+  "latest" is statement execution order; ours is the explicit monotonic LSN
+  — stronger and deterministic under any shuffle order.
+- ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY version DESC) = 1``
+  (``sql/complex_queries.sql:27``): realized as a per-partition vectorized
+  sort + segment-boundary pick, never a Python loop over rows.
+- Deletes tombstone the key (soft-delete aspiration,
+  ``docs/TECHNICAL_GUIDE.md:182``); the final table holds no tombstones.
+
+Ordering: ties on LSN are impossible by construction (globally unique LSN);
+if an upstream ever produced one, the deterministic tiebreak is op order
+'D' < 'I' < 'U' ascending with last-wins, i.e. an upsert beats a delete at
+the same LSN.  All ordering is per-key inside one hash partition — no
+global order and no ``preserve_order`` dependence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import sha256_column
+from ..schemas import KEY_COLUMNS
+
+# Engine-internal columns added by the normalize stage / combiner.
+EVENTS_COL = "_events"  # events folded into this row (partial-agg count)
+HAD_INSERT_COL = "_had_insert"  # key has seen an 'I' op (orphan audit)
+SORT_KEYS = [(k, "ascending") for k in KEY_COLUMNS] + [
+    ("lsn", "ascending"),
+    ("op", "ascending"),
+]
+
+
+def _segment_last_mask(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """For a table sorted by key: (last-row-of-key mask, segment id per row)."""
+    n = len(tbl)
+    if n == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
+    same = np.ones(n - 1, dtype=bool)
+    for k in KEY_COLUMNS:
+        col = tbl.column(k).combine_chunks()
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        same &= eq.to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([True], ~same))
+    seg = np.cumsum(starts) - 1
+    last = np.concatenate((~same, [True]))
+    return last, seg
+
+
+def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
+    """Collapse an event table to the max-LSN event per (repo, path).
+
+    Vectorized: one Arrow sort + numpy segment reduction.  Aggregates the
+    engine-internal ``_events`` (sum) and ``_had_insert`` (any) columns when
+    present so partial folds compose (combiner before the shuffle, final
+    fold after — the classic partial-aggregation pattern).
+
+    With ``keep_tombstones=True`` this is the COMBINER (a delete must keep
+    winning until the final fold); with ``False`` it is the final fold and
+    tombstoned keys are dropped.
+    """
+    if len(tbl) == 0:
+        return tbl
+    # Synthesize the partial-agg columns when fed a raw event table (i.e.
+    # outside the normalize stage) so folds compose either way.
+    if EVENTS_COL not in tbl.column_names:
+        tbl = tbl.append_column(EVENTS_COL, pa.array(np.ones(len(tbl), dtype=np.int64)))
+    if HAD_INSERT_COL not in tbl.column_names:
+        tbl = tbl.append_column(HAD_INSERT_COL, pc.equal(tbl.column("op"), pa.scalar("I")))
+    tbl = tbl.sort_by(SORT_KEYS)
+    last, seg = _segment_last_mask(tbl)
+    agg_cols = {}
+    if EVENTS_COL in tbl.column_names:
+        ev = tbl.column(EVENTS_COL).to_numpy(zero_copy_only=False)
+        agg_cols[EVENTS_COL] = np.bincount(seg, weights=ev).astype(np.int64)
+    if HAD_INSERT_COL in tbl.column_names:
+        hi = tbl.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+        agg_cols[HAD_INSERT_COL] = np.bincount(seg, weights=hi) > 0
+    out = tbl.filter(pa.array(last))
+    for name, values in agg_cols.items():
+        idx = out.schema.get_field_index(name)
+        out = out.set_column(idx, out.schema.field(idx), pa.array(values))
+    if not keep_tombstones:
+        out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
+    return out
+
+
+def finalize_partition(tbl: pa.Table, output_schema: pa.Schema) -> tuple[pa.Table, dict]:
+    """Final fold for one hash partition (+ optional prior state already
+    concatenated in as synthetic 'I' events at their stored LSN).
+
+    Returns ``(final_rows, stats)`` where final_rows matches
+    ``output_schema`` (repo, path, commit, lang, content, lsn,
+    content_sha256, evolved extras) and stats carries the per-partition
+    lineage counters (the reference's etl_log analogue,
+    ``sql/etl_transformations.sql:313-323``).
+    """
+    n_in = len(tbl)
+    events_in = n_in
+    if EVENTS_COL in tbl.column_names and n_in:
+        events_in = int(pc.sum(tbl.column(EVENTS_COL)).as_py())
+    folded = fold_latest(tbl, keep_tombstones=True)
+    is_del = pc.equal(folded.column("op"), pa.scalar("D")) if len(folded) else pa.array([], pa.bool_())
+    had_insert = (
+        folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
+        if HAD_INSERT_COL in folded.column_names and len(folded)
+        else np.ones(len(folded), dtype=bool)
+    )
+    del_np = is_del.to_numpy(zero_copy_only=False) if len(folded) else np.zeros(0, bool)
+    stats = {
+        "events_in": events_in,
+        "keys_seen": len(folded),
+        "deleted_keys": int(del_np.sum()),
+        "orphan_events_applied": int((~del_np & ~had_insert).sum()),
+        "orphan_deletes": int((del_np & ~had_insert).sum()),
+        "max_lsn": int(pc.max(tbl.column("lsn")).as_py()) if n_in else -1,
+        "min_lsn": int(pc.min(tbl.column("lsn")).as_py()) if n_in else -1,
+    }
+    live = folded.filter(pc.invert(is_del)) if len(folded) else folded
+    live = live.append_column("content_sha256", sha256_column(live.column("content")))
+    arrays = []
+    for field in output_schema:
+        if field.name in live.column_names:
+            col = live.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(len(live), field.type))
+    final = pa.Table.from_arrays(arrays, schema=output_schema)
+    stats["live_rows"] = len(final)
+    return final, stats

@@ -1,0 +1,139 @@
+"""Exactly-once Parquet sink state: per-partition manifests + checkpoints.
+
+The reference's recovery story is "staging tables as recovery point" plus a
+high-water-mark timestamp (``docs/TECHNICAL_GUIDE.md:62-66``,
+``sql/etl_transformations.sql:235-258`` — designed but stubbed to full load
+at ``src/etl_pipeline.py:238-245``).  We make it real:
+
+- Each hash partition commits independently: data file written to a temp
+  name then atomically ``os.replace``d, then a manifest JSON atomically
+  ``os.replace``d.  Readers trust ONLY manifest-listed files; orphan temp
+  files from failed attempts are ignored and cleaned lazily.
+- The manifest records ``max_lsn`` — the per-partition checkpoint.  Resume
+  prunes events ``lsn <= max_lsn`` for that partition and folds the new
+  events against the committed state.
+- The merge fold is deterministic, so a retried task re-derives identical
+  bytes and a duplicate rename is harmless (idempotent under task retry —
+  this is what makes the sink exactly-once rather than at-least-once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "manifest.json"
+
+
+def partition_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}")
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def commit_partition(
+    out_dir: str,
+    part: int,
+    epoch: int,
+    table: pa.Table,
+    stats: dict[str, Any],
+    digest: str,
+    compression: str = "zstd",
+) -> dict[str, Any]:
+    """Atomically commit one partition's full state for an epoch.
+
+    Always whole-partition epochs, never appends (SURVEY.md §7 known-hard
+    #1): the data file for epoch E fully replaces epoch E-1's; the manifest
+    swap is the commit point.
+    """
+    pdir = partition_dir(out_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    fname = f"data-e{epoch}.parquet"
+    fpath = os.path.join(pdir, fname)
+    tmp = fpath + ".inprogress"
+    pq.write_table(table, tmp, compression=compression)
+    os.replace(tmp, fpath)
+    manifest = {
+        "part": part,
+        "epoch": epoch,
+        "max_lsn": stats.get("max_lsn", -1),
+        "files": [fname],
+        "rows": len(table),
+        "digest": digest,
+        "schema_fingerprint": [(f.name, str(f.type)) for f in table.schema],
+        "stats": stats,
+    }
+    _atomic_write_bytes(
+        os.path.join(pdir, MANIFEST_NAME), json.dumps(manifest, indent=1).encode()
+    )
+    # Lazy GC: superseded epoch files are no longer referenced; remove them.
+    for f in os.listdir(pdir):
+        if f.startswith("data-") and f not in manifest["files"] and not f.endswith(".inprogress"):
+            try:
+                os.unlink(os.path.join(pdir, f))
+            except OSError:
+                pass
+    return manifest
+
+
+def write_metrics(out_dir: str, part: int, metrics: dict[str, Any]) -> None:
+    """Per-partition lineage/metrics JSON next to the manifest (the
+    reference's etl_log row, ``sql/etl_transformations.sql:313-323``)."""
+    _atomic_write_bytes(
+        os.path.join(partition_dir(out_dir, part), "metrics.json"),
+        json.dumps(metrics, indent=1).encode(),
+    )
+
+
+def read_manifest(out_dir: str, part: int) -> dict[str, Any] | None:
+    p = os.path.join(partition_dir(out_dir, part), MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_all_manifests(out_dir: str) -> dict[int, dict[str, Any]]:
+    out: dict[int, dict[str, Any]] = {}
+    if not os.path.isdir(out_dir):
+        return out
+    for d in os.listdir(out_dir):
+        if d.startswith("part="):
+            m = read_manifest(out_dir, int(d.split("=", 1)[1]))
+            if m is not None:
+                out[m["part"]] = m
+    return out
+
+
+def manifest_data_files(out_dir: str, manifests: dict[int, dict[str, Any]]) -> list[str]:
+    """The committed lake = exactly the manifest-listed files."""
+    files = []
+    for part, m in sorted(manifests.items()):
+        for f in m["files"]:
+            files.append(os.path.join(partition_dir(out_dir, part), f))
+    return files
+
+
+def checkpoints(manifests: dict[int, dict[str, Any]]) -> dict[int, int]:
+    """Per-partition applied-LSN high-water marks (the resume watermark —
+    reference analogue ``get_last_processed_timestamp``,
+    ``sql/etl_transformations.sql:235-258``)."""
+    return {part: m["max_lsn"] for part, m in manifests.items()}

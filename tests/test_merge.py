@@ -1,0 +1,108 @@
+"""Unit tests for the last-writer-wins fold (FIXTURES.md §4 truth table)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sql_etl_pipeline_ray.schemas import REPO_FILES_SCHEMA
+from sql_etl_pipeline_ray.stages.merge import finalize_partition, fold_latest
+
+
+def events(rows):
+    cols = {
+        "lsn": [r[0] for r in rows],
+        "op": [r[1] for r in rows],
+        "repo": [r[2] for r in rows],
+        "path": [r[3] for r in rows],
+        "commit": ["c"] * len(rows),
+        "lang": ["py"] * len(rows),
+        "content": [r[4] if len(r) > 4 else f"v{r[0]}" for r in rows],
+    }
+    return pa.table(cols)
+
+
+def state_of(tbl):
+    final, stats = finalize_partition(tbl, REPO_FILES_SCHEMA)
+    return {
+        (r["repo"], r["path"]): r["lsn"] for r in final.to_pylist()
+    }, final, stats
+
+
+def test_update_out_of_order_latest_lsn_wins():
+    # I@1, U@5, U@3 → state of LSN 5, regardless of arrival order
+    tbl = events([(1, "I", "a", "x"), (5, "U", "a", "x"), (3, "U", "a", "x")])
+    st, final, _ = state_of(tbl)
+    assert st == {("a", "x"): 5}
+
+
+def test_delete_tombstones():
+    st, final, stats = state_of(events([(1, "I", "a", "x"), (2, "D", "a", "x")]))
+    assert st == {}
+    assert stats["deleted_keys"] == 1
+
+
+def test_orphan_delete_counted():
+    st, final, stats = state_of(events([(9, "D", "a", "zz")]))
+    assert st == {}
+    assert stats["orphan_deletes"] == 1
+
+
+def test_reinsert_after_delete():
+    st, _, _ = state_of(
+        events([(1, "I", "a", "x"), (2, "D", "a", "x"), (7, "I", "a", "x")])
+    )
+    assert st == {("a", "x"): 7}
+
+
+def test_orphan_update_applied_and_counted():
+    st, _, stats = state_of(events([(4, "U", "a", "never-inserted")]))
+    assert st == {("a", "never-inserted"): 4}
+    assert stats["orphan_events_applied"] == 1
+
+
+def test_sha256_matches_content():
+    import hashlib
+
+    tbl = events([(1, "I", "a", "x", "hello world")])
+    final, _ = finalize_partition(tbl, REPO_FILES_SCHEMA)
+    assert (
+        final.column("content_sha256")[0].as_py()
+        == hashlib.sha256(b"hello world").hexdigest()
+    )
+
+
+def test_combiner_composes_with_final_fold():
+    # folding twice (combine with tombstones, then final) == folding once
+    tbl = events(
+        [
+            (1, "I", "a", "x"),
+            (2, "U", "a", "x"),
+            (3, "D", "a", "x"),
+            (4, "I", "b", "y"),
+            (5, "U", "b", "y"),
+        ]
+    )
+    once, _ = finalize_partition(tbl, REPO_FILES_SCHEMA)
+    half1 = fold_latest(tbl.slice(0, 3), keep_tombstones=True)
+    half2 = fold_latest(tbl.slice(3), keep_tombstones=True)
+    twice, _ = finalize_partition(
+        pa.concat_tables([half1, half2]), REPO_FILES_SCHEMA
+    )
+    assert once.sort_by("repo").equals(twice.sort_by("repo"))
+
+
+def test_multi_key_fold_vectorized_boundaries():
+    tbl = events(
+        [
+            (1, "I", "a", "x"),
+            (2, "I", "a", "y"),
+            (3, "U", "a", "x"),
+            (4, "I", "b", "x"),
+            (5, "D", "a", "y"),
+        ]
+    )
+    st, final, stats = state_of(tbl)
+    assert st == {("a", "x"): 3, ("b", "x"): 4}
+    assert stats["live_rows"] == 2
+    assert stats["deleted_keys"] == 1
+    # lsn column reflects winning event
+    assert pc.max(final.column("lsn")).as_py() == 4

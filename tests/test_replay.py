@@ -1,0 +1,155 @@
+"""Golden replay tests: engine vs single-process oracle, idempotence, resume.
+
+The correctness gate from BASELINE.json: after full replay the final table
+is row-for-row identical to the reference replay semantics with per-row
+``sha256(content)`` equality.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sql_etl_pipeline_ray.config import ReplayConfig
+from sql_etl_pipeline_ray.sources.datagen import (
+    ChangeLogSpec,
+    generate_change_log,
+    replay_oracle,
+    write_change_log,
+)
+from sql_etl_pipeline_ray.pipelines.replay import lake_table, read_lake, replay
+from sql_etl_pipeline_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("changelog"))
+    write_change_log(ChangeLogSpec(n_keys=300, n_events=2000, num_buckets=6), d)
+    return d
+
+
+def read_log_files(d):
+    files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+
+def compare_to_oracle(out_dir, events_tbl):
+    got = lake_table(out_dir).to_pandas()
+    want = replay_oracle(events_tbl)
+    got = got[want.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_full_replay_matches_oracle(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    res = replay(log_dir, out, ReplayConfig(num_partitions=8))
+    compare_to_oracle(out, read_log_files(log_dir))
+    assert res.summary["events_in"] == 2000
+    assert res.summary["live_rows"] == len(replay_oracle(read_log_files(log_dir)))
+
+
+def test_replay_idempotent_same_digests(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    d1 = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    replay(log_dir, out, ReplayConfig(num_partitions=4))  # full re-run
+    d2 = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    assert d1 == d2
+    compare_to_oracle(out, read_log_files(log_dir))
+
+
+def test_resume_from_checkpoint(log_dir, tmp_path):
+    # replay buckets 0..2 as "first run", then resume over the full log
+    out = str(tmp_path / "lake")
+    partial = str(tmp_path / "partial_log")
+    os.makedirs(partial)
+    for k in range(3):
+        shutil.copytree(
+            os.path.join(log_dir, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    replay(partial, out, ReplayConfig(num_partitions=8))
+    res = replay(log_dir, out, ReplayConfig(num_partitions=8), resume=True)
+    # file-level pruning is bounded by the global-min checkpoint (a
+    # partition whose last event came early lowers it), so expect at least
+    # one fully-applied bucket pruned; row-level filters handle the rest
+    assert res.summary["files_pruned"] >= 1
+    compare_to_oracle(out, read_log_files(log_dir))
+
+
+def test_resume_is_noop_when_caught_up(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    d1 = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    res = replay(log_dir, out, ReplayConfig(num_partitions=4), resume=True)
+    # nothing new: every file pruned, no partitions recommitted
+    assert res.summary["partitions_committed"] == 0
+    d2 = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    assert d1 == d2
+
+
+def test_combiner_off_same_result(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4, combine_before_shuffle=False))
+    compare_to_oracle(out, read_log_files(log_dir))
+
+
+def test_hot_key_skew_replay(tmp_path):
+    # one hot repo holding ~80% of keys still spreads across partitions
+    d = str(tmp_path / "log")
+    spec = ChangeLogSpec(n_keys=400, n_events=3000, hot_repo_share=0.8, num_buckets=4)
+    write_change_log(spec, d)
+    out = str(tmp_path / "lake")
+    res = replay(d, out, ReplayConfig(num_partitions=8))
+    compare_to_oracle(out, generate_change_log(spec))
+    # hash(repo, path) salting: hot repo must not collapse into one partition
+    parts_used = (res.metrics["live_rows"] > 0).sum()
+    assert parts_used >= 6
+    largest = res.metrics["events_in"].max() / res.metrics["events_in"].sum()
+    assert largest < 0.5
+
+
+def test_orphans_audited(tmp_path):
+    d = str(tmp_path / "log")
+    spec = ChangeLogSpec(n_keys=200, n_events=1500, orphan_frac=0.2, num_buckets=2)
+    write_change_log(spec, d)
+    out = str(tmp_path / "lake")
+    res = replay(d, out, ReplayConfig(num_partitions=4))
+    assert res.summary["orphan_events_applied"] + res.summary["orphan_deletes"] > 0
+    compare_to_oracle(out, generate_change_log(spec))
+
+
+def test_manifests_only_source_of_truth(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    # drop an orphan temp file into a partition dir; readers must ignore it
+    junk = os.path.join(out, "part=0", "data-e99.parquet.inprogress")
+    with open(junk, "wb") as f:
+        f.write(b"garbage")
+    compare_to_oracle(out, read_log_files(log_dir))
+    m = mf.read_manifest(out, 0)
+    assert m["epoch"] == 0 and len(m["files"]) == 1
+
+
+def test_metrics_and_summary_written(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    res = replay(log_dir, out, ReplayConfig(num_partitions=4))
+    assert os.path.exists(os.path.join(out, "run_summary.json"))
+    with open(os.path.join(out, "part=0", "metrics.json")) as f:
+        m = json.load(f)
+    for k in ("events_in", "live_rows", "max_lsn", "duration_s", "bytes_written"):
+        assert k in m
+    assert res.summary["events_in"] == sum(res.metrics["events_in"])
+
+
+def test_read_lake_streaming(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    ds = read_lake(out, columns=["repo", "path", "lsn"])
+    assert ds.count() == len(replay_oracle(read_log_files(log_dir)))
+    assert set(ds.schema().names) == {"repo", "path", "lsn"}
