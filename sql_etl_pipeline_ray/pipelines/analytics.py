@@ -1,0 +1,525 @@
+"""Analytics layer: the reference's query capabilities, Ray-Data-first.
+
+The reference pushes five CTE + window-function + JOIN analytics queries
+into PostgreSQL (``src/sql_query_executor.py:78-510``) and keeps the upsert
+/ dedup idioms in SQL (``sql/etl_transformations.sql``,
+``sql/complex_queries.sql``).  Here each capability is a named pipeline
+function over the driver's TPC-H-ish Parquet tables, expressed as Dataset
+transforms:
+
+- grouped aggregates        → ``groupby().aggregate(...)``  (A1-A4)
+- big-big joins             → ``Dataset.join`` (hash join)   (J1, J2)
+- small-side joins          → ``ray.put`` broadcast + map-side lookup (J3-J5)
+- anti-joins                → broadcast key set + filter     (J6)
+- window functions          → per-group ``map_groups`` / sorted
+                              single-partition pass on SMALL aggregates
+                              (W1-W8; the reference never windows raw events)
+- top-k per group           → ``groupby().map_groups(head k)`` (J9)
+- global sort + limit       → ``sort().limit()``             (O1, O2)
+- UNION ALL quality report  → small unions                   (U1, A7)
+- LWW / latest-version      → the CDC fold applied to the events table
+                              (D3, W1 — the ON CONFLICT DO UPDATE idiom)
+
+Each function takes ``sf_dir`` and returns a Dataset / Arrow table whose
+column names match its DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Scale notes are inline: every broadcast states its size assumption, every
+shuffle is deliberate, and per-batch work is Arrow/pandas-vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# DuckDB ROUND() rounds half away from zero; match it exactly.
+_ROUND = {"round_mode": "half_towards_infinity"}
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned Parquet read (prune at the read, SURVEY.md §4)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _small(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a SMALL dimension table (for broadcast)."""
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _round2(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        i = tbl.schema.get_field_index(c)
+        tbl = tbl.set_column(i, c, pc.round(tbl.column(c), 2, **_ROUND))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# CDC idioms over the driver's `events` table (SQL-oracled LWW semantics)
+# ---------------------------------------------------------------------------
+
+
+def _latest_per_user(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Latest event per user_id ordered by event_id — the pick-latest window
+    (``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ... DESC) = 1``,
+    sql/complex_queries.sql:27) as partial fold + grouped fold.
+
+    The map_batches pre-fold is the combiner (shrinks the shuffle); the
+    groupby.map_groups applies the same fold per key partition."""
+
+    def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df.groupby("user_id")["event_id"].idxmax()]
+
+    return (
+        ds.map_batches(batch_latest, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(batch_latest, batch_format="pandas")
+    )
+
+
+def cdc_lww_latest_event(sf_dir: str) -> ray.data.Dataset:
+    """Last-writer-wins current state of the events stream keyed by user."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return _latest_per_user(ds)
+
+
+def cdc_lww_with_deletes(sf_dir: str) -> ray.data.Dataset:
+    """LWW where a trailing 'error' event tombstones the key (D3 delete
+    semantics: latest op wins; tombstoned keys absent from final state)."""
+    out = cdc_lww_latest_event(sf_dir)
+    return out.filter(expr="event_type != 'error'")
+
+
+def cdc_incremental_highwater(sf_dir: str) -> ray.data.Dataset:
+    """Incremental extract: only events past the high-water mark (the
+    reference's ``WHERE updated_date > :last_ts``,
+    src/etl_pipeline.py:231-236), then LWW state of that increment."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    watermark = ds.max("event_id") // 2
+    inc = ds.filter(expr=f"event_id > {watermark}")
+    return _latest_per_user(inc)
+
+
+# ---------------------------------------------------------------------------
+# Customer metrics (reference customer-analytics query,
+# src/sql_query_executor.py:78-150)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_metrics(sf_dir: str) -> ray.data.Dataset:
+    """A1/A2/J1: per-customer order aggregates, LEFT JOIN so customers with
+    no orders appear with COALESCE'd zeros (src/sql_query_executor.py:92-93).
+
+    Shuffle plan: one groupby on o_custkey (pre-aggregated by Ray's
+    partial+final under the hood), then a hash join customer⋈agg."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="total_orders"),
+        Sum("o_totalprice", alias_name="lifetime_value"),
+        Mean("o_totalprice", alias_name="avg_order_value"),
+        Min("o_orderdate", alias_name="first_order_date"),
+        Max("o_orderdate", alias_name="last_order_date"),
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    joined = cust.join(
+        agg,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([c for c in ("o_custkey",) if c in t.column_names])
+        for c in ("total_orders",):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(
+                i, c, pc.fill_null(pc.cast(t.column(c), pa.int64()), 0)
+            )
+        for c in ("lifetime_value", "avg_order_value"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(
+                i, c, pc.round(pc.fill_null(t.column(c), 0.0), 2, **_ROUND)
+            )
+        return t
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_ltv_ranked(sf_dir: str) -> pa.Table:
+    """W1-W3 + O1: row_number / rank-within-segment / NTILE(10) decile over
+    customer lifetime value, top 100 (src/sql_query_executor.py:104-134).
+
+    Windows run on the ALREADY-AGGREGATED customer frame (one row per
+    customer) — per-segment ranks via groupby.map_groups, global
+    row_number/ntile on the sorted small result (the reference applies
+    these windows to the same-sized frame; SURVEY.md §2.6)."""
+    metrics = customer_order_metrics(sf_dir)
+
+    def seg_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lifetime_value", "c_custkey"], ascending=[False, True])
+        g["segment_rank"] = (
+            g["lifetime_value"].rank(method="min", ascending=False).astype(np.int64)
+        )
+        return g
+
+    ranked = metrics.groupby("c_mktsegment").map_groups(seg_rank, batch_format="pandas")
+    df = ranked.to_pandas()  # one row per customer — small by construction
+    df = df.sort_values(["lifetime_value", "c_custkey"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    df["ltv_row_number"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    n, tiles = len(df), 10
+    base, rem = divmod(n, tiles)
+    sizes = np.full(tiles, base) + (np.arange(tiles) < rem)
+    df["ltv_decile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64), sizes)[:n]
+    return pa.Table.from_pandas(df.head(100), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Monthly trends (reference sales-trends query, src/sql_query_executor.py:234-319)
+# ---------------------------------------------------------------------------
+
+
+def monthly_sales_trends(sf_dir: str) -> pa.Table:
+    """A3/A4 + W4-W6: per-month revenue, COUNT(DISTINCT customers), then
+    LAG MoM growth, 3-month rolling average, cumulative YTD revenue.
+
+    Exact COUNT(DISTINCT) via two-level aggregation (no sketches in the
+    reference): groupby(month, customer) → groupby(month).  Windows run on
+    the tiny month-level frame, sorted, in one pass."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def add_month(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.append_column("o_year", pc.cast(pc.year(d), pa.int64()))
+        return t.append_column("o_month", pc.cast(pc.month(d), pa.int64()))
+
+    with_month = orders.map_batches(add_month, batch_format="pyarrow")
+    # level 1: per (year, month, customer) — collapses duplicates
+    per_cust = with_month.groupby(["o_year", "o_month", "o_custkey"]).aggregate(
+        Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="revenue")
+    )
+    # level 2: per (year, month)
+    monthly = per_cust.groupby(["o_year", "o_month"]).aggregate(
+        Count(alias_name="unique_customers"),
+        Sum("orders_count", alias_name="orders_count"),
+        Sum("revenue", alias_name="revenue"),
+    )
+    df = monthly.to_pandas().sort_values(["o_year", "o_month"]).reset_index(drop=True)
+    rev = df["revenue"]
+    lag = rev.shift(1)
+    df["mom_growth_pct"] = np.where(
+        lag.isna() | (lag == 0), np.nan, (rev - lag) / lag * 100
+    )
+    df["rolling_3m_avg"] = rev.rolling(3, min_periods=1).mean()
+    df["cum_revenue_ytd"] = df.groupby("o_year")["revenue"].cumsum()
+    for c in ("revenue", "mom_growth_pct", "rolling_3m_avg", "cum_revenue_ytd"):
+        df[c] = df[c].round(2)
+    df["orders_count"] = df["orders_count"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Product performance (reference product-performance query,
+# src/sql_query_executor.py:152-232) — broadcast join + partial agg
+# ---------------------------------------------------------------------------
+
+
+def product_performance(sf_dir: str) -> pa.Table:
+    """J2/J3 + O1: lineitem revenue per part with part attributes attached
+    via a BROADCAST small-side join (`ray.put` once, lookup per batch — no
+    shuffle for the dimension; sql/etl_transformations.sql:151-152 dim-key
+    lookup idiom).  Top 100 by revenue.
+
+    Scale: `part` at 100 TB would be ~GBs → broadcast still fine on 64 GiB
+    workers; beyond that switch to Dataset.join (documented cutover)."""
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("revenue", rev)
+
+    agg = (
+        li.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("l_quantity", alias_name="total_qty"),
+            Sum("revenue", alias_name="revenue"),
+            Count(alias_name="num_lines"),
+        )
+    )
+    part_tbl = _small(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+    part_ref = ray.put(part_tbl)
+
+    class AttachPart:
+        """Actor-pool stage: the broadcast lookup index is built ONCE per
+        actor in __init__, not per batch."""
+
+        def __init__(self):
+            t = ray.get(part_ref)
+            self.idx = pd.DataFrame(
+                {
+                    "p_name": t.column("p_name").to_pandas().values,
+                    "p_brand": t.column("p_brand").to_pandas().values,
+                    "p_retailprice": t.column("p_retailprice").to_pandas().values,
+                },
+                index=t.column("p_partkey").to_pandas().values,
+            )
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = self.idx.reindex(df["l_partkey"].values)
+            for c in self.idx.columns:
+                df[c] = hit[c].values
+            return df
+
+    out = agg.map_batches(AttachPart, batch_format="pandas", concurrency=2)
+    df = (
+        out.sort(["revenue", "l_partkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    df["total_qty"] = df["total_qty"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def region_revenue_rollup(sf_dir: str) -> pa.Table:
+    """J3/J4: orders rolled up to region via BROADCAST dimension chain
+    customer→nation→region (all small sides; at scale customer would be
+    the first to outgrow broadcast → Dataset.join cutover documented)."""
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust_to_nation = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    nation_to_region = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
+    )
+    region_name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    lookup_ref = ray.put((cust_to_nation, nation_to_region, region_name))
+
+    class ToRegion:
+        def __init__(self):
+            c2n, n2r, rname = ray.get(lookup_ref)
+            self.map = {ck: rname[n2r[nk]] for ck, nk in c2n.items()}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "r_name": df["o_custkey"].map(self.map),
+                    "o_totalprice": df["o_totalprice"],
+                }
+            )
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (
+        orders.map_batches(ToRegion, batch_format="pandas", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="total_revenue"))
+    )
+    df = agg.to_pandas().sort_values("r_name").reset_index(drop=True)
+    df["total_revenue"] = df["total_revenue"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def category_share(sf_dir: str) -> pa.Table:
+    """A6/J4: revenue share-of-total per brand — global total computed once
+    and applied to the (tiny) grouped result (`SUM(COUNT(*)) OVER ()`
+    share idiom, docs/TECHNICAL_GUIDE.md:393)."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part_tbl = _small(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand_ref = ray.put(
+        dict(zip(part_tbl.column("p_partkey").to_pylist(), part_tbl.column("p_brand").to_pylist()))
+    )
+
+    class ToBrand:
+        def __init__(self):
+            self.map = ray.get(brand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_brand": df["l_partkey"].map(self.map),
+                    "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+                }
+            )
+
+    per_brand = (
+        li.map_batches(ToBrand, batch_format="pandas", concurrency=2)
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    total = per_brand["revenue"].sum()
+    per_brand["revenue_share_pct"] = (per_brand["revenue"] / total * 100).round(4)
+    per_brand["revenue"] = per_brand["revenue"].round(2)
+    per_brand = per_brand.sort_values("p_brand").reset_index(drop=True)
+    return pa.Table.from_pandas(per_brand, preserve_index=False)
+
+
+def top3_parts_per_brand(sf_dir: str) -> ray.data.Dataset:
+    """J9 (lateral top-N per group): top-3 parts by retail price per brand
+    via groupby.map_groups — within-group sort+head, never a global sort."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["p_retailprice", "p_partkey"], ascending=[False, True]
+        ).head(3)
+
+    return part.groupby("p_brand").map_groups(top3, batch_format="pandas")
+
+
+def orders_filter_window(sf_dir: str) -> pa.Table:
+    """M8-M10: status + time-window filters (Arrow expression pushdown, not
+    a Python row filter), then a grouped count/sum."""
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice", "o_orderpriority"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        mask = pc.and_(
+            pc.not_equal(t.column("o_orderstatus"), pa.scalar("F")),
+            pc.and_(
+                pc.greater_equal(d, pa.scalar(pd.Timestamp("1997-01-01"))),
+                pc.less(d, pa.scalar(pd.Timestamp("1998-01-01"))),
+            ),
+        )
+        return t.filter(mask)
+
+    filtered = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = filtered.groupby("o_orderpriority").aggregate(
+        Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="total_value")
+    )
+    df = agg.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["total_value"] = df["total_value"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def string_normalize_customers(sf_dir: str) -> ray.data.Dataset:
+    """M1/M6/M7 scalar-string parity: lower, concat, regex strip-to-digits,
+    abs — all pyarrow.compute kernels inside one map_batches (the
+    reference's customers transform, src/etl_pipeline.py:247-263 /
+    CONCAT-LOWER-REGEXP_REPLACE twin in sql/etl_transformations.sql:13-25)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        name = t.column("c_name")
+        out = pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "name_lower": pc.utf8_lower(name),
+                "cust_digits": pc.replace_substring_regex(name, r"[^0-9]", ""),
+                "display_name": pc.binary_join_element_wise(
+                    name,
+                    pc.utf8_lower(t.column("c_mktsegment")),
+                    " / ",
+                ),
+                "acctbal_abs": pc.abs(t.column("c_acctbal")),
+            }
+        )
+        return out
+
+    return cust.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def per_order_allocation(sf_dir: str) -> ray.data.Dataset:
+    """W8 (the reference's one window-over-raw-rows:
+    ``tax * line/SUM(line) OVER (PARTITION BY order)``,
+    sql/etl_transformations.sql:117-127): per-line share of order total and
+    equal split, via groupby(order).map_groups with in-group vectorized
+    broadcast of the group sum."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def alloc(g: pd.DataFrame) -> pd.DataFrame:
+        total = g["l_extendedprice"].sum()
+        n = len(g)
+        return pd.DataFrame(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_linenumber": g["l_linenumber"],
+                "line_share_pct": (g["l_extendedprice"] / total * 100).round(4),
+                "equal_split": round(total / n, 4),
+            }
+        )
+
+    return li.groupby("l_orderkey").map_groups(alloc, batch_format="pandas")
+
+
+def union_quality_report(sf_dir: str) -> pa.Table:
+    """U1/A7/J6: UNION ALL of data-quality checks
+    (sql/etl_transformations.sql:200-228), incl. an ANTI-JOIN orphan check
+    via a broadcast key set (at scale: a Bloom filter of o_orderkey)."""
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"]
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    neg_qty = li.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("l_quantity"), pa.scalar(0.0))),
+        batch_format="pyarrow",
+    ).count()
+    null_dates = orders.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("o_orderdate"))),
+        batch_format="pyarrow",
+    ).count()
+
+    order_keys = set(
+        _small(sf_dir, "orders", ["o_orderkey"]).column("o_orderkey").to_pylist()
+    )
+    keys_ref = ray.put(order_keys)
+
+    class OrphanCount:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = np.fromiter(
+                (k not in self.keys for k in t.column("l_orderkey").to_pylist()),
+                dtype=bool,
+                count=len(t),
+            )
+            return pa.table({"n": [int(mask.sum())]})
+
+    orphans = sum(
+        r["n"]
+        for r in li.map_batches(OrphanCount, batch_format="pyarrow", concurrency=2).take_all()
+    )
+    dup_pk = (
+        li.groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .count()
+    )
+    return pa.table(
+        {
+            "check_name": [
+                "duplicate_lineitem_pk",
+                "negative_or_zero_qty",
+                "null_order_date",
+                "orphan_lineitems",
+            ],
+            "issue_count": pa.array(
+                [dup_pk, neg_qty, null_dates, orphans], pa.int64()
+            ),
+        }
+    )

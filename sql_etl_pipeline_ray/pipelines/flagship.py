@@ -1,0 +1,95 @@
+"""Flagship demo pipeline: documents table → change log → CDC replay.
+
+Derives a deterministic change-event log from the driver's ``documents``
+table with a derivation simple enough to mirror in ANSI SQL (so the DuckDB
+oracle can verify the ENTIRE engine end-to-end — reader, normalize,
+shuffle, LWW fold, exactly-once sink):
+
+  per doc (repo=source, path='doc_<id>.txt'):
+    I @ lsn=3*doc_id+1  content = text              commit = 'c1-<id>'
+    U @ lsn=3*doc_id+2  content = text || ' [rev2]' commit = 'c2-<id>'
+    D @ lsn=3*doc_id+3  only when doc_id % 10 == 0
+
+  ⇒ final state: every doc with doc_id % 10 != 0, at its [rev2] content.
+
+The richer generator (skew, shuffled order, orphans, evolution) lives in
+``sources.datagen`` and is exercised by the pytest golden tests; this one
+trades richness for SQL-expressibility.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import ReplayConfig
+from .replay import read_lake, replay
+
+
+def _derive_events(batch: pa.Table) -> pa.Table:
+    """documents rows → 2-3 change events per doc (vectorized, zero-copy in)."""
+    doc_id = batch.column("doc_id")
+    ids = pc.cast(doc_id, pa.string())
+    path = pc.binary_join_element_wise(
+        pa.array(["doc_"] * len(batch)), ids, pa.array([".txt"] * len(batch)), ""
+    )
+    base = pc.multiply(doc_id, pa.scalar(3, pa.int64()))
+
+    def ev(lsn_off, op, commit_prefix, content):
+        n = len(batch)
+        return pa.table(
+            {
+                "lsn": pc.add(base, pa.scalar(lsn_off, pa.int64())),
+                "op": pa.array([op] * n, pa.string()),
+                "repo": batch.column("source"),
+                "path": path,
+                "commit": pc.binary_join_element_wise(
+                    pa.array([commit_prefix] * n), ids, ""
+                ),
+                "lang": batch.column("lang"),
+                "content": content,
+            }
+        )
+
+    inserts = ev(1, "I", "c1-", batch.column("text"))
+    rev2 = pc.binary_join_element_wise(
+        batch.column("text"), pa.array([" [rev2]"] * len(batch)), ""
+    )
+    updates = ev(2, "U", "c2-", rev2)
+    # pyarrow 16 has no modulo kernel; numpy on the zero-copy int column
+    ids_np = doc_id.to_numpy() if isinstance(doc_id, pa.Array) else doc_id.combine_chunks().to_numpy()
+    del_mask = pa.array(ids_np % 10 == 0)
+    deletes = ev(3, "D", "c2-", pa.nulls(len(batch), pa.string())).filter(del_mask)
+    return pa.concat_tables([inserts, updates, deletes])
+
+
+def build_change_log(sf_dir: str, log_dir: str) -> None:
+    """Materialize the derived change log as Parquet (the replay input)."""
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    ds.map_batches(_derive_events, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        log_dir
+    )
+
+
+def run_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Full engine over the derived log; returns the final lake Dataset."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_flagship/{tag}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    return read_lake(lake_dir)

@@ -224,7 +224,9 @@ def read_lake(out_dir: str, columns: list[str] | None = None) -> ray.data.Datase
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         return ray.data.from_arrow(REPO_FILES_SCHEMA.empty_table())
-    return ray.data.read_parquet(files, columns=columns)
+    # partitioning=None: the part=K dirs are the sink's layout, not a hive
+    # column — do not resurrect them into the schema.
+    return ray.data.read_parquet(files, columns=columns, partitioning=None)
 
 
 def lake_table(out_dir: str) -> pa.Table:

@@ -1,0 +1,74 @@
+"""Driver-style parity harness: every ``queries()`` entry vs its
+``oracle_sql()`` DuckDB twin on the same Parquet tables.
+
+Mirrors what the driver does at sf0.01 (row count + schema + order-
+insensitive value comparison) but runs at sf0.001 so the suite stays fast.
+"""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+import __ray_entry__ as E
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+QUERIES = sorted(E.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name):
+    q = E.queries()[name]
+    sql = E.oracle_sql().get(name)
+    result = q(SF_DIR)
+    if isinstance(result, ray.data.Dataset):
+        got = result.to_pandas()
+    elif isinstance(result, pd.DataFrame):
+        got = result
+    else:  # pyarrow table
+        got = result.to_pandas()
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    want = duck().execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    g, w = normalize(got), normalize(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+
+
+def test_entry_smoke():
+    out = E.entry()
+    n = out.count() if isinstance(out, ray.data.Dataset) else len(out)
+    assert n > 0
