@@ -16,16 +16,22 @@ from dataclasses import dataclass, field
 class ReplayConfig:
     """Configuration for a CDC replay run."""
 
-    # Number of hash partitions for the (repo, path) shuffle.  At 100 TB this
-    # is sized so one partition's final state fits a worker's heap
-    # (total_bytes / ~256 MiB); at test scale a few dozen keeps task overhead
-    # low while still exercising the multi-partition paths.
-    num_partitions: int = 32
+    # Number of hash partitions for the (repo, path) shuffle.  None →
+    # adaptive: max(cluster CPUs, input_bytes / 256 MiB), so one partition's
+    # state fits a worker's heap at any scale while small runs don't drown
+    # in per-task overhead.  Shuffle fragment count is read_blocks ×
+    # partitions — keeping both proportional to data (not hardcoded high)
+    # is what keeps the sort exchange from degenerating into tens of
+    # thousands of tiny object transfers.
+    num_partitions: int | None = None
 
-    # Rows per batch through the normalize stage.  Content rows can be wide
-    # (multi-KB strings), so this is rows, bounded by block bytes via
-    # DataContext.target_max_block_size rather than here.
-    batch_size: int | None = None
+    # Rows per batch through the normalize/feed stage.  Large batches matter:
+    # every batch costs one ack round-trip per touched partition, so tiny
+    # batches turn the exchange latency-bound (measured 115s → 29s on a 40M
+    # event replay going from ~10k-row to 1M-row batches).  Content rows can
+    # be wide (multi-KB strings) — lower this when content_pad/row size is
+    # large, or cap block bytes via DataContext.target_max_block_size.
+    batch_size: int | None = 1_000_000
 
     # Drop events that fail hard validation (bad op, null key) instead of
     # raising.  Mirrors the reference's warn-only validation flow
@@ -34,11 +40,23 @@ class ReplayConfig:
 
     # Pre-fold combiner: collapse to latest-per-key within each batch before
     # the shuffle (partial aggregation — cuts shuffle volume when a batch
-    # holds several versions of one key).
-    combine_before_shuffle: bool = True
+    # holds several versions of one key).  Default OFF: the combiner costs a
+    # full per-batch sort, which only pays when keys repeat within a batch
+    # (high-update-rate logs / small key universes); enable it for those.
+    combine_before_shuffle: bool = False
 
     # Parallelism hint for read tasks; None lets Ray Data decide.
     read_concurrency: int | None = None
+
+    # Exchange implementation for the (repo, path) hash shuffle:
+    # - "actor":   route normalized sub-tables straight to the stateful
+    #              merge-actor pool (default — Ray Data's generic shuffles
+    #              re-sort/serialize the full content payload, measured
+    #              15-40x slower on content-heavy CDC rows; see
+    #              stages/exchange.py)
+    # - "groupby": ds.groupby(part).map_groups (pure Dataset API path,
+    #              kept for comparison and small runs)
+    exchange: str = "actor"
 
 
 @dataclass

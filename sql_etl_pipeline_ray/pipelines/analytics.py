@@ -449,20 +449,33 @@ def per_order_allocation(sf_dir: str) -> ray.data.Dataset:
     equal split, via groupby(order).map_groups with in-group vectorized
     broadcast of the group sum."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    # Group-count is huge (one per order), so per-group Python calls would
+    # dominate; instead: grouped partial+final aggregate, hash-join the
+    # totals back, and compute the shares vectorized per batch.
+    totals = li.groupby("l_orderkey").aggregate(
+        Sum("l_extendedprice", alias_name="order_total"),
+        Count(alias_name="n_lines"),
+    )
+    joined = li.join(
+        totals, join_type="inner", num_partitions=16, on=("l_orderkey",)
+    )
 
-    def alloc(g: pd.DataFrame) -> pd.DataFrame:
-        total = g["l_extendedprice"].sum()
-        n = len(g)
-        return pd.DataFrame(
+    def shares(t: pa.Table) -> pa.Table:
+        total = t.column("order_total")
+        share = pc.multiply(
+            pc.divide(t.column("l_extendedprice"), total), pa.scalar(100.0)
+        )
+        split = pc.divide(total, pc.cast(t.column("n_lines"), pa.float64()))
+        return pa.table(
             {
-                "l_orderkey": g["l_orderkey"],
-                "l_linenumber": g["l_linenumber"],
-                "line_share_pct": (g["l_extendedprice"] / total * 100).round(4),
-                "equal_split": round(total / n, 4),
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "line_share_pct": pc.round(share, 4, **_ROUND),
+                "equal_split": pc.round(split, 4, **_ROUND),
             }
         )
 
-    return li.groupby("l_orderkey").map_groups(alloc, batch_format="pandas")
+    return joined.map_batches(shares, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def union_quality_report(sf_dir: str) -> pa.Table:

@@ -1,19 +1,25 @@
 """The headline pipeline: CDC change-log replay → lake upsert.
 
-Physical plan (SURVEY.md §4):
+Three exchange strategies (``ReplayConfig.exchange``):
 
-    read_parquet(change_log, LSN-pruned)              # stateless tasks
-      → map_batches(normalize+combine, pyarrow, zc)   # stateless tasks
-      → groupby(_part).map_groups(partition_task)     # THE one shuffle
-            sort by (key, lsn), fold last-writer-wins,
-            merge prior committed state (resume),
-            sha256, exactly-once parquet commit + manifest + metrics
-      → tiny per-partition metrics table → run summary
+- ``late`` (default, the 100-TB design — late materialization):
+    Phase 1 shuffles ONLY ``(lsn, op, repo, path)`` — column-pruned at the
+    Parquet reader — through the actor exchange and picks the winning LSN
+    per key (last-writer-wins fold, tombstones excluded).  Phase 2 re-reads
+    the log (and prior lake state on resume), filters rows by winning-LSN
+    membership (a broadcast sorted int64 array + searchsorted per batch),
+    and routes ONLY the surviving ~final rows to committer actors.  The
+    wide ``content`` payload never enters a shuffle — shuffle volume is
+    proportional to keys, not bytes (SURVEY.md §7 known-hard #4).
+- ``actor``: single-phase — full rows routed to merge actors that fold and
+  commit (simpler; fine when rows are narrow).
+- ``groupby``: pure Dataset-API ``groupby(part).map_groups`` (kept for
+  comparison; Ray's generic shuffle re-sorts the whole payload and
+  measured 15-40× slower on content-heavy rows).
 
-The fold-and-commit happens INSIDE the per-partition task so each partition
-commits atomically and independently (resumable output; a failed run skips
-finished partitions).  The returned Dataset is only the small metrics
-table, so nothing materializes the lake on the driver.
+All strategies produce byte-identical lakes (asserted by tests) and share
+the exactly-once manifest sink, per-partition checkpoints and lineage
+metrics.
 """
 
 from __future__ import annotations
@@ -24,18 +30,36 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data
 
 from ..config import ReplayConfig, SinkConfig
-from ..hashing import table_digest
-from ..schemas import CHANGE_EVENT_SCHEMA, KEY_COLUMNS, PART_COLUMN, REPO_FILES_SCHEMA
-from ..sources.change_log import LogScan, read_change_log, scan_change_log
-from ..stages.merge import EVENTS_COL, HAD_INSERT_COL, finalize_partition
+from ..hashing import key_hash, table_digest
+from ..schemas import (
+    CHANGE_EVENT_SCHEMA,
+    KEY_COLUMNS,
+    PART_COLUMN,
+    REPO_FILES_SCHEMA,
+    VALID_OPS,
+    conform_batch,
+)
+from ..sources.change_log import read_change_log, scan_change_log
+from ..stages.merge import (
+    EVENTS_COL,
+    HAD_INSERT_COL,
+    KEY_HASH_COL,
+    finalize_partition,
+    fold_latest,
+)
 from ..stages.normalize import make_normalizer
 from ..state import manifest as mf
+
+PHASE1_COLUMNS = ["lsn", "op", "repo", "path"]
 
 
 def output_schema_for(event_schema: pa.Schema) -> pa.Schema:
@@ -58,19 +82,51 @@ class ReplayResult:
     summary: dict[str, Any] = field(default_factory=dict)
 
 
-def _prior_state_as_events(out_dir: str, part: int, m: dict, schema: pa.Schema) -> pa.Table:
+# ---------------------------------------------------------------------------
+# shared helpers (module-level so cloudpickle ships them by reference)
+# ---------------------------------------------------------------------------
+
+
+def _commit_with_metrics(
+    part: int, final: pa.Table, stats: dict, args: dict
+) -> dict[str, Any]:
+    t_start = time.time()
+    stats = dict(stats)
+    stats["num_partitions"] = args["num_partitions"]
+    digest = table_digest(final, list(KEY_COLUMNS))
+    epoch = args["prior_epochs"].get(part, -1) + 1
+    m = mf.commit_partition(
+        args["sink_dir"], part, epoch, final, stats, digest,
+        compression=args["compression"],
+    )
+    metrics = {
+        **stats,
+        "part": part,
+        "epoch": epoch,
+        "duration_s": round(time.time() - t_start, 4),
+        "bytes_written": os.path.getsize(
+            os.path.join(mf.partition_dir(args["sink_dir"], part), m["files"][0])
+        ),
+    }
+    mf.write_metrics(args["sink_dir"], part, metrics)
+    return metrics
+
+
+def _prior_state_as_events(
+    out_dir: str, part: int, m: dict, schema: pa.Schema
+) -> pa.Table:
     """Committed partition state → synthetic events for the merge fold.
 
     Rows re-enter as op='I' at their stored LSN (all ≤ checkpoint, so any
     newer event wins; a newer delete tombstones them).  ``_events=0`` keeps
-    lineage counters counting only NEW events; ``_had_insert=True`` because
-    committed rows were live."""
+    lineage counters counting only NEW events."""
     tables = [
-        pq.read_table(os.path.join(mf.partition_dir(out_dir, part), f)) for f in m["files"]
+        pq.read_table(os.path.join(mf.partition_dir(out_dir, part), f))
+        for f in m["files"]
     ]
     prior = pa.concat_tables(tables, promote_options="permissive")
     n = len(prior)
-    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    cols: dict[str, Any] = {}
     for f in schema:
         if f.name == "op":
             cols["op"] = pa.array(["I"] * n, pa.string())
@@ -83,7 +139,197 @@ def _prior_state_as_events(out_dir: str, part: int, m: dict, schema: pa.Schema) 
     t = t.append_column(PART_COLUMN, pa.array([part] * n, pa.int64()))
     t = t.append_column(EVENTS_COL, pa.array([0] * n, pa.int64()))
     t = t.append_column(HAD_INSERT_COL, pa.array([True] * n))
-    return t
+    kh = key_hash(t.column("repo"), t.column("path")).view(np.int64)
+    return t.append_column(KEY_HASH_COL, pa.array(kh))
+
+
+def _fold_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
+    """Finalize for the single-phase 'actor' mode: merge prior state, fold
+    last-writer-wins, commit exactly-once."""
+    out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
+    if part in args["prior_manifests"]:
+        event_schema = pa.schema(
+            [f for f in tbl.schema if not f.name.startswith("_")]
+        )
+        prior = _prior_state_as_events(
+            args["sink_dir"], part, args["prior_manifests"][part], event_schema
+        )
+        tbl = pa.concat_tables([tbl, prior], promote_options="permissive")
+    final, stats = finalize_partition(tbl, out_schema)
+    return _commit_with_metrics(part, final, stats, args)
+
+
+def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
+    """Phase-1 finalize: last-writer-wins over the key/LSN projection.
+
+    Returns the winning (live) LSNs for this partition plus the lineage
+    stats — the ROW_NUMBER()=1 pick-latest idiom computed without ever
+    touching the content payload."""
+    folded = fold_latest(tbl, keep_tombstones=True)
+    n = len(folded)
+    is_del = (
+        pc.equal(folded.column("op"), pa.scalar("D")).to_numpy(zero_copy_only=False)
+        if n
+        else np.zeros(0, bool)
+    )
+    had_insert = (
+        folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
+        if n
+        else np.zeros(0, bool)
+    )
+    events_in = (
+        int(pc.sum(tbl.column(EVENTS_COL)).as_py()) if len(tbl) else 0
+    )
+    winners = (
+        folded.filter(pa.array(~is_del)).column("lsn").to_numpy(zero_copy_only=False)
+        if n
+        else np.zeros(0, np.int64)
+    )
+    stats = {
+        "events_in": events_in,
+        "keys_seen": n,
+        "deleted_keys": int(is_del.sum()),
+        "orphan_events_applied": int((~is_del & ~had_insert).sum()),
+        "orphan_deletes": int((is_del & ~had_insert).sum()),
+        "max_lsn": int(pc.max(tbl.column("lsn")).as_py()) if len(tbl) else -1,
+        "min_lsn": int(pc.min(tbl.column("lsn")).as_py()) if len(tbl) else -1,
+        "live_rows": int(len(winners)),
+    }
+    return {"part": part, "stats": stats, "winner_lsns": np.sort(winners)}
+
+
+def _commit_extracted_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
+    """Phase-2 finalize: the routed rows ARE the final state — dedupe by
+    LSN (a winner can arrive from both the log and prior lake files when
+    the checkpoint didn't prune a bucket), order by key, sha256, commit."""
+    out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
+    stats = args["stats_per_part"][part]
+    tbl = tbl.sort_by([("lsn", "ascending")])
+    lsns = tbl.column("lsn").to_numpy(zero_copy_only=False)
+    if len(lsns):
+        keep = np.concatenate(([True], np.diff(lsns) != 0))
+        if not keep.all():
+            tbl = tbl.filter(pa.array(keep))
+    expected = stats["live_rows"]
+    if len(tbl) != expected:
+        raise ValueError(
+            f"partition {part}: extracted {len(tbl)} rows, phase-1 expected {expected}"
+        )
+    final, _ = finalize_partition(tbl, out_schema)
+    return _commit_with_metrics(part, final, stats, args)
+
+
+# ---------------------------------------------------------------------------
+# late-materialization strategy
+# ---------------------------------------------------------------------------
+
+
+def _make_phase1_process(num_partitions: int, checkpoints: dict[int, int] | None):
+    ckpt_arr = None
+    if checkpoints:
+        ckpt_arr = np.full(num_partitions, -1, dtype=np.int64)
+        for part, lsn in checkpoints.items():
+            ckpt_arr[part] = lsn
+
+    def process(batch: pa.Table) -> pa.Table:
+        for col in ("repo", "path", "op"):
+            if batch.schema.field(col).type != pa.string():
+                i = batch.schema.get_field_index(col)
+                batch = batch.set_column(
+                    i, pa.field(col, pa.string()), batch.column(col).cast(pa.string())
+                )
+        op = batch.column("op")
+        valid = pc.is_in(op, value_set=pa.array(VALID_OPS))
+        for col in ("repo", "path", "lsn"):
+            valid = pc.and_(valid, pc.is_valid(batch.column(col)))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(pc.fill_null(valid, False))
+        for col in ("repo", "path"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, batch.schema.field(i), pc.utf8_trim_whitespace(batch.column(col))
+            )
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        parts = (kh % np.uint64(num_partitions)).astype(np.int64)
+        if ckpt_arr is not None and len(batch):
+            lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+            keep = lsn > ckpt_arr[parts]
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                parts = parts[keep]
+                kh = kh[keep]
+        n = len(batch)
+        batch = batch.append_column(PART_COLUMN, pa.array(parts))
+        batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
+        batch = batch.append_column(EVENTS_COL, pa.array(np.ones(n, dtype=np.int64)))
+        batch = batch.append_column(
+            HAD_INSERT_COL, pc.equal(batch.column("op"), pa.scalar("I"))
+        )
+        return batch
+
+    return process
+
+
+def _make_prior_phase1_process(num_partitions: int):
+    """Prior lake rows → phase-1 records: op='I' at their stored LSN,
+    _events=0 (lineage counts only NEW events)."""
+
+    def process(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = pa.table(
+            {
+                "lsn": batch.column("lsn"),
+                "op": pa.array(["I"] * n, pa.string()),
+                "repo": batch.column("repo").cast(pa.string()),
+                "path": batch.column("path").cast(pa.string()),
+            }
+        )
+        kh = key_hash(t.column("repo"), t.column("path"))
+        parts = (kh % np.uint64(num_partitions)).astype(np.int64)
+        t = t.append_column(PART_COLUMN, pa.array(parts))
+        t = t.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
+        t = t.append_column(EVENTS_COL, pa.array(np.zeros(n, dtype=np.int64)))
+        t = t.append_column(HAD_INSERT_COL, pa.array(np.ones(n, dtype=bool)))
+        return t
+
+    return process
+
+
+def _make_extract_process(
+    event_schema: pa.Schema,
+    num_partitions: int,
+    winners_ref,
+    prior: bool,
+):
+    """Phase-2: keep only winning-LSN rows, conform, route."""
+
+    def process(batch: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)  # zero-copy numpy view from plasma
+        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(winners, lsn)
+        idx_c = np.minimum(idx, len(winners) - 1) if len(winners) else idx
+        hit = (
+            (winners[idx_c] == lsn) if len(winners) else np.zeros(len(lsn), bool)
+        )
+        batch = batch.filter(pa.array(hit))
+        if prior:
+            n = len(batch)
+            if "op" in batch.column_names:
+                batch = batch.drop_columns(["op"])
+            batch = batch.append_column("op", pa.array(["I"] * n, pa.string()))
+        batch = conform_batch(batch, event_schema)
+        for col in ("repo", "path"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, batch.schema.field(i), pc.utf8_trim_whitespace(batch.column(col))
+            )
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        parts = (kh % np.uint64(num_partitions)).astype(np.int64)
+        batch = batch.append_column(PART_COLUMN, pa.array(parts))
+        batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
+        return batch
+
+    return process
 
 
 def replay(
@@ -99,8 +345,7 @@ def replay(
     still bumps epochs so commits atomically supersede old state.  Resume
     prunes events at/below each partition's checkpoint LSN and merges the
     committed state — the reference's incremental mode done right
-    (``src/etl_pipeline.py:364-373`` + the stubbed watermark,
-    ``:238-245``).
+    (``src/etl_pipeline.py:364-373`` + the stubbed watermark ``:238-245``).
     """
     cfg = cfg or ReplayConfig()
     sink = sink or SinkConfig(out_dir=out_dir)
@@ -109,81 +354,82 @@ def replay(
     manifests = mf.read_all_manifests(out_dir)
     ckpts = mf.checkpoints(manifests) if resume else None
     min_lsn = min(ckpts.values()) if ckpts else None
-    extra_schemas = []
+    prior_files: list[str] = []
     if resume and manifests:
-        for part, m in manifests.items():
-            fields = [
-                pa.field(name, _parse_type(tstr)) for name, tstr in m["schema_fingerprint"]
-            ]
-            extra_schemas.append(
-                pa.schema([f for f in fields if f.name not in ("content_sha256",)])
-            )
+        prior_files = mf.manifest_data_files(out_dir, manifests)
+    extra_schemas = []
+    for f in prior_files:
+        s = pq.ParquetFile(f).schema_arrow
+        extra_schemas.append(
+            pa.schema([fl for fl in s if fl.name not in ("content_sha256",)])
+        )
 
     scan = scan_change_log(log_dir, min_lsn=min_lsn, extra_schemas=extra_schemas)
     event_schema = scan.schema
     out_schema = output_schema_for(event_schema)
 
-    normalizer = make_normalizer(
-        event_schema,
-        cfg.num_partitions,
-        checkpoints=ckpts,
-        combine=cfg.combine_before_shuffle,
-    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # Blocks scale with data (~128 MiB each) but never below the CPU count;
+    # partitions likewise (~256 MiB of input per partition).  Shuffle
+    # fragment count is blocks × partitions — keeping both proportional to
+    # data is what keeps the exchange from degenerating into tens of
+    # thousands of tiny transfers.
+    num_blocks = max(ncpu, scan.total_bytes // (128 << 20))
+    if resume and manifests:
+        num_partitions = next(iter(manifests.values()))["stats"].get(
+            "num_partitions", max(manifests) + 1
+        )
+    else:
+        num_partitions = cfg.num_partitions or max(
+            ncpu, scan.total_bytes // (256 << 20)
+        )
+    num_actors = max(1, min(num_partitions, ncpu))
 
     resume_manifests = manifests if resume else {}
     prior_epochs = {part: m["epoch"] for part, m in manifests.items()}
-    sink_dir, compression = sink.out_dir, sink.compression
+    commit_args = {
+        "out_schema": out_schema.serialize().to_pybytes(),
+        "sink_dir": sink.out_dir,
+        "prior_manifests": resume_manifests,
+        "prior_epochs": prior_epochs,
+        "num_partitions": num_partitions,
+        "compression": sink.compression,
+    }
 
-    def partition_task(group: pa.Table) -> pa.Table:
-        part = int(group.column(PART_COLUMN)[0].as_py())
-        if part in resume_manifests:
-            prior = _prior_state_as_events(
-                sink_dir, part, resume_manifests[part], event_schema
-            )
-            group = pa.concat_tables([group, prior], promote_options="permissive")
-        t_start = time.time()
-        final, stats = finalize_partition(group, out_schema)
-        digest = table_digest(final, list(KEY_COLUMNS))
-        epoch = prior_epochs.get(part, -1) + 1
-        m = mf.commit_partition(
-            sink_dir, part, epoch, final, stats, digest, compression=compression
+    if cfg.exchange == "late":
+        metrics_rows = _replay_late(
+            scan, prior_files, cfg, commit_args, num_blocks, num_partitions,
+            num_actors, event_schema, ckpts,
         )
-        metrics = {
-            **stats,
-            "part": part,
-            "epoch": epoch,
-            "duration_s": round(time.time() - t_start, 4),
-            "bytes_written": os.path.getsize(
-                os.path.join(mf.partition_dir(sink_dir, part), m["files"][0])
-            ),
-        }
-        mf.write_metrics(sink_dir, part, metrics)
-        return pa.Table.from_pylist([metrics])
+    elif cfg.exchange == "actor":
+        from ..stages.exchange import run_exchange
 
-    ds = read_change_log(scan, concurrency=cfg.read_concurrency)
-    ds = ds.map_batches(
-        normalizer,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-    )
-    metrics_rows = (
-        ds.groupby(PART_COLUMN)
-        .map_groups(partition_task, batch_format="pyarrow")
-        .take_all()
-    )
+        normalizer = make_normalizer(
+            event_schema, num_partitions, checkpoints=ckpts,
+            combine=cfg.combine_before_shuffle,
+        )
+        ds = read_change_log(scan, num_blocks=num_blocks, concurrency=cfg.read_concurrency)
+        metrics_rows = run_exchange(
+            ds, normalizer, _fold_commit_fn, commit_args, num_partitions,
+            num_actors, cfg.batch_size,
+            compact_fn=(lambda t: fold_latest(t, keep_tombstones=True)),
+        )
+    elif cfg.exchange == "groupby":
+        metrics_rows = _replay_groupby(
+            scan, cfg, commit_args, num_blocks, num_partitions, event_schema, ckpts
+        )
+    else:
+        raise ValueError(f"unknown exchange: {cfg.exchange}")
+
     metrics = pd.DataFrame(metrics_rows)
-
+    committed_parts = set(metrics["part"]) if len(metrics) else set()
     summary = {
         "mode": "resume" if resume else "full",
+        "exchange": cfg.exchange,
         "files_scanned": len(scan.files),
         "files_pruned": scan.pruned_files,
         "partitions_committed": len(metrics),
-        "partitions_skipped": len(resume_manifests) - len(
-            set(metrics["part"]) & set(resume_manifests)
-        )
-        if len(metrics)
-        else len(resume_manifests),
+        "partitions_skipped": len(set(resume_manifests) - committed_parts),
         "events_in": int(metrics["events_in"].sum()) if len(metrics) else 0,
         "live_rows": int(metrics["live_rows"].sum()) if len(metrics) else 0,
         "deleted_keys": int(metrics["deleted_keys"].sum()) if len(metrics) else 0,
@@ -192,7 +438,8 @@ def replay(
         else 0,
         "orphan_deletes": int(metrics["orphan_deletes"].sum()) if len(metrics) else 0,
         "duration_s": round(time.time() - t0, 4),
-        "num_partitions": cfg.num_partitions,
+        "num_partitions": num_partitions,
+        "num_blocks": int(num_blocks),
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
@@ -200,22 +447,139 @@ def replay(
     return ReplayResult(metrics=metrics, summary=summary)
 
 
-def _parse_type(tstr: str) -> pa.DataType:
-    simple = {
-        "string": pa.string(),
-        "large_string": pa.large_string(),
-        "int64": pa.int64(),
-        "int32": pa.int32(),
-        "double": pa.float64(),
-        "float": pa.float32(),
-        "bool": pa.bool_(),
-        "binary": pa.binary(),
-        "large_binary": pa.large_binary(),
-        "timestamp[us]": pa.timestamp("us"),
-    }
-    if tstr not in simple:
-        raise ValueError(f"unsupported manifest type: {tstr}")
-    return simple[tstr]
+def _replay_late(
+    scan, prior_files, cfg, commit_args, num_blocks, num_partitions, num_actors,
+    event_schema, ckpts,
+) -> list[dict]:
+    from ..stages.exchange import ExchangeActor, make_feeder
+    import ray.cloudpickle as pickle
+
+    # ---- phase 1: winner selection over (lsn, op, repo, path) only ----
+    p1_batch = (cfg.batch_size or 1_000_000) * 4
+    actors = [
+        ExchangeActor.remote(
+            pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True))
+        )
+        for _ in range(num_actors)
+    ]
+    if scan.files:
+        ds1 = ray.data.read_parquet(
+            scan.files, columns=PHASE1_COLUMNS,
+            override_num_blocks=max(num_actors, num_blocks // 4),
+        )
+        feed1 = make_feeder(
+            _make_phase1_process(num_partitions, ckpts), actors, num_partitions
+        )
+        ds1.map_batches(
+            feed1, batch_format="pyarrow", zero_copy_batch=True, batch_size=p1_batch
+        ).count()
+    if prior_files:
+        dsp = ray.data.read_parquet(
+            prior_files, columns=["repo", "path", "lsn"],
+            override_num_blocks=num_actors,
+        )
+        feedp = make_feeder(
+            _make_prior_phase1_process(num_partitions), actors, num_partitions
+        )
+        dsp.map_batches(
+            feedp, batch_format="pyarrow", zero_copy_batch=True, batch_size=p1_batch
+        ).count()
+    fn_ser = pickle.dumps(_winners_fn)
+    phase1 = [
+        r
+        for rows in ray.get([a.finalize.remote(fn_ser, {}) for a in actors])
+        for r in rows
+    ]
+    for a in actors:
+        ray.kill(a)
+    if not phase1:
+        return []
+    # Resume no-op skip: a partition whose phase-1 input was ONLY prior
+    # state (zero new events) is untouched — keep its manifest as-is.
+    phase1 = [
+        r
+        for r in phase1
+        if not (
+            r["stats"]["events_in"] == 0
+            and r["part"] in commit_args["prior_manifests"]
+        )
+    ]
+    if not phase1:
+        return []
+    stats_per_part = {r["part"]: r["stats"] for r in phase1}
+    all_winners = np.sort(np.concatenate([r["winner_lsns"] for r in phase1]))
+    winners_ref = ray.put(all_winners)
+
+    # ---- phase 2: extract winner rows, route to committers ----
+    extract_args = {**commit_args, "stats_per_part": stats_per_part}
+    actors2 = [ExchangeActor.remote() for _ in range(num_actors)]
+    if scan.files:
+        ds2 = ray.data.read_parquet(scan.files, override_num_blocks=num_blocks)
+        feed2 = make_feeder(
+            _make_extract_process(event_schema, num_partitions, winners_ref, prior=False),
+            actors2,
+            num_partitions,
+        )
+        ds2.map_batches(
+            feed2, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        ).count()
+    if prior_files:
+        dsp2 = ray.data.read_parquet(prior_files, override_num_blocks=num_actors)
+        feedp2 = make_feeder(
+            _make_extract_process(event_schema, num_partitions, winners_ref, prior=True),
+            actors2,
+            num_partitions,
+        )
+        dsp2.map_batches(
+            feedp2, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        ).count()
+    fn2_ser = pickle.dumps(_commit_extracted_fn)
+    metrics_rows = [
+        r
+        for rows in ray.get([a.finalize.remote(fn2_ser, extract_args) for a in actors2])
+        for r in rows
+    ]
+    for a in actors2:
+        ray.kill(a)
+
+    # Partitions phase 1 saw but phase 2 routed nothing for (all keys
+    # deleted) still need a commit superseding any prior state.
+    committed = {m["part"] for m in metrics_rows}
+    for part, st in stats_per_part.items():
+        if part not in committed:
+            empty = pa.schema(
+                list(event_schema)
+                + [
+                    pa.field(PART_COLUMN, pa.int64()),
+                    pa.field(KEY_HASH_COL, pa.int64()),
+                ]
+            ).empty_table()
+            metrics_rows.append(_commit_extracted_fn(part, empty, extract_args))
+    return metrics_rows
+
+
+def _replay_groupby(
+    scan, cfg, commit_args, num_blocks, num_partitions, event_schema, ckpts
+) -> list[dict]:
+    normalizer = make_normalizer(
+        event_schema, num_partitions, checkpoints=ckpts,
+        combine=cfg.combine_before_shuffle,
+    )
+
+    def partition_task(group: pa.Table) -> pa.Table:
+        part = int(group.column(PART_COLUMN)[0].as_py())
+        return pa.Table.from_pylist([_fold_commit_fn(part, group, commit_args)])
+
+    ds = read_change_log(scan, num_blocks=num_blocks, concurrency=cfg.read_concurrency)
+    ds = ds.map_batches(
+        normalizer, batch_format="pyarrow", batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    return (
+        ds.groupby(PART_COLUMN).map_groups(partition_task, batch_format="pyarrow").take_all()
+    )
 
 
 def read_lake(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -224,9 +588,14 @@ def read_lake(out_dir: str, columns: list[str] | None = None) -> ray.data.Datase
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         return ray.data.from_arrow(REPO_FILES_SCHEMA.empty_table())
-    # partitioning=None: the part=K dirs are the sink's layout, not a hive
-    # column — do not resurrect them into the schema.
-    return ray.data.read_parquet(files, columns=columns, partitioning=None)
+    # The part=K dirs are the sink's layout, not a hive column — do not
+    # resurrect them into the schema.  partitioning=None does that, but Ray
+    # 2.49's reader crashes on partitioning=None + columns together
+    # (UnboundLocalError in parquet_datasource), so with an explicit column
+    # list we rely on the projection excluding the hive column instead.
+    if columns is not None:
+        return ray.data.read_parquet(files, columns=columns)
+    return ray.data.read_parquet(files, partitioning=None)
 
 
 def lake_table(out_dir: str) -> pa.Table:

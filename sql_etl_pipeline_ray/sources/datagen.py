@@ -16,8 +16,11 @@ repo-files keys ``(repo, path)`` with
   added ``size_bytes`` column (written int32 in the first evolved bucket,
   int64 after → unify widens) and ``lang`` as ``large_string``.
 
-Everything is vectorized numpy/pandas/pyarrow; content strings are
-deterministic pseudo-source text so ``sha256(content)`` is reproducible.
+Generation is CHUNKED (bucket-at-a-time) so 100M+-event bench logs never
+hold the whole table in memory: the only global state is two int arrays
+(key id and op code per event); content/commit strings are pure per-row
+functions of (key_id, lsn) — slice-independent, so any chunking produces
+byte-identical events.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ _WORDS = np.array(
     "scan filter merge batch shuffle commit index vector stream actor "
     "buffer column schema offset lineage digest replay window upsert".split()
 )
+_OPS = np.array(["I", "U", "D"], dtype=object)
 
 
 @dataclass
@@ -48,7 +52,7 @@ class ChangeLogSpec:
     delete_frac: float = 0.10
     orphan_frac: float = 0.01  # events targeting never-inserted keys
     evolve_after_frac: float | None = None  # e.g. 0.6 → schema evolves at 60% LSN
-    content_pad: int = 0  # extra repeated filler words per row (sizes content)
+    content_pad: int = 0  # max extra repeated filler lines per row (sizes content)
 
 
 def _keys(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -71,34 +75,22 @@ def _keys(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return repo, path, lang
 
 
-def _content(key_ids: np.ndarray, lsns: np.ndarray, seed: int, pad: int) -> pd.Series:
-    """Deterministic pseudo-source content per (key, lsn)."""
-    rng = np.random.default_rng(seed + 1)
-    w = _WORDS[rng.integers(0, len(_WORDS), (len(key_ids), 3))]
-    body = pd.Series(w[:, 0]) + " " + pd.Series(w[:, 1]) + "(" + pd.Series(w[:, 2]) + ")"
-    s = (
-        "def f_"
-        + pd.Series(key_ids).astype(str)
-        + "_v"
-        + pd.Series(lsns).astype(str)
-        + "():\n    return "
-        + body
-        + "\n"
-    )
-    if pad:
-        filler = pd.Series(np.full(len(key_ids), "# filler line of code\n")).str.repeat(
-            rng.integers(0, pad + 1, len(key_ids))
-        )
-        s = s + filler
-    return s
+def _plan(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray]:
+    """Global event plan: (key_id, op_code) per event — two int arrays only.
 
-
-def _commits(key_ids: np.ndarray, lsns: np.ndarray) -> pd.Series:
-    """Deterministic 40-hex commit ids."""
-    v = (key_ids.astype(np.uint64) * np.uint64(2654435761) + lsns.astype(np.uint64)) & np.uint64(
-        (1 << 63) - 1
-    )
-    return pd.Series(v).map("{:040x}".format)
+    op codes: 0=I, 1=U, 2=D.  First event per key is an insert, except a
+    small orphan set whose keys never see an insert."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+    key_ids = rng.integers(0, spec.n_keys, n)
+    op_code = np.where(rng.random(n) < spec.delete_frac, 2, 1).astype(np.uint8)
+    first_mask = np.zeros(n, dtype=bool)
+    _, first_idx = np.unique(key_ids, return_index=True)
+    first_mask[first_idx] = True
+    orphan = first_mask & (rng.random(n) < spec.orphan_frac)
+    op_code[first_mask & ~orphan] = 0
+    op_code[orphan] = np.where(rng.random(int(orphan.sum())) < 0.5, 1, 2)
+    return key_ids, op_code
 
 
 def _evolve_lsn(spec: ChangeLogSpec) -> int:
@@ -109,44 +101,67 @@ def _evolve_lsn(spec: ChangeLogSpec) -> int:
     return int(edges[np.searchsorted(edges, target)])
 
 
-def generate_change_log(spec: ChangeLogSpec) -> pa.Table:
-    """Build the full change-event table in memory (LSN-ascending)."""
-    rng = np.random.default_rng(spec.seed)
-    repo_u, path_u, lang_u = _keys(spec)
+def _content_slice(key_ids: np.ndarray, lsns: np.ndarray, pad: int) -> pd.Series:
+    """Pure per-row pseudo-source content — no RNG stream, so generation is
+    chunking-invariant."""
+    w = _WORDS[(key_ids * 7 + lsns * 13) % len(_WORDS)]
+    w2 = _WORDS[(key_ids * 11 + lsns * 3 + 5) % len(_WORDS)]
+    w3 = _WORDS[(key_ids + lsns * 17 + 11) % len(_WORDS)]
+    s = (
+        "def f_"
+        + pd.Series(key_ids).astype(str)
+        + "_v"
+        + pd.Series(lsns).astype(str)
+        + "():\n    return "
+        + pd.Series(w)
+        + " "
+        + pd.Series(w2)
+        + "("
+        + pd.Series(w3)
+        + ")\n"
+    )
+    if pad:
+        s = s + pd.Series(np.full(len(key_ids), "# filler line of code\n")).str.repeat(
+            lsns % (pad + 1)
+        )
+    return s
 
-    n = spec.n_events
-    lsn = np.arange(1, n + 1, dtype=np.int64)
-    # Skewed key choice: hot-repo keys (ids < n_hot) drawn ~uniformly means
-    # the hot repo naturally receives ~hot_repo_share of events.
-    key_ids = rng.integers(0, spec.n_keys, n)
 
-    op = np.where(rng.random(n) < spec.delete_frac, "D", "U").astype(object)
-    # First event per key is an insert.
-    first_mask = np.zeros(n, dtype=bool)
-    _, first_idx = np.unique(key_ids, return_index=True)
-    first_mask[first_idx] = True
-    # Orphans: flip a few first-events to U/D so their key never gets an I.
-    orphan = first_mask & (rng.random(n) < spec.orphan_frac)
-    op[first_mask & ~orphan] = "I"
-    op[orphan] = np.where(rng.random(int(orphan.sum())) < 0.5, "U", "D")
+def _commits_slice(key_ids: np.ndarray, lsns: np.ndarray) -> pd.Series:
+    """Deterministic 40-hex commit ids (pure per-row function)."""
+    v = (key_ids.astype(np.uint64) * np.uint64(2654435761) + lsns.astype(np.uint64)) & np.uint64(
+        (1 << 63) - 1
+    )
+    return pd.Series(v).map("{:040x}".format)
 
-    content = _content(key_ids, lsn, spec.seed, spec.content_pad)
-    content[op == "D"] = None
-    commit = _commits(key_ids, lsn)
 
+def _gen_slice(
+    spec: ChangeLogSpec,
+    start: int,
+    end: int,
+    key_ids: np.ndarray,
+    op_code: np.ndarray,
+    universe: tuple[np.ndarray, np.ndarray, np.ndarray],
+    evolve_lsn: int | None,
+) -> pa.Table:
+    repo_u, path_u, lang_u = universe
+    kid = key_ids[start:end]
+    oc = op_code[start:end]
+    lsn = np.arange(start + 1, end + 1, dtype=np.int64)
+    content = _content_slice(kid, lsn, spec.content_pad)
+    content[oc == 2] = None
     tbl = pa.table(
         {
             "lsn": lsn,
-            "op": pa.array(op, type=pa.string()),
-            "repo": pa.array(repo_u[key_ids], type=pa.string()),
-            "path": pa.array(path_u[key_ids], type=pa.string()),
-            "commit": pa.array(commit, type=pa.string()),
-            "lang": pa.array(lang_u[key_ids], type=pa.string()),
+            "op": pa.array(_OPS[oc], type=pa.string()),
+            "repo": pa.array(repo_u[kid], type=pa.string()),
+            "path": pa.array(path_u[kid], type=pa.string()),
+            "commit": pa.array(_commits_slice(kid, lsn), type=pa.string()),
+            "lang": pa.array(lang_u[kid], type=pa.string()),
             "content": pa.array(content, type=pa.string()),
         }
     )
-    if spec.evolve_after_frac is not None:
-        evolve_lsn = _evolve_lsn(spec)
+    if evolve_lsn is not None:
         size_bytes = np.where(
             lsn > evolve_lsn, pd.Series(content).fillna("").str.len().to_numpy(), -1
         )
@@ -157,34 +172,47 @@ def generate_change_log(spec: ChangeLogSpec) -> pa.Table:
     return tbl
 
 
+def generate_change_log(spec: ChangeLogSpec) -> pa.Table:
+    """Full change-event table in memory (LSN-ascending) — test scales."""
+    key_ids, op_code = _plan(spec)
+    universe = _keys(spec)
+    evolve = _evolve_lsn(spec) if spec.evolve_after_frac is not None else None
+    return _gen_slice(spec, 0, spec.n_events, key_ids, op_code, universe, evolve)
+
+
 def write_change_log(spec: ChangeLogSpec, out_dir: str) -> list[str]:
-    """Write the log as LSN-bucketed Parquet; returns bucket file paths.
+    """Write the log as LSN-bucketed Parquet, ONE BUCKET AT A TIME (bounded
+    memory at bench scales); returns bucket file paths.
 
     Rows are shuffled within each bucket (out of LSN order inside a file —
     the merge must sort, FIXTURES.md §2).  Evolved buckets are written with
     the evolved physical schema (int32 ``size_bytes`` in the first evolved
     bucket, ``large_string`` lang) to exercise schema unification at read.
     """
-    tbl = generate_change_log(spec)
-    n = len(tbl)
+    key_ids, op_code = _plan(spec)
+    universe = _keys(spec)
+    n = spec.n_events
     edges = np.linspace(0, n, spec.num_buckets + 1).astype(int)
-    rng = np.random.default_rng(spec.seed + 2)
     evolve_lsn = _evolve_lsn(spec) if spec.evolve_after_frac is not None else None
     paths = []
     first_evolved_written = False
     for k in range(spec.num_buckets):
-        part = tbl.slice(edges[k], edges[k + 1] - edges[k])
-        perm = rng.permutation(len(part))
-        part = part.take(perm)
-        bucket_min_lsn = int(tbl.column("lsn")[edges[k]].as_py())
-        if evolve_lsn is not None and "size_bytes" in part.column_names:
+        part = _gen_slice(
+            spec, edges[k], edges[k + 1], key_ids, op_code, universe, evolve_lsn
+        )
+        rng = np.random.default_rng(spec.seed + 2 + k)
+        part = part.take(rng.permutation(len(part)))
+        bucket_min_lsn = int(edges[k]) + 1
+        if evolve_lsn is not None:
             if bucket_min_lsn <= evolve_lsn:
                 # pre-evolution bucket: physical schema has no size_bytes
                 part = part.drop_columns(["size_bytes"])
             else:
                 idx = part.schema.get_field_index("lang")
                 part = part.set_column(
-                    idx, pa.field("lang", pa.large_string()), part.column("lang").cast(pa.large_string())
+                    idx,
+                    pa.field("lang", pa.large_string()),
+                    part.column("lang").cast(pa.large_string()),
                 )
                 if not first_evolved_written:
                     i = part.schema.get_field_index("size_bytes")

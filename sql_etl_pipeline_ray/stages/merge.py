@@ -32,7 +32,14 @@ from ..schemas import KEY_COLUMNS
 # Engine-internal columns added by the normalize stage / combiner.
 EVENTS_COL = "_events"  # events folded into this row (partial-agg count)
 HAD_INSERT_COL = "_had_insert"  # key has seen an 'I' op (orphan audit)
-SORT_KEYS = [(k, "ascending") for k in KEY_COLUMNS] + [
+KEY_HASH_COL = "_kh"  # uint64-as-int64 key hash, computed once in normalize
+
+# Sorting hash-first makes the heavy per-partition sort an integer sort —
+# the string key columns are only compared on hash ties (same key or a
+# collision), which halves fold time on content-heavy logs.
+SORT_KEYS = [(KEY_HASH_COL, "ascending")] + [
+    (k, "ascending") for k in KEY_COLUMNS
+] + [
     ("lsn", "ascending"),
     ("op", "ascending"),
 ]
@@ -43,7 +50,13 @@ def _segment_last_mask(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     n = len(tbl)
     if n == 0:
         return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
-    same = np.ones(n - 1, dtype=bool)
+    if KEY_HASH_COL in tbl.column_names:
+        # adjacent-row int-hash equality prunes the string compares; the
+        # string columns still confirm (a collision must not merge keys)
+        kh = tbl.column(KEY_HASH_COL).to_numpy(zero_copy_only=False)
+        same = kh[1:] == kh[:-1]
+    else:
+        same = np.ones(n - 1, dtype=bool)
     for k in KEY_COLUMNS:
         col = tbl.column(k).combine_chunks()
         eq = pc.equal(col.slice(1), col.slice(0, n - 1))
@@ -74,6 +87,11 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
         tbl = tbl.append_column(EVENTS_COL, pa.array(np.ones(len(tbl), dtype=np.int64)))
     if HAD_INSERT_COL not in tbl.column_names:
         tbl = tbl.append_column(HAD_INSERT_COL, pc.equal(tbl.column("op"), pa.scalar("I")))
+    if KEY_HASH_COL not in tbl.column_names:
+        from ..hashing import key_hash
+
+        kh = key_hash(tbl.column("repo"), tbl.column("path")).view(np.int64)
+        tbl = tbl.append_column(KEY_HASH_COL, pa.array(kh))
     tbl = tbl.sort_by(SORT_KEYS)
     last, seg = _segment_last_mask(tbl)
     agg_cols = {}

@@ -23,9 +23,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import partition_ids
+from ..hashing import key_hash
 from ..schemas import PART_COLUMN, VALID_OPS, conform_batch
-from .merge import EVENTS_COL, HAD_INSERT_COL, fold_latest
+from .merge import EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL, fold_latest
 
 
 def make_normalizer(
@@ -63,15 +63,18 @@ def make_normalizer(
             batch = batch.set_column(
                 idx, batch.schema.field(idx), pc.utf8_trim_whitespace(batch.column(col))
             )
-        parts = partition_ids(batch.column("repo"), batch.column("path"), num_partitions)
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        parts = (kh % np.uint64(num_partitions)).astype(np.int64)
         if ckpt_arr is not None and len(batch):
             lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
             keep = lsn > ckpt_arr[parts]
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
                 parts = parts[keep]
+                kh = kh[keep]
         n = len(batch)
         batch = batch.append_column(PART_COLUMN, pa.array(parts, type=pa.int64()))
+        batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
         batch = batch.append_column(EVENTS_COL, pa.array(np.ones(n, dtype=np.int64)))
         batch = batch.append_column(
             HAD_INSERT_COL, pc.equal(batch.column("op"), pa.scalar("I"))

@@ -153,3 +153,58 @@ def test_read_lake_streaming(log_dir, tmp_path):
     ds = read_lake(out, columns=["repo", "path", "lsn"])
     assert ds.count() == len(replay_oracle(read_log_files(log_dir)))
     assert set(ds.schema().names) == {"repo", "path", "lsn"}
+
+
+def test_all_exchange_strategies_identical(log_dir, tmp_path):
+    """late / actor / groupby must produce byte-identical lake digests."""
+    digests = {}
+    for mode in ("late", "actor", "groupby"):
+        out = str(tmp_path / f"lake_{mode}")
+        replay(log_dir, out, ReplayConfig(num_partitions=8, exchange=mode))
+        digests[mode] = {
+            p: m["digest"] for p, m in mf.read_all_manifests(out).items()
+        }
+    assert digests["late"] == digests["actor"] == digests["groupby"]
+
+
+def test_late_resume_with_deletes_superseding_all_keys(tmp_path):
+    """A resume whose new events delete every key in a partition must
+    commit an EMPTY epoch superseding prior state (late-mode edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d1 = str(tmp_path / "log1")
+    os.makedirs(d1 + "/lsn_bucket=0")
+    t1 = pa.table(
+        {
+            "lsn": [1, 2],
+            "op": ["I", "I"],
+            "repo": ["r1", "r2"],
+            "path": ["a", "b"],
+            "commit": ["c1", "c2"],
+            "lang": ["py", "py"],
+            "content": ["x", "y"],
+        }
+    )
+    pq.write_table(t1, d1 + "/lsn_bucket=0/events.parquet")
+    out = str(tmp_path / "lake")
+    replay(d1, out, ReplayConfig(num_partitions=2))
+    assert lake_table(out).num_rows == 2
+    d2 = str(tmp_path / "log2")
+    shutil.copytree(d1, d2)
+    os.makedirs(d2 + "/lsn_bucket=1")
+    t2 = pa.table(
+        {
+            "lsn": [3, 4],
+            "op": ["D", "D"],
+            "repo": ["r1", "r2"],
+            "path": ["a", "b"],
+            "commit": ["c1", "c2"],
+            "lang": ["py", "py"],
+            "content": [None, None],
+        }
+    )
+    pq.write_table(t2, d2 + "/lsn_bucket=1/events.parquet")
+    res = replay(d2, out, ReplayConfig(num_partitions=2), resume=True)
+    assert lake_table(out).num_rows == 0
+    assert res.summary["deleted_keys"] == 2
