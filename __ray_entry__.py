@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from sql_etl_pipeline_ray.pipelines import analytics as A
+from sql_etl_pipeline_ray.pipelines import training_data as T
 from sql_etl_pipeline_ray.pipelines.flagship import run_flagship
 
 
@@ -43,6 +44,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_normalize_customers": A.string_normalize_customers,
         "per_order_allocation": A.per_order_allocation,
         "union_quality_report": A.union_quality_report,
+        # --- window / join / streaming extensions ---
+        "string_agg_nations_per_region": A.string_agg_nations_per_region,
+        "first_last_order_value": A.first_last_order_value,
+        "consecutive_day_customers": A.consecutive_day_customers,
+        "product_affinity_pairs": A.product_affinity_pairs,
+        "events_hourly_tumbling": A.events_hourly_tumbling,
+        "events_sessionized": A.events_sessionized,
+        # --- training-data ops (documents / embeddings) ---
+        "doc_token_stats": T.doc_token_stats,
+        "doc_quality_score": T.doc_quality_score,
+        "doc_lang_id": T.doc_lang_id,
+        "doc_fingerprint": T.doc_fingerprint,
+        "doc_fingerprint_rolling": T.doc_fingerprint_rolling,
+        "dedup_exact": T.dedup_exact,
+        "dedup_stats": T.dedup_stats,
+        "dedup_minhash_pairs": T.dedup_minhash_pairs,
+        "dedup_simhash_pairs": T.dedup_simhash_pairs,
+        "ann_cosine_topk": T.ann_cosine_topk,
+        "ann_ivf_topk": T.ann_ivf_topk,
+        "embedding_norms": T.embedding_norms,
+        "multimodal_features": T.multimodal_features,
+        "docs_systematic_sample": T.docs_systematic_sample,
     }
 
 
@@ -201,5 +224,150 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'orphan_lineitems', COUNT(*)
             FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderkey IS NULL
+        """,
+        "string_agg_nations_per_region": """
+            SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "first_last_order_value": """
+            SELECT DISTINCT o_custkey,
+              FIRST_VALUE(o_totalprice) OVER w AS first_order_value,
+              LAST_VALUE(o_totalprice) OVER w AS last_order_value,
+              COUNT(*) OVER (PARTITION BY o_custkey) AS orders_count
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "consecutive_day_customers": """
+            WITH days AS (
+              SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey, d,
+                     LAG(d) OVER (PARTITION BY o_custkey ORDER BY d) AS prev_d
+              FROM days)
+            WHERE d - prev_d = 1
+            ORDER BY o_custkey
+        """,
+        "product_affinity_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+            SELECT p1, p2, COUNT(*) AS together FROM pairs GROUP BY p1, p2
+            ORDER BY together DESC, p1, p2 LIMIT 20
+        """,
+        "events_hourly_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+        """,
+        "events_sessionized": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+              LENGTH(text) AS n_chars,
+              CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                        - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+              END AS token_count,
+              LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))
+                AS punct_count,
+              ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+                    * 1.0 / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+              ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+                    * 1.0 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
+              ROUND(LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) * 1.0 /
+                    GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                              - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+                    END, 1), 6) AS mean_token_len
+            FROM documents
+        """,
+        "doc_quality_score": r"""
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                          - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+                END AS token_count,
+                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
+                LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))
+                  AS punct_count
+              FROM documents)
+            SELECT doc_id, token_count,
+              ROUND(LEAST(token_count, 100) - 50.0 * digit_ratio
+                    - 30.0 * upper_ratio + LEAST(punct_count, 10), 4)
+                AS quality_score,
+              (token_count >= 5 AND digit_ratio < 0.3
+               AND (LEAST(token_count, 100) - 50.0 * digit_ratio
+                    - 30.0 * upper_ratio + LEAST(punct_count, 10)) > 10)
+                AS passes_quality
+            FROM s
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "dedup_stats": """
+            WITH c AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+            SELECT COUNT(*) AS distinct_texts,
+                   COUNT(*) FILTER (WHERE n > 1) AS duplicated_texts,
+                   COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0) AS duplicate_rows
+            FROM c
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])) AS sim
+              FROM embeddings e, q)
+            SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM sims
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) <= 10
+            ORDER BY query_id, rank
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+              ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> x * x))), 4) AS l2_norm,
+              len(embedding) AS dim
+            FROM embeddings
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              strlen(text) AS payload_bytes
+            FROM documents
+        """,
+        "docs_systematic_sample": """
+            SELECT * FROM documents WHERE doc_id % 10 = 3
         """,
     }

@@ -536,3 +536,150 @@ def union_quality_report(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# window / join extensions (SURVEY.md §2.4 J7-J8, §2.5 A5, §2.6 W7, §2.10)
+# ---------------------------------------------------------------------------
+
+
+def string_agg_nations_per_region(sf_dir: str) -> pa.Table:
+    """A5 (STRING_AGG): ordered, comma-joined nation names per region.
+
+    Both sides are tiny dimensions → computed via broadcast driver-side
+    Arrow join + per-group sorted join (the list-type intermediate idiom)."""
+    nation = _small(sf_dir, "nation", ["n_name", "n_regionkey"]).to_pandas()
+    region = _small(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    merged = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    agg = (
+        merged.sort_values("n_name")
+        .groupby("r_name", sort=True)["n_name"]
+        .agg(lambda s: ",".join(s))
+        .reset_index()
+        .rename(columns={"n_name": "nations"})
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def first_last_order_value(sf_dir: str) -> ray.data.Dataset:
+    """W7 (FIRST_VALUE/LAST_VALUE over the full frame): each customer's
+    first and last order price by date (ties broken by orderkey), via
+    per-group vectorized idxmin/idxmax — no global window."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"])
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "first_order_value": [g["o_totalprice"].iloc[0]],
+                "last_order_value": [g["o_totalprice"].iloc[-1]],
+                "orders_count": [np.int64(len(g))],
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(fl, batch_format="pandas")
+
+
+def consecutive_day_customers(sf_dir: str) -> pa.Table:
+    """J7 (self-join shape): customers with orders on two consecutive
+    days — per-group sorted date-diff instead of an orders⋈orders self
+    join (the group is tiny; the self-join would shuffle orders twice)."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def has_consecutive(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(g["o_orderdate"].dt.normalize().unique())
+        diffs_days = np.diff(days) / np.timedelta64(1, "D")
+        hit = bool(len(days) > 1 and (diffs_days == 1).any())
+        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]], "hit": [hit]})
+
+    flags = orders.groupby("o_custkey").map_groups(
+        has_consecutive, batch_format="pandas"
+    ).to_pandas()
+    out = flags[flags["hit"]][["o_custkey"]].sort_values("o_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def product_affinity_pairs(sf_dir: str) -> pa.Table:
+    """J8 (within-order cross join): part pairs co-occurring in an order,
+    top 20 by count — pair generation inside ``map_groups`` per order
+    (never a global cross join), then a grouped count over pair keys."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.sort(g["l_partkey"].unique())
+        if len(parts) < 2:
+            return pd.DataFrame({"p1": pd.Series(dtype=np.int64), "p2": pd.Series(dtype=np.int64)})
+        i, j = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"p1": parts[i], "p2": parts[j]})
+
+    pair_counts = (
+        li.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["p1", "p2"])
+        .aggregate(Count(alias_name="together"))
+        .to_pandas()
+    )
+    out = (
+        pair_counts.sort_values(["together", "p1", "p2"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    out["together"] = out["together"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_hourly_tumbling(sf_dir: str) -> pa.Table:
+    """§2.10 streaming-shaped: tumbling 1-hour windows per event_type —
+    derive the window key vectorized, then a grouped aggregate (the
+    documented batch expression of an event-time window)."""
+    ev = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_start", hour)
+
+    agg = (
+        ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    agg["total_value"] = agg["total_value"].round(2)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def events_sessionized(sf_dir: str) -> pa.Table:
+    """§2.10 session windows: per-user sessions split on >30-minute gaps.
+
+    Per-user sorted pass inside ``map_groups`` (state stays inside the
+    group — the documented Ray Data expression of sessionization); the
+    oracle expresses the same with LAG + cumulative SUM."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        )
+        agg["user_id"] = g["user_id"].iloc[0]
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg.reset_index(drop=True)
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        out[["user_id", "session_start", "session_end", "n_events"]],
+        preserve_index=False,
+    )

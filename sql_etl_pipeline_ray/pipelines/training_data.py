@@ -1,0 +1,173 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``.
+
+The operator set a 100-TB text/embedding corpus pipeline needs —
+deduplication (exact + near-dup families), text analysis, fingerprinting,
+similarity search, multimodal plumbing — each exposed as a ``queries()``
+entry; SQL-expressible ones carry DuckDB oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..stages import dedup as D
+from ..stages import multimodal as MM
+from ..stages import similarity as SIM
+from ..stages.text import Fingerprint, LangId, QualityScore, TokenStats
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---- text analysis (SQL-oracled where exactly expressible) ----
+
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counting + surface statistics (vectorized pandas str kernels
+    in an actor pool — regexes compiled once per actor)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenStats(), batch_format="pandas", concurrency=2
+    )
+
+
+def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Composite quality score + pass/fail gate (C4/Gopher-style rules)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScore(), batch_format="pandas", concurrency=2
+    )
+
+
+def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-marker language ID (heuristic — rows-only check; the
+    deterministic behavior is pinned by unit tests instead of SQL)."""
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangId(), batch_format="pandas", concurrency=2
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """sha256/md5 content fingerprints (DuckDB-oracled)."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Fingerprint(), batch_format="pandas", concurrency=2)
+        .drop_columns(["rolling_hash"])
+    )
+
+
+def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
+    """Karp-Rabin rolling hash fingerprints (not SQL-expressible —
+    rows-only driver check; determinism pinned in tests)."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Fingerprint(), batch_format="pandas", concurrency=2)
+        .select_columns(["doc_id", "rolling_hash"])
+    )
+
+
+# ---- dedup family ----
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup by content, min doc_id wins (digest shuffle, not text)."""
+    return D.exact_dedup(_docs(sf_dir))
+
+
+def dedup_stats(sf_dir: str) -> pa.Table:
+    """Duplicate-detection report (D2): distinct/duplicated text counts."""
+    return D.duplicate_text_stats(_docs(sf_dir, ["text"]))
+
+
+def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
+
+    Non-SQL-expressible (rows-only driver check); correctness is pinned by
+    ``tests/test_dedup.py`` against a brute-force all-pairs oracle."""
+    return D.minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+
+
+def dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed + verified."""
+    return D.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# ---- similarity search ----
+
+
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    first = t.slice(0, n)
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in first.column("embedding").to_pylist()]
+    )
+
+
+def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the first 3 embeddings as queries
+    (broadcast query matrix, per-batch matmul + partial top-k)."""
+    return SIM.brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-10 (the scale path; recall vs brute
+    force asserted in tests)."""
+    return SIM.ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
+
+def embedding_norms(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector L2 norm (DuckDB-oracled via list_transform/list_sum)."""
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "l2_norm": np.round(np.linalg.norm(m, axis=1), 4),
+                "dim": np.int64(m.shape[1]),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(norms, batch_format="pandas", concurrency=2)
+
+
+# ---- multimodal ----
+
+
+def multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Binary-payload decode/featurize plumbing over a media table derived
+    deterministically from documents (decode itself is a marked stub —
+    media libs aren't in this container; the Ray plumbing is real)."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = MM.synthesize_media_table(docs)
+    return MM.multimodal_features(ray.data.from_arrow(media)).drop_columns(
+        ["features"]
+    )  # feature list column dropped for the rows-only driver check
+
+
+def docs_systematic_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 1-in-10 systematic sample (O3; SQL-expressible unlike
+    seeded random_sample, which the oracle could not reproduce)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 10 == 3))
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

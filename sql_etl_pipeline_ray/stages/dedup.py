@@ -1,0 +1,252 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference only drops exact duplicate rows (``src/data_validator.py:
+329-335``); a training-data pipeline needs the near-dup family too.  All
+stages follow the scale pattern: per-batch vectorized signature computation
+(``map_batches``), then a groupby ONLY over small signature columns (never
+over content), then candidate verification.
+
+Scale notes:
+- exact: shuffle volume = one 64-hex digest per row, not the content.
+- MinHash/LSH: shuffle volume = bands × 16 bytes per doc; candidate pairs
+  are verified with exact Jaccard before reporting (no false positives).
+- connected components are NOT computed here — callers get verified pairs
+  and can run iterative min-label propagation if they need clusters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+_MERSENNE = (1 << 61) - 1
+
+
+class ShingleMinHash:
+    """Per-batch MinHash signatures over word k-shingles.
+
+    Universal-hash family ``(a*x + b) mod p`` with seeded coefficients —
+    built once per actor; signatures are exact functions of the text, so
+    reruns and retries are deterministic."""
+
+    def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42,
+                 text_col: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+        self.k = shingle_k
+        self.num_hashes = num_hashes
+        self.text_col = text_col
+
+    def shingles(self, text: str) -> np.ndarray:
+        words = (text or "").split()
+        if len(words) < self.k:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                >> 3
+                for g in set(grams)
+            ),
+            dtype=np.int64,
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_hashes, dtype=np.int64)
+        # (num_hashes, n_shingles) universal hashes -> row-wise min
+        hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return hv.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in df[self.text_col]])
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        out["sig"] = list(sigs)
+        return out
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Pipeline: signatures (actor pool) → explode to (band_id, band_hash,
+    doc_id) rows → groupby buckets → candidate pairs → verify with exact
+    shingle Jaccard (re-computed for candidates only, fetched via a
+    broadcast text lookup — candidates are rare, so this stays tiny)."""
+    rows_per_band = num_hashes // bands
+    hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sig_df = hasher(df)
+        recs = []
+        for doc_id, sig in zip(sig_df["doc_id"], sig_df["sig"]):
+            for b in range(bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                recs.append((b, bh, doc_id))
+        return pd.DataFrame(recs, columns=["band_id", "band_hash", "doc_id"])
+
+    buckets = docs.map_batches(to_bands, batch_format="pandas", concurrency=2)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    cand = (
+        buckets.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame(columns=["a", "b", "jaccard"])
+    cand = cand.drop_duplicates().reset_index(drop=True)
+
+    # verify candidates with exact shingle Jaccard.  The candidate set is
+    # small by construction; at 100-TB scale this lookup becomes a hash
+    # join of the candidate ids against the docs table instead of a
+    # driver-side dict (documented cutover).
+    docs_pdf = docs.select_columns(["doc_id", text_col]).to_pandas()
+    texts = dict(zip(docs_pdf["doc_id"], docs_pdf[text_col]))
+
+    def jaccard(a: str, b: str) -> float:
+        sa, sb = set(hasher.shingles(a).tolist()), set(hasher.shingles(b).tolist())
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / max(1, len(sa | sb))
+
+    cand["jaccard"] = [
+        round(jaccard(texts[a], texts[b]), 6) for a, b in zip(cand["a"], cand["b"])
+    ]
+    out = cand[cand["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """64-bit SimHash over word unigrams (per-actor state: none heavy, but
+    kept as a class for the actor-pool pattern and seeding discipline)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def simhash(self, text: str) -> int:
+        """64-bit simhash as a SIGNED python int (int64-storable)."""
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in set((text or "").split()):
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        v = int(np.sum((acc > 0).astype(np.uint64) << shifts, dtype=np.uint64))
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": np.fromiter(
+                    (self.simhash(t) for t in df[self.text_col]),
+                    dtype=np.int64,
+                    count=len(df),
+                ),
+            }
+        )
+
+
+def simhash_near_dups(
+    docs: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
+) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: bucket on 16-bit chunks (a pair within
+    hamming distance d ≤ 3 shares at least one of 4 chunks), verify exact
+    hamming distance on candidates."""
+    sims = docs.map_batches(
+        SimHasher(text_col), batch_format="pandas", concurrency=2
+    ).to_pandas()
+    h = sims["simhash"].to_numpy().view(np.uint64)
+    ids = sims["doc_id"].to_numpy()
+    cand = set()
+    for chunk in range(4):
+        key = (h >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
+        df = pd.DataFrame({"k": key, "i": np.arange(len(ids))})
+        for _, g in df.groupby("k"):
+            idx = g["i"].to_numpy()
+            if len(idx) > 1:
+                for x in range(len(idx)):
+                    for y in range(x + 1, len(idx)):
+                        cand.add((idx[x], idx[y]))
+    rows = []
+    for x, y in sorted(cand):
+        d = int(bin(int(h[x]) ^ int(h[y])).count("1"))
+        if d <= max_hamming:
+            a, b = sorted((int(ids[x]), int(ids[y])))
+            rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True) if rows else pd.DataFrame(columns=["a", "b", "hamming"])
+
+
+def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Exact dedup, min-doc_id wins: hash the content per batch (so the
+    groupby shuffles digests, not text), keep first per digest.
+
+    The keyed-upsert cousin of the CDC fold (D1 in SURVEY.md §2.8)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = [
+            hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]
+        ]
+        return df
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id").drop(columns=["_h"])
+
+    return (
+        docs.map_batches(add_hash, batch_format="pandas")
+        .groupby("_h")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def duplicate_text_stats(docs: ray.data.Dataset, text_col: str = "text") -> pa.Table:
+    """D2 duplicate *detection* report: how many digests appear >1 time."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"_h": [hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]]}
+        )
+
+    counts = (
+        docs.map_batches(add_hash, batch_format="pandas")
+        .groupby("_h")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    dup = counts[counts["n"] > 1]
+    return pa.table(
+        {
+            "distinct_texts": pa.array([len(counts)], pa.int64()),
+            "duplicated_texts": pa.array([len(dup)], pa.int64()),
+            "duplicate_rows": pa.array(
+                [int(dup["n"].sum() - len(dup)) if len(dup) else 0], pa.int64()
+            ),
+        }
+    )

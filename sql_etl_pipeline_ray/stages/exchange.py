@@ -88,8 +88,14 @@ class ExchangeActor:
     def __init__(
         self,
         compact_fn_ser: bytes | None = None,
-        compact_threshold_rows: int = 4_000_000,
+        compact_threshold_rows: int = 16_000_000,
     ):
+        # Compaction bounds actor memory at extreme scale, but it runs
+        # inside add() (the actor is single-threaded), stalling every
+        # pending ack — a 4M threshold caused feed tasks to spend 58s
+        # blocked on a 40M-event replay.  Keep the threshold well above
+        # the expected per-partition row count; it is a memory safety
+        # valve, not a steady-state path.
         self.buffers: dict[int, list[pa.Table]] = {}
         self.buffered_rows: dict[int, int] = {}
         self.seen_spans: set[tuple[int, int, int, int]] = set()
@@ -163,7 +169,7 @@ def run_exchange(
     num_actors: int,
     batch_size: int | None,
     compact_fn=None,
-    compact_threshold_rows: int = 4_000_000,
+    compact_threshold_rows: int = 16_000_000,
 ) -> list[Any]:
     """Feed a Dataset through the actor exchange and finalize.
 

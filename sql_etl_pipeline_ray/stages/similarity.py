@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+BROADCAST query matrix (``ray.put`` once, fetched in ``__init__`` of the
+actor-pool stage), per-batch partial top-k, tiny driver-side merge.  The
+scale path is IVF: a seeded k-means-lite codebook (trained on a sample,
+driver-side, then broadcast) assigns each vector to a centroid; queries
+probe only the nearest ``nprobe`` centroid buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class CosineTopK:
+    """Per-batch brute-force cosine scores + partial top-k.
+
+    The query matrix ships once via ``ray.put``; each actor pulls it in
+    ``__init__`` (zero-copy numpy view from the object store)."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref)  # (nq, dim) float64, L2-normalized
+        self.q = q
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ self.q.T  # (batch, nq)
+        out = []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argsort(-s, kind="stable")[: self.k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi,
+                        "vec_id": df["vec_id"].to_numpy()[top],
+                        "cosine_sim": s[top],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Per-batch partial top-k (the combiner) keeps the driver merge at
+    O(num_batches × k) rows — the full similarity matrix never leaves the
+    workers."""
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
+    qref = ray.put(qn)
+    partials = embeddings.map_batches(
+        CosineTopK, batch_format="pandas", concurrency=2,
+        fn_constructor_args=(qref, k),
+    ).to_pandas()
+    out = (
+        partials.sort_values(
+            ["query_id", "cosine_sim", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine_sim"] = out["cosine_sim"].round(4)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def kmeans_lite(
+    sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Seeded mini k-means for the IVF codebook (numpy only, driver-side
+    over a SAMPLE — the full dataset never materializes)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    """Assign each vector to its nearest codebook centroid (broadcast)."""
+
+    def __init__(self, cents_ref):
+        self.cents = ray.get(cents_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df["embedding"])
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        mn = m / norms[:, None]
+        df = df[["vec_id"]].copy()
+        df["cluster"] = np.argmax(mn @ self.cents.T, axis=1).astype(np.int64)
+        return df
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` closest IVF buckets.
+
+    Recall is tested against the brute-force baseline in the test suite;
+    at 100 TB the bucket assignment is a persisted column and each query
+    touches nprobe/n_clusters of the data."""
+    sample = _to_matrix(
+        embeddings.random_sample(sample_fraction, seed=seed).to_pandas()["embedding"]
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
+    cents = kmeans_lite(sample, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+    assign = embeddings.map_batches(
+        IVFAssign, batch_format="pandas", concurrency=2, fn_constructor_args=(cents_ref,)
+    ).to_pandas()
+
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    emb_pdf = embeddings.to_pandas().merge(assign, on="vec_id")
+    out = []
+    for qi in range(len(qn)):
+        cand = emb_pdf[emb_pdf["cluster"].isin(probe[qi])]
+        m = _to_matrix(cand["embedding"])
+        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+        s = m @ qn[qi]
+        top = np.argsort(-s, kind="stable")[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": cand["vec_id"].to_numpy()[top],
+                    "cosine_sim": np.round(s[top], 4),
+                    "rank": np.arange(1, len(top) + 1),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)

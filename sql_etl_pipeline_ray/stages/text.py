@@ -1,0 +1,155 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are actor-pool ``map_batches`` classes: constant state (compiled
+regexes, stopword tables, language profiles) is built ONCE per actor in
+``__init__``; ``__call__`` is fully vectorized pandas/numpy per batch.
+These extend the reference's string-kernel surface (SURVEY.md §2.9) to the
+operations a 100-TB text pipeline needs: token counting, quality scoring,
+language ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in is are was were be been it this that with as "
+    "for on at by from not".split()
+)
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language-ID (no external models in this container).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is", "to", "in"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "dans"},
+    "es": {"el", "la", "los", "y", "es", "en"},
+}
+
+
+class TokenStats:
+    """Token count + quality-scoring signals per document.
+
+    Quality heuristics follow the common published recipe (length bounds,
+    punctuation/uppercase/digit ratios, stopword presence); every signal is
+    an exact, SQL-mirrorable expression so the DuckDB oracle can verify it.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        trimmed = s.str.strip()
+        n_chars = s.str.len().astype(np.int64)
+        # tokens = runs of non-whitespace in the trimmed string
+        token_count = np.where(
+            trimmed.str.len() == 0, 0, trimmed.str.count(r"\s+") + 1
+        ).astype(np.int64)
+        punct_count = s.str.count(r"[.!?,;:]").astype(np.int64)
+        digit_count = s.str.count(r"[0-9]").astype(np.int64)
+        upper_count = s.str.count(r"[A-Z]").astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "token_count": token_count,
+                "punct_count": punct_count,
+                "digit_ratio": (digit_count / n_chars.clip(lower=1)).round(6),
+                "upper_ratio": (upper_count / n_chars.clip(lower=1)).round(6),
+                "mean_token_len": (
+                    trimmed.str.replace(r"\s+", "", regex=True).str.len()
+                    / np.maximum(token_count, 1)
+                ).round(6),
+            }
+        )
+        return out
+
+
+class QualityScore:
+    """Composite 0-100 quality score with pass/fail gate.
+
+    The scoring thresholds mirror published text-quality filters (Gopher /
+    C4-style length and symbol-ratio rules) reduced to deterministic
+    arithmetic so results are oracle-checkable."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stats = TokenStats(text_col)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        st = self.stats(df)
+        score = (
+            np.minimum(st["token_count"], 100).astype(np.float64)  # length credit
+            - 50.0 * st["digit_ratio"]
+            - 30.0 * st["upper_ratio"]
+            + np.minimum(st["punct_count"], 10)
+        ).round(4)
+        st["quality_score"] = score
+        st["passes_quality"] = (
+            (st["token_count"] >= 5) & (st["digit_ratio"] < 0.3) & (score > 10)
+        )
+        return st[["doc_id", "token_count", "quality_score", "passes_quality"]]
+
+
+class LangId:
+    """Stopword-marker language ID heuristic (stateful: marker tables and
+    the tokenizer regex are compiled once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def _score_one(self, text: str) -> str:
+        words = set(w.lower() for w in self.word_re.findall(text or "")[:200])
+        best, best_hits = "unknown", 0
+        for lang, marks in self.markers.items():
+            hits = len(words & marks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "detected_lang": df[self.text_col].map(self._score_one),
+                "lang": df["lang"],
+            }
+        )
+
+
+class Fingerprint:
+    """Content fingerprints: sha256/md5 hex (oracle-checkable in DuckDB)
+    plus a polynomial rolling hash (Karp-Rabin) over the raw bytes."""
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def _rolling(self, text: str) -> int:
+        h = 0
+        for b in (text or "").encode()[:4096]:
+            h = (h * self.BASE + b) % self.MOD
+        return h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.text_col].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "sha256_hex": [hashlib.sha256(t.encode()).hexdigest() for t in texts],
+                "md5_hex": [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                "rolling_hash": np.fromiter(
+                    (self._rolling(t) for t in texts), dtype=np.int64, count=len(texts)
+                ),
+            }
+        )

@@ -1,0 +1,143 @@
+"""Training-data operator tests: near-dup oracles, ANN recall, multimodal
+plumbing, fingerprint determinism — the non-SQL-expressible ops get their
+correctness pinned here instead of the DuckDB oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from sql_etl_pipeline_ray.stages import dedup as D
+from sql_etl_pipeline_ray.stages import multimodal as MM
+from sql_etl_pipeline_ray.stages import similarity as SIM
+from sql_etl_pipeline_ray.stages.text import Fingerprint, LangId, TokenStats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_with_near_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog while rain falls on the plain",
+        "completely different text about database engines and vectorized execution plans",
+        "streaming shuffle backpressure actor pool arrow buffers zero copy batches",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+    ]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((i * 10, t))
+        # near-dup: one word changed
+        docs.append((i * 10 + 1, t.replace(t.split()[2], "REPLACED")))
+        # exact dup
+        docs.append((i * 10 + 2, t))
+    return pd.DataFrame(docs, columns=["doc_id", "text"])
+
+
+def brute_force_jaccard_pairs(df, k=3, threshold=0.5):
+    h = D.ShingleMinHash(shingle_k=k)
+    out = []
+    rows = list(df.itertuples(index=False))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            sa = set(h.shingles(rows[i].text).tolist())
+            sb = set(h.shingles(rows[j].text).tolist())
+            jac = len(sa & sb) / max(1, len(sa | sb))
+            if jac >= threshold:
+                out.append((rows[i].doc_id, rows[j].doc_id))
+    return sorted(out)
+
+
+def test_minhash_lsh_finds_near_dups_no_false_positives():
+    df = _corpus_with_near_dups()
+    ds = ray.data.from_pandas(df)
+    got = D.minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    got_pairs = sorted(zip(got["a"], got["b"]))
+    want = brute_force_jaccard_pairs(df)
+    # verified pairs are a subset of truth (LSH may miss, never invent)
+    assert set(got_pairs) <= set(want)
+    # exact dups must always be found (identical signatures in every band)
+    assert (0, 2) in got_pairs and (10, 12) in got_pairs
+    # near-dups (1 word changed) should be caught at this threshold
+    recall = len(set(got_pairs) & set(want)) / len(want)
+    assert recall >= 0.7, f"recall {recall}: {got_pairs} vs {want}"
+
+
+def test_simhash_exact_dups_distance_zero():
+    df = _corpus_with_near_dups()
+    got = D.simhash_near_dups(ray.data.from_pandas(df), max_hamming=3)
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 2) in pairs and (10, 12) in pairs
+    d0 = got[(got["a"] == 0) & (got["b"] == 2)]["hamming"].iloc[0]
+    assert d0 == 0
+
+
+def test_exact_dedup_min_doc_id_wins():
+    df = _corpus_with_near_dups()
+    out = D.exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    # exact dup (i*10+2) removed, near-dup (i*10+1) kept
+    assert sorted(out["doc_id"]) == [0, 1, 10, 11, 20, 21, 30, 31]
+
+
+def test_ivf_recall_vs_brute_force():
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:2]]
+    )
+    bf = SIM.brute_force_topk(ds, q, k=10)
+    ivf = SIM.ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4)
+    for qi in (0, 1):
+        a = set(bf[bf["query_id"] == qi]["vec_id"])
+        b = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        assert len(a & b) / 10 >= 0.5, f"IVF recall too low for q{qi}"
+    # self-similarity: the query vector itself is rank 1 with sim 1.0
+    assert bf[(bf["query_id"] == 0) & (bf["rank"] == 1)]["vec_id"].iloc[0] == 0
+    assert bf[(bf["query_id"] == 0) & (bf["rank"] == 1)]["cosine_sim"].iloc[0] == 1.0
+
+
+def test_multimodal_plumbing_roundtrip():
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    media = MM.synthesize_media_table(docs)
+    assert media.schema.field("payload").type == pa.large_binary()
+    out = MM.multimodal_features(ray.data.from_arrow(media)).to_pandas()
+    assert len(out) == len(docs)
+    # deterministic stub features: same payload → same features
+    f0 = out[out["media_id"] == 0]["features"].iloc[0]
+    d0 = MM.DecodeAndFeaturize()
+    again = d0._decode(docs.column("text")[0].as_py().encode(), "image")
+    assert np.allclose(np.asarray(f0), again)
+    assert (out["payload_bytes"] > 0).all()
+
+
+def test_fingerprint_rolling_deterministic():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "hello world"]})
+    fp = Fingerprint()
+    out1, out2 = fp(df), fp(df)
+    assert (out1["rolling_hash"] == out2["rolling_hash"]).all()
+    assert out1["rolling_hash"].iloc[0] == out1["rolling_hash"].iloc[1]
+    assert out1["sha256_hex"].iloc[0] == out1["sha256_hex"].iloc[1]
+
+
+def test_lang_id_markers():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog is in to the house",
+                "der hund und die katze ist nicht hier",
+                "zzz qqq xxx",
+            ],
+            "lang": ["en", "de", "xx"],
+        }
+    )
+    out = LangId()(df)
+    assert list(out["detected_lang"]) == ["en", "de", "unknown"]
+
+
+def test_token_stats_edge_cases():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  a  b  ", "one"]})
+    out = TokenStats()(df)
+    assert list(out["token_count"]) == [0, 2, 1]
