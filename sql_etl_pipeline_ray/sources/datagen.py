@@ -180,9 +180,53 @@ def generate_change_log(spec: ChangeLogSpec) -> pa.Table:
     return _gen_slice(spec, 0, spec.n_events, key_ids, op_code, universe, evolve)
 
 
-def write_change_log(spec: ChangeLogSpec, out_dir: str) -> list[str]:
-    """Write the log as LSN-bucketed Parquet, ONE BUCKET AT A TIME (bounded
-    memory at bench scales); returns bucket file paths.
+def _write_bucket(
+    spec: ChangeLogSpec,
+    k: int,
+    edges: np.ndarray,
+    key_ids: np.ndarray,
+    op_code: np.ndarray,
+    universe,
+    evolve_lsn: int | None,
+    first_evolved_bucket: int | None,
+    out_dir: str,
+) -> str:
+    part = _gen_slice(spec, edges[k], edges[k + 1], key_ids, op_code, universe, evolve_lsn)
+    rng = np.random.default_rng(spec.seed + 2 + k)
+    part = part.take(rng.permutation(len(part)))
+    bucket_min_lsn = int(edges[k]) + 1
+    if evolve_lsn is not None:
+        if bucket_min_lsn <= evolve_lsn:
+            # pre-evolution bucket: physical schema has no size_bytes
+            part = part.drop_columns(["size_bytes"])
+        else:
+            idx = part.schema.get_field_index("lang")
+            part = part.set_column(
+                idx,
+                pa.field("lang", pa.large_string()),
+                part.column("lang").cast(pa.large_string()),
+            )
+            if k == first_evolved_bucket:
+                i = part.schema.get_field_index("size_bytes")
+                part = part.set_column(
+                    i,
+                    pa.field("size_bytes", pa.int32()),
+                    part.column("size_bytes").cast(pa.int32()),
+                )
+    d = os.path.join(out_dir, f"lsn_bucket={k}")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "events.parquet")
+    pq.write_table(part, p)
+    return p
+
+
+def write_change_log(
+    spec: ChangeLogSpec, out_dir: str, processes: int | None = None
+) -> list[str]:
+    """Write the log as LSN-bucketed Parquet, one bucket per task (bounded
+    memory at bench scales; buckets generate in PARALLEL when ``processes``
+    > 1 — slice-invariant content makes any split byte-identical); returns
+    bucket file paths.
 
     Rows are shuffled within each bucket (out of LSN order inside a file —
     the merge must sort, FIXTURES.md §2).  Evolved buckets are written with
@@ -194,40 +238,22 @@ def write_change_log(spec: ChangeLogSpec, out_dir: str) -> list[str]:
     n = spec.n_events
     edges = np.linspace(0, n, spec.num_buckets + 1).astype(int)
     evolve_lsn = _evolve_lsn(spec) if spec.evolve_after_frac is not None else None
-    paths = []
-    first_evolved_written = False
-    for k in range(spec.num_buckets):
-        part = _gen_slice(
-            spec, edges[k], edges[k + 1], key_ids, op_code, universe, evolve_lsn
-        )
-        rng = np.random.default_rng(spec.seed + 2 + k)
-        part = part.take(rng.permutation(len(part)))
-        bucket_min_lsn = int(edges[k]) + 1
-        if evolve_lsn is not None:
-            if bucket_min_lsn <= evolve_lsn:
-                # pre-evolution bucket: physical schema has no size_bytes
-                part = part.drop_columns(["size_bytes"])
-            else:
-                idx = part.schema.get_field_index("lang")
-                part = part.set_column(
-                    idx,
-                    pa.field("lang", pa.large_string()),
-                    part.column("lang").cast(pa.large_string()),
-                )
-                if not first_evolved_written:
-                    i = part.schema.get_field_index("size_bytes")
-                    part = part.set_column(
-                        i,
-                        pa.field("size_bytes", pa.int32()),
-                        part.column("size_bytes").cast(pa.int32()),
-                    )
-                    first_evolved_written = True
-        d = os.path.join(out_dir, f"lsn_bucket={k}")
-        os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, "events.parquet")
-        pq.write_table(part, p)
-        paths.append(p)
-    return paths
+    first_evolved_bucket = None
+    if evolve_lsn is not None:
+        for k in range(spec.num_buckets):
+            if int(edges[k]) + 1 > evolve_lsn:
+                first_evolved_bucket = k
+                break
+    args = [
+        (spec, k, edges, key_ids, op_code, universe, evolve_lsn, first_evolved_bucket, out_dir)
+        for k in range(spec.num_buckets)
+    ]
+    if processes and processes > 1 and spec.num_buckets > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(min(processes, spec.num_buckets)) as pool:
+            return pool.starmap(_write_bucket, args)
+    return [_write_bucket(*a) for a in args]
 
 
 def replay_oracle(events: pa.Table) -> pd.DataFrame:
