@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_affinity_pairs": A.product_affinity_pairs,
         "events_hourly_tumbling": A.events_hourly_tumbling,
         "events_sessionized": A.events_sessionized,
+        "part_size_tiers": A.part_size_tiers,
+        "cohort_retention": A.cohort_retention,
         # --- training-data ops (documents / embeddings) ---
         "doc_token_stats": T.doc_token_stats,
         "doc_quality_score": T.doc_quality_score,
@@ -276,6 +278,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+        """,
+        "part_size_tiers": """
+            SELECT CASE WHEN p_size <= 10 THEN 'small'
+                        WHEN p_size <= 30 THEN 'medium'
+                        ELSE 'large' END AS size_tier,
+                   COUNT(*) AS parts_count,
+                   ROUND(AVG(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY 1 ORDER BY size_tier
+        """,
+        "cohort_retention": """
+            WITH om AS (
+              SELECT o_custkey,
+                     EXTRACT(year FROM o_orderdate) * 12
+                       + EXTRACT(month FROM o_orderdate) AS order_month
+              FROM orders),
+            cohorts AS (
+              SELECT o_custkey, MIN(order_month) AS cohort_month FROM om
+              GROUP BY o_custkey)
+            SELECT c.cohort_month,
+                   om.order_month - c.cohort_month AS months_since,
+                   COUNT(DISTINCT om.o_custkey) AS active_customers
+            FROM om JOIN cohorts c ON om.o_custkey = c.o_custkey
+            GROUP BY 1, 2 ORDER BY cohort_month, months_since
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -683,3 +683,91 @@ def events_sessionized(sf_dir: str) -> pa.Table:
         out[["user_id", "session_start", "session_end", "n_events"]],
         preserve_index=False,
     )
+
+
+def part_size_tiers(sf_dir: str) -> pa.Table:
+    """M5 (the reference's 3-way CASE stock-status ladder,
+    src/etl_pipeline.py:309-329): nested ``pc.if_else`` — NOT the
+    reference's row-wise ``df.apply`` — tiering parts by size, then a
+    grouped count/avg per tier."""
+    part = _t(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def tier(t: pa.Table) -> pa.Table:
+        size = t.column("p_size")
+        label = pc.if_else(
+            pc.less_equal(size, pa.scalar(10)),
+            pa.scalar("small"),
+            pc.if_else(
+                pc.less_equal(size, pa.scalar(30)), pa.scalar("medium"), pa.scalar("large")
+            ),
+        )
+        return t.append_column("size_tier", label)
+
+    agg = (
+        part.map_batches(tier, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("size_tier")
+        .aggregate(
+            Count(alias_name="parts_count"),
+            Mean("p_retailprice", alias_name="avg_price"),
+        )
+        .to_pandas()
+        .sort_values("size_tier")
+        .reset_index(drop=True)
+    )
+    agg["avg_price"] = agg["avg_price"].round(2)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """J5/A4 (the reference's cohort analysis, sql/complex_queries.sql:
+    227-273): customers grouped by first-order month, counted per months-
+    since-cohort.  Cohort assignment = a grouped min (small result)
+    broadcast back into a map-side join — both joined sides are aggregates,
+    so no big shuffle (the aggregate-to-aggregate join idiom)."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def add_month(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(d), pa.int64()), pa.scalar(12, pa.int64())),
+            pc.cast(pc.month(d), pa.int64()),
+        )
+        return t.append_column("order_month", m)
+
+    with_month = orders.map_batches(add_month, batch_format="pyarrow", zero_copy_batch=True)
+    cohorts = (
+        with_month.groupby("o_custkey")
+        .aggregate(Min("order_month", alias_name="cohort_month"))
+        .to_pandas()
+    )
+    cohort_map = dict(zip(cohorts["o_custkey"], cohorts["cohort_month"]))
+    map_ref = ray.put(cohort_map)
+
+    class AttachCohort:
+        def __init__(self):
+            self.m = ray.get(map_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cm = df["o_custkey"].map(self.m)
+            return pd.DataFrame(
+                {
+                    "cohort_month": cm,
+                    "months_since": (df["order_month"] - cm).astype(np.int64),
+                    "o_custkey": df["o_custkey"],
+                }
+            )
+
+    lvl1 = (
+        with_month.map_batches(AttachCohort, batch_format="pandas", concurrency=2)
+        .groupby(["cohort_month", "months_since", "o_custkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    out = (
+        lvl1.groupby(["cohort_month", "months_since"])
+        .aggregate(Count(alias_name="active_customers"))
+        .to_pandas()
+        .sort_values(["cohort_month", "months_since"])
+        .reset_index(drop=True)
+    )
+    out["active_customers"] = out["active_customers"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
