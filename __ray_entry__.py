@@ -68,6 +68,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": T.embedding_norms,
         "multimodal_features": T.multimodal_features,
         "docs_systematic_sample": T.docs_systematic_sample,
+        "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": T.dedup_embedding_cosine,
+        # --- remaining reference flagship analytics + scalar surface ---
+        "rfm_segmentation": A.rfm_segmentation,
+        "inventory_optimization": A.inventory_optimization,
+        "dim_date_seed": A.dim_date_seed,
     }
 
 
@@ -394,5 +400,147 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_systematic_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 3
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN generate_series(1, len(w) - 2)]) AS g
+                FROM toks WHERE len(w) >= 3)),
+            cnts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN cnts ca ON ca.doc_id = da
+            JOIN cnts cb ON cb.doc_id = db
+            WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "rfm_segmentation": """
+            WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+            rfm AS (
+              SELECT c.c_custkey, c.c_name, c.c_mktsegment AS original_segment,
+                COALESCE(datediff('day', MAX(o.o_orderdate),
+                                  (SELECT a FROM anchor)), 999) AS recency_days,
+                COUNT(o.o_orderkey) AS frequency,
+                COALESCE(SUM(o.o_totalprice), 0) AS monetary_value,
+                COALESCE(AVG(o.o_totalprice), 0) AS avg_order_value,
+                MAX(o.o_orderdate) AS last_order_date,
+                MIN(o.o_orderdate) AS first_order_date
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              WHERE o.o_orderstatus <> 'F' OR o.o_orderstatus IS NULL
+              GROUP BY 1, 2, 3),
+            scores AS (SELECT *,
+              CASE WHEN recency_days <= 30 THEN 5 WHEN recency_days <= 120 THEN 4
+                   WHEN recency_days <= 240 THEN 3 WHEN recency_days <= 400 THEN 2
+                   ELSE 1 END AS recency_score,
+              CASE WHEN frequency >= 13 THEN 5 WHEN frequency >= 11 THEN 4
+                   WHEN frequency >= 9 THEN 3 WHEN frequency >= 7 THEN 2
+                   ELSE 1 END AS frequency_score,
+              CASE WHEN monetary_value >= 3300000 THEN 5
+                   WHEN monetary_value >= 2700000 THEN 4
+                   WHEN monetary_value >= 2300000 THEN 3
+                   WHEN monetary_value >= 1600000 THEN 2
+                   ELSE 1 END AS monetary_score
+              FROM rfm)
+            SELECT c_custkey, c_name, original_segment, recency_days, frequency,
+              ROUND(monetary_value, 2) AS monetary_value,
+              ROUND(avg_order_value, 2) AS avg_order_value,
+              recency_score, frequency_score, monetary_score,
+              recency_score + frequency_score + monetary_score AS rfm_total,
+              CONCAT(recency_score, frequency_score, monetary_score) AS rfm_string,
+              CASE
+                WHEN recency_score >= 4 AND frequency_score >= 4 AND monetary_score >= 4 THEN 'Champions'
+                WHEN recency_score >= 3 AND frequency_score >= 3 AND monetary_score >= 3 THEN 'Loyal Customers'
+                WHEN recency_score >= 4 AND frequency_score <= 2 THEN 'New Customers'
+                WHEN recency_score >= 3 AND frequency_score >= 3 AND monetary_score <= 2 THEN 'Potential Loyalists'
+                WHEN recency_score >= 3 AND frequency_score <= 2 AND monetary_score >= 3 THEN 'Big Spenders'
+                WHEN recency_score <= 2 AND frequency_score >= 3 AND monetary_score >= 3 THEN 'At Risk'
+                WHEN recency_score <= 2 AND frequency_score >= 2 AND monetary_score <= 2 THEN 'Cannot Lose Them'
+                WHEN recency_score <= 2 AND frequency_score <= 2 THEN 'Lost Customers'
+                ELSE 'Others' END AS customer_segment_rfm,
+              last_order_date, first_order_date
+            FROM scores
+        """,
+        "inventory_optimization": """
+            WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+            vel AS (
+              SELECT l.l_partkey, COUNT(*) AS order_frequency,
+                     SUM(l.l_quantity) AS total_sold_90days,
+                     MAX(o.o_orderdate) AS last_sale_date
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderdate >= (SELECT a - INTERVAL 90 DAY FROM anchor)
+                AND o.o_orderstatus <> 'F'
+              GROUP BY 1),
+            inv AS (
+              SELECT p_partkey,
+                     (p_partkey * 37) % 500 AS total_stock,
+                     (p_partkey * 37) % 500 - (p_partkey * 11) % 100 AS available_stock,
+                     (p_partkey * 13) % 120 AS avg_reorder_level,
+                     1 + p_partkey % 3 AS warehouse_count
+              FROM part)
+            SELECT p.p_partkey AS product_id, p.p_name AS product_name,
+              p.p_brand AS category,
+              ROUND(p.p_retailprice, 2) AS price,
+              COALESCE(v.order_frequency, 0) AS order_frequency,
+              COALESCE(v.total_sold_90days, 0) AS total_sold_90days,
+              ROUND(CASE WHEN COALESCE(v.total_sold_90days, 0) > 0
+                    THEN v.total_sold_90days / 90.0 ELSE 0 END, 2) AS daily_sales_velocity,
+              i.total_stock, i.available_stock,
+              ROUND(CASE WHEN COALESCE(v.total_sold_90days, 0) > 0 AND i.available_stock > 0
+                    THEN i.available_stock / (v.total_sold_90days / 90.0)
+                    ELSE NULL END, 1) AS days_of_inventory,
+              i.avg_reorder_level, i.warehouse_count,
+              COALESCE(datediff('day', v.last_sale_date, (SELECT a FROM anchor)), 999)
+                AS days_since_last_sale,
+              CASE WHEN i.available_stock <= 0 THEN 'Out of Stock'
+                   WHEN i.available_stock <= i.avg_reorder_level THEN 'Low Stock'
+                   WHEN COALESCE(datediff('day', v.last_sale_date,
+                                          (SELECT a FROM anchor)), 999) > 90 THEN 'Slow Moving'
+                   WHEN i.available_stock > COALESCE(v.total_sold_90days, 0) * 2
+                        AND COALESCE(v.total_sold_90days, 0) > 0 THEN 'Overstock'
+                   ELSE 'Normal' END AS stock_status,
+              CASE WHEN i.available_stock <= 0 AND COALESCE(v.total_sold_90days, 0) > 0
+                     THEN 'URGENT: Restock immediately'
+                   WHEN i.available_stock <= i.avg_reorder_level
+                        AND COALESCE(v.total_sold_90days, 0) > 0 THEN 'Reorder soon'
+                   WHEN i.available_stock > COALESCE(v.total_sold_90days, 0) * 2
+                        AND COALESCE(v.total_sold_90days, 0) > 0 THEN 'Reduce inventory'
+                   WHEN COALESCE(datediff('day', v.last_sale_date,
+                                          (SELECT a FROM anchor)), 999) > 90
+                     THEN 'Review product performance'
+                   ELSE 'Monitor regularly' END AS recommendation
+            FROM part p
+            LEFT JOIN vel v ON p.p_partkey = v.l_partkey
+            JOIN inv i ON i.p_partkey = p.p_partkey
+        """,
+        "dim_date_seed": """
+            SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,
+                   d AS full_date,
+                   EXTRACT(year FROM d) AS year,
+                   EXTRACT(quarter FROM d) AS quarter,
+                   EXTRACT(month FROM d) AS month,
+                   EXTRACT(week FROM d) AS week_of_year,
+                   EXTRACT(doy FROM d) AS day_of_year,
+                   EXTRACT(isodow FROM d) AS day_of_week,
+                   EXTRACT(isodow FROM d) >= 6 AS is_weekend
+            FROM (SELECT UNNEST(generate_series(TIMESTAMP '2020-01-01',
+                                                TIMESTAMP '2021-12-31',
+                                                INTERVAL 1 DAY)) AS d)
         """,
     }

@@ -771,3 +771,292 @@ def cohort_retention(sf_dir: str) -> pa.Table:
     )
     out["active_customers"] = out["active_customers"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# The reference's remaining two flagship analytics queries (of five):
+# RFM customer segmentation (src/sql_query_executor.py:417-510) and
+# inventory optimization (src/sql_query_executor.py:321-415), re-mapped onto
+# the TPC-H-ish tables.  Thresholds are adapted to this data's magnitudes;
+# the CASE-ladder structure, LEFT-JOIN-with-status-filter semantics, COALESCE
+# defaults (999-day recency, zero monetary) and two-CTE join shape are the
+# reference's.
+# ---------------------------------------------------------------------------
+
+
+def _rha(x: np.ndarray, nd: int) -> np.ndarray:
+    """Round half AWAY from zero (DuckDB/PostgreSQL ROUND), not numpy's
+    banker's rounding — keeps pandas-path outputs hash-identical to SQL."""
+    p = 10.0 ** nd
+    ax = np.floor(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5) / p
+    return np.sign(x) * ax
+
+
+def _orders_anchor(sf_dir: str) -> pd.Timestamp:
+    """Deterministic 'CURRENT_DATE' stand-in: global MAX(o_orderdate).
+
+    One column-pruned scan + tree-reduce max; the reference uses wall-clock
+    CURRENT_DATE (src/sql_query_executor.py:426,335) which is
+    non-deterministic, so both our Ray side and the DuckDB oracle anchor on
+    the data instead."""
+    return pd.Timestamp(_t(sf_dir, "orders", ["o_orderdate"]).max("o_orderdate"))
+
+
+def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
+    """RFM segmentation (reference flagship query 5,
+    src/sql_query_executor.py:417-510): recency/frequency/monetary scoring
+    with 1-5 CASE ladders, rfm_string concat, and the nine-segment ladder
+    (Champions .. Lost Customers).
+
+    Shuffle plan: ONE groupby over orders.  The reference's
+    LEFT JOIN + WHERE (status NOT IN ('Cancelled') OR status IS NULL) is
+    replicated without a second pass by masking cancelled ('F') rows to null
+    inside map_batches *before* the groupby, so one aggregation yields both
+    "any orders?" (Count) and the filtered R/F/M stats; customers whose
+    orders are ALL cancelled then drop out exactly as the reference's WHERE
+    makes them vanish, while order-less customers survive the left join with
+    COALESCE'd zeros."""
+    anchor = _orders_anchor(sf_dir)
+    orders = _t(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+    )
+
+    def mask(t: pa.Table) -> pa.Table:
+        ok = pc.not_equal(t.column("o_orderstatus"), pa.scalar("F"))
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "valid": pc.cast(ok, pa.int64()),
+                "tp": pc.if_else(ok, t.column("o_totalprice"), pa.scalar(None, pa.float64())),
+                "od": pc.if_else(
+                    ok,
+                    t.column("o_orderdate"),
+                    pa.scalar(None, t.schema.field("o_orderdate").type),
+                ),
+            }
+        )
+
+    agg = (
+        orders.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("valid", alias_name="frequency"),
+            Sum("tp", alias_name="monetary_raw"),
+            Mean("tp", alias_name="avg_raw"),
+            Max("od", alias_name="last_order_date"),
+            Min("od", alias_name="first_order_date"),
+        )
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    joined = cust.join(
+        agg,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[c for c in ("o_custkey",) if c in df.columns])
+        had_orders = df["frequency"].notna()
+        # all-cancelled customers vanish (reference WHERE semantics)
+        df = df[~(had_orders & (df["frequency"] == 0))].copy()
+        freq = df["frequency"].fillna(0).astype(np.int64)
+        monetary = df["monetary_raw"].fillna(0.0).to_numpy()
+        avg_val = df["avg_raw"].fillna(0.0).to_numpy()
+        last = pd.to_datetime(df["last_order_date"])
+        recency = (anchor - last).dt.days.fillna(999).astype(np.int64)
+        r = np.select(
+            [recency <= 30, recency <= 120, recency <= 240, recency <= 400],
+            [5, 4, 3, 2], 1,
+        )
+        f = np.select([freq >= 13, freq >= 11, freq >= 9, freq >= 7], [5, 4, 3, 2], 1)
+        m = np.select(
+            [monetary >= 3_300_000, monetary >= 2_700_000,
+             monetary >= 2_300_000, monetary >= 1_600_000],
+            [5, 4, 3, 2], 1,
+        )
+        seg = np.select(
+            [
+                (r >= 4) & (f >= 4) & (m >= 4),
+                (r >= 3) & (f >= 3) & (m >= 3),
+                (r >= 4) & (f <= 2),
+                (r >= 3) & (f >= 3) & (m <= 2),
+                (r >= 3) & (f <= 2) & (m >= 3),
+                (r <= 2) & (f >= 3) & (m >= 3),
+                (r <= 2) & (f >= 2) & (m <= 2),
+                (r <= 2) & (f <= 2),
+            ],
+            [
+                "Champions", "Loyal Customers", "New Customers",
+                "Potential Loyalists", "Big Spenders", "At Risk",
+                "Cannot Lose Them", "Lost Customers",
+            ],
+            "Others",
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(),
+                "c_name": df["c_name"].to_numpy(),
+                "original_segment": df["c_mktsegment"].to_numpy(),
+                "recency_days": recency.to_numpy(),
+                "frequency": freq.to_numpy(),
+                "monetary_value": _rha(monetary, 2),
+                "avg_order_value": _rha(avg_val, 2),
+                "recency_score": r.astype(np.int64),
+                "frequency_score": f.astype(np.int64),
+                "monetary_score": m.astype(np.int64),
+                "rfm_total": (r + f + m).astype(np.int64),
+                "rfm_string": np.char.add(
+                    np.char.add(r.astype(str), f.astype(str)), m.astype(str)
+                ),
+                "customer_segment_rfm": seg,
+                "last_order_date": df["last_order_date"].to_numpy(),
+                "first_order_date": df["first_order_date"].to_numpy(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def inventory_optimization(sf_dir: str) -> ray.data.Dataset:
+    """Inventory optimization (reference flagship query 4,
+    src/sql_query_executor.py:321-415): 90-day sales-velocity CTE joined to
+    an inventory-summary CTE, stock-status + recommendation CASE ladders.
+
+    The TPC-H-ish testdata has no inventory table, so the inventory side is
+    a DETERMINISTIC synthetic stand-in derived from p_partkey (identical
+    closed-form in the DuckDB oracle) — the query shape (two aggregate CTEs,
+    LEFT JOIN, ladders, COALESCE 999) is what's under test.
+
+    Shuffle plan: filter orders to the 90-day window FIRST (small fraction
+    of rows), hash-join lineitem⋈orders on orderkey, one groupby on
+    l_partkey, then part LEFT JOIN the (part-sized, small) velocity agg."""
+    anchor = _orders_anchor(sf_dir)
+    start = anchor - pd.Timedelta(days=90)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(start)),
+            pc.not_equal(t.column("o_orderstatus"), pa.scalar("F")),
+        )
+        return t.filter(mask).drop_columns(["o_orderstatus"])
+
+    o_win = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    items = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    vel = (
+        items.join(
+            o_win,
+            join_type="inner",
+            num_partitions=8,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .groupby("l_partkey")
+        .aggregate(
+            Count(alias_name="order_frequency"),
+            Sum("l_quantity", alias_name="total_sold_90days"),
+            Max("o_orderdate", alias_name="last_sale_date"),
+        )
+    )
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+    joined = parts.join(
+        vel,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["p_partkey"].to_numpy()
+        total_stock = (pk * 37) % 500
+        available = total_stock - (pk * 11) % 100
+        reorder = (pk * 13) % 120
+        sold = df["total_sold_90days"].fillna(0).to_numpy()
+        freq = df["order_frequency"].fillna(0).astype(np.int64)
+        last = pd.to_datetime(df["last_sale_date"])
+        dsls = (anchor - last).dt.days.fillna(999).astype(np.int64).to_numpy()
+        velocity = np.where(sold > 0, _rha(sold / 90.0, 2), 0.0)
+        doi = np.where(
+            (sold > 0) & (available > 0),
+            _rha(available / np.where(sold > 0, sold / 90.0, 1.0), 1),
+            np.nan,
+        )
+        status = np.select(
+            [
+                available <= 0,
+                available <= reorder,
+                dsls > 90,
+                (available > sold * 2) & (sold > 0),
+            ],
+            ["Out of Stock", "Low Stock", "Slow Moving", "Overstock"],
+            "Normal",
+        )
+        rec = np.select(
+            [
+                (available <= 0) & (sold > 0),
+                (available <= reorder) & (sold > 0),
+                (available > sold * 2) & (sold > 0),
+                dsls > 90,
+            ],
+            [
+                "URGENT: Restock immediately", "Reorder soon",
+                "Reduce inventory", "Review product performance",
+            ],
+            "Monitor regularly",
+        )
+        return pd.DataFrame(
+            {
+                "product_id": pk,
+                "product_name": df["p_name"].to_numpy(),
+                "category": df["p_brand"].to_numpy(),
+                "price": _rha(df["p_retailprice"].to_numpy(), 2),
+                "order_frequency": freq.to_numpy(),
+                "total_sold_90days": sold,
+                "daily_sales_velocity": velocity,
+                "total_stock": total_stock,
+                "available_stock": available,
+                "days_of_inventory": doi,
+                "avg_reorder_level": reorder,
+                "warehouse_count": 1 + pk % 3,
+                "days_since_last_sale": dsls,
+                "stock_status": status,
+                "recommendation": rec,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def dim_date_seed(sf_dir: str) -> ray.data.Dataset:
+    """Date-dimension seeding (sql/etl_transformations.sql:93-97
+    generate_series 2020-2030; trimmed to 2020-2021 here): the §2.9
+    EXTRACT/TO_CHAR scalar surface — date_key YYYYMMDD, year/quarter/month/
+    week/doy/isodow/is_weekend — computed distributed from ray.data.range."""
+    start = pd.Timestamp("2020-01-01")
+    n_days = (pd.Timestamp("2021-12-31") - start).days + 1
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        d = start + pd.to_timedelta(df["id"].to_numpy(), unit="D")
+        iso = d.isocalendar()
+        return pd.DataFrame(
+            {
+                "date_key": d.strftime("%Y%m%d").astype(np.int64),
+                "full_date": d,
+                "year": d.year.astype(np.int64),
+                "quarter": d.quarter.astype(np.int64),
+                "month": d.month.astype(np.int64),
+                "week_of_year": iso.week.astype(np.int64),
+                "day_of_year": d.dayofyear.astype(np.int64),
+                "day_of_week": iso.day.astype(np.int64),
+                "is_weekend": iso.day >= 6,
+            }
+        )
+
+    return ray.data.range(n_days, override_num_blocks=4).map_batches(
+        make, batch_format="pandas"
+    )

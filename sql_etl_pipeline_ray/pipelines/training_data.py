@@ -171,3 +171,27 @@ def docs_systematic_sample(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pa.array(ids % 10 == 3))
 
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Exact word-trigram Jaccard near-dup pairs (inverted-index plan,
+    DuckDB-oracled gram-for-gram — the exact sibling of the MinHash path)."""
+    return D.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+    )
+
+
+def dedup_embedding_cosine(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs (brute-force exact, broadcast
+    comparison matrix; DuckDB-oracled via list_cosine_similarity).
+
+    τ=0.3 is tuned to this synthetic table (max pairwise cosine ≈ 0.38);
+    real near-dup corpora use τ≈0.95 — the knob, not the plan, changes."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id"))
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    return SIM.embedding_near_dups(_emb(sf_dir), ids, vecs, threshold=0.3)

@@ -250,3 +250,91 @@ def duplicate_text_stats(docs: ray.data.Dataset, text_col: str = "text") -> pa.T
             ),
         }
     )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index
+    (the non-approximate sibling of ``minhash_lsh_pairs``; SQL-oracled).
+
+    Pipeline: per-doc distinct word-k-gram 64-bit digests (``map_batches``;
+    shuffle volume = 8 bytes/gram, never text) → explode to (gram, doc_id)
+    → groupby(gram) emits co-occurring pairs → groupby(pair) Count =
+    intersection size → Jaccard = |∩| / (|A|+|B|-|∩|) with per-doc gram
+    counts fetched from a broadcast lookup.
+
+    Scale notes: hot grams (stop-phrase trigrams) make the per-gram pair
+    expansion quadratic — at 100 TB you run MinHash banding first
+    (``minhash_lsh_pairs``) and use this as the exact verifier, or drop
+    grams whose doc-frequency exceeds a cap (changes the metric, so not
+    done here).  The per-doc count lookup is one int64 per doc; beyond
+    broadcast scale it becomes two hash joins on doc id.  Digest collisions
+    (~n²/2⁶⁴) are negligible at any realistic gram count."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+    )
+
+    def to_grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        hashes: list[int] = []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            # split(" ") (not split()) to match DuckDB string_split(text,' ')
+            words = (text or "").split(" ")
+            if len(words) < shingle_k:
+                continue
+            grams = {
+                " ".join(words[i : i + shingle_k])
+                for i in range(len(words) - shingle_k + 1)
+            }
+            for g in grams:
+                h = int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                ) >> 1
+                ids.append(doc_id)
+                hashes.append(h)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "g": np.asarray(hashes, dtype=np.int64),
+            }
+        )
+
+    grams = docs.map_batches(to_grams, batch_format="pandas")
+    cnts = grams.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
+    cnt_ref = ray.put(dict(zip(cnts[id_col], cnts["n"])))
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return empty
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    inter = (
+        grams.groupby("g")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="ni"))
+    )
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = ray.get(cnt_ref)  # zero-copy from local object store after 1st task
+        na = df["doc_a"].map(cnt).to_numpy(dtype=np.float64)
+        nb = df["doc_b"].map(cnt).to_numpy(dtype=np.float64)
+        ni = df["ni"].to_numpy(dtype=np.float64)
+        j = ni / (na + nb - ni)
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(),
+                "doc_b": df["doc_b"].to_numpy(),
+                "jaccard": np.round(j, 6),
+            }
+        )
+        return out[j >= threshold]
+
+    return inter.map_batches(jaccard, batch_format="pandas")

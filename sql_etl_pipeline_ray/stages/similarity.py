@@ -161,3 +161,48 @@ def ivf_topk(
             )
         )
     return pd.concat(out, ignore_index=True)
+
+
+def embedding_near_dups(
+    emb: ray.data.Dataset,
+    all_ids: np.ndarray,
+    all_vecs: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: brute-force exact variant.
+
+    The comparison matrix is normalized once on the driver and broadcast via
+    ``ray.put``; each batch does one float64 matmul against it and emits
+    (vec_a < vec_b) pairs with cosine ≥ threshold.  Compute is O(n²·d) but
+    fully data-parallel over the left side.
+
+    Scale notes: brute force assumes the broadcast side fits in worker
+    memory (n·d·8 bytes; ~0.5 GB at 1M×64).  Beyond that, block candidates
+    first — IVF (``ivf_topk``'s assignment stage) or LSH on random
+    hyperplanes (``SimHasher``'s trick applied to embeddings) — and run this
+    exact kernel per block."""
+    norms = np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    nm = all_vecs / np.where(norms == 0, 1.0, norms)
+    ref = ray.put((np.asarray(all_ids), nm))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bids, bm = ray.get(ref)
+        a = _to_matrix(df[vec_col])
+        an = np.linalg.norm(a, axis=1, keepdims=True)
+        a = a / np.where(an == 0, 1.0, an)
+        s = a @ bm.T
+        aids = df[id_col].to_numpy()
+        ii, jj = np.nonzero(s >= threshold)
+        va, vb = aids[ii], bids[jj]
+        keep = va < vb
+        return pd.DataFrame(
+            {
+                "vec_a": va[keep],
+                "vec_b": vb[keep],
+                "cosine": np.round(s[ii, jj][keep], 6),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pandas")
