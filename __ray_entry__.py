@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from sql_etl_pipeline_ray.pipelines import analytics as A
+from sql_etl_pipeline_ray.pipelines import rollup as R
 from sql_etl_pipeline_ray.pipelines import training_data as T
 from sql_etl_pipeline_ray.pipelines.flagship import run_flagship
 
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segmentation": A.rfm_segmentation,
         "inventory_optimization": A.inventory_optimization,
         "dim_date_seed": A.dim_date_seed,
+        "events_sliding_window": A.events_sliding_window,
+        "mv_monthly_sales": R.mv_monthly_sales,
     }
 
 
@@ -528,6 +531,26 @@ def oracle_sql() -> dict[str, str]:
             FROM part p
             LEFT JOIN vel v ON p.p_partkey = v.l_partkey
             JOIN inv i ON i.p_partkey = p.p_partkey
+        """,
+        "events_sliding_window": """
+            WITH e AS (
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ts30, value
+              FROM events),
+            x AS (
+              SELECT UNNEST([ts30 - INTERVAL 30 MINUTE, ts30]) AS window_start,
+                     value
+              FROM e)
+            SELECT window_start, COUNT(*) AS events_count,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM x GROUP BY 1
+        """,
+        "mv_monthly_sales": """
+            SELECT EXTRACT(year FROM o_orderdate) AS year,
+                   EXTRACT(month FROM o_orderdate) AS month,
+                   COUNT(*) AS total_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
+            FROM orders GROUP BY 1, 2
         """,
         "dim_date_seed": """
             SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,

@@ -47,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partitions", type=int, default=None)
     r.add_argument("--exchange", choices=["late", "actor", "groupby"], default="late")
 
+    t = sub.add_parser(
+        "tail", help="micro-batch streaming: poll the log, resume-replay new buckets"
+    )
+    t.add_argument("log_dir")
+    t.add_argument("lake_dir")
+    t.add_argument("--poll-interval", type=float, default=2.0)
+    t.add_argument("--max-polls", type=int, default=None)
+    t.add_argument("--stop-after-idle", type=int, default=3)
+
     v = sub.add_parser("validate", help="audit a change log against the ruleset")
     v.add_argument("log_dir")
 
@@ -102,6 +111,17 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
             )
             print(json.dumps(res.summary))
+        elif args.cmd == "tail":
+            from .pipelines.replay import tail_change_log
+
+            summaries = tail_change_log(
+                args.log_dir,
+                args.lake_dir,
+                poll_interval_s=args.poll_interval,
+                max_polls=args.max_polls,
+                stop_after_idle=args.stop_after_idle,
+            )
+            print(json.dumps({"polls": len(summaries), "last": summaries[-1]}))
         elif args.cmd == "validate":
             from .sources.change_log import read_change_log, scan_change_log
             from .stages.validate import validate_events

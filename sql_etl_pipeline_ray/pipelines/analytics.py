@@ -1060,3 +1060,40 @@ def dim_date_seed(sf_dir: str) -> ray.data.Dataset:
     return ray.data.range(n_days, override_num_blocks=4).map_batches(
         make, batch_format="pandas"
     )
+
+
+def events_sliding_window(sf_dir: str) -> pa.Table:
+    """§2.10 hopping (sliding) windows: 1-hour windows hopping every 30
+    minutes — each event lands in exactly two windows.  Expressed as a
+    vectorized explode (append the batch twice with the two window starts)
+    before one grouped aggregate; no per-row loop, shuffle volume = 2× the
+    pruned (ts, value) projection, never the full event row."""
+    ev = _t(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        half = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
+        prev = pc.subtract(half, pa.scalar(pd.Timedelta(minutes=30)))
+        v = t.column("value")
+        return pa.table(
+            {
+                "window_start": pa.chunked_array(
+                    prev.chunks + half.chunks
+                    if isinstance(half, pa.ChunkedArray)
+                    else [prev, half]
+                ),
+                "value": pa.chunked_array(
+                    v.chunks + v.chunks if isinstance(v, pa.ChunkedArray) else [v, v]
+                ),
+            }
+        )
+
+    agg = (
+        ev.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(Count(alias_name="events_count"), Sum("value", alias_name="value_sum"))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    agg["value_sum"] = _rha(agg["value_sum"].to_numpy(), 2)
+    return pa.Table.from_pandas(agg, preserve_index=False)

@@ -665,3 +665,40 @@ def lake_table(out_dir: str) -> pa.Table:
     return pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="permissive"
     ).sort_by([(k, "ascending") for k in KEY_COLUMNS])
+
+
+def tail_change_log(
+    log_dir: str,
+    out_dir: str,
+    cfg: ReplayConfig | None = None,
+    poll_interval_s: float = 2.0,
+    max_polls: int | None = None,
+    stop_after_idle: int = 3,
+) -> list[dict[str, Any]]:
+    """Micro-batch streaming ingest: poll the change-log directory and
+    resume-replay whatever landed since the last committed checkpoint
+    (§2.10 — the reference's documented log-based CDC aspiration,
+    docs/TECHNICAL_GUIDE.md:184-189, as a running tail loop).
+
+    Each poll is a full exactly-once ``replay(resume=True)``: new LSN
+    buckets are picked up by checkpoint pruning, an idle poll commits
+    nothing and is a no-op, and killing the loop at any point loses nothing
+    (the next poll resumes from manifests).  Stops after ``stop_after_idle``
+    consecutive no-op polls or ``max_polls`` total."""
+    summaries: list[dict[str, Any]] = []
+    idle = 0
+    polls = 0
+    while True:
+        res = replay(log_dir, out_dir, cfg, resume=True)
+        summaries.append(res.summary)
+        polls += 1
+        if res.summary["partitions_committed"] == 0:
+            idle += 1
+        else:
+            idle = 0
+        if max_polls is not None and polls >= max_polls:
+            break
+        if idle >= stop_after_idle:
+            break
+        time.sleep(poll_interval_s)
+    return summaries
