@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_date_seed": A.dim_date_seed,
         "events_sliding_window": A.events_sliding_window,
         "mv_monthly_sales": R.mv_monthly_sales,
+        "docs_bernoulli_sample": T.docs_bernoulli_sample,
     }
 
 
@@ -531,6 +532,11 @@ def oracle_sql() -> dict[str, str]:
             FROM part p
             LEFT JOIN vel v ON p.p_partkey = v.l_partkey
             JOIN inv i ON i.p_partkey = p.p_partkey
+        """,
+        "docs_bernoulli_sample": """
+            SELECT * FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+                  % 18446744073709551616 % 100 < 20
         """,
         "events_sliding_window": """
             WITH e AS (

@@ -48,15 +48,20 @@ def ensure_bench_log(sf: float) -> tuple[str, int]:
     from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, write_change_log
 
     # Sized so the replay's parallel work dominates fixed pipeline latency —
-    # that is what the two-cluster-size scaling criterion measures.  200M
-    # events (~12 GB Parquet) at sf=0.1.
-    n_events = max(100_000, int(2_000_000_000 * sf))
+    # that is what the two-cluster-size scaling criterion measures.  100M
+    # events (~9 GB Parquet) at sf=0.1.  content_pad=64 puts ~0.2-1.5 KB of
+    # content on each event (FIXTURES.md says 0.1-16 KB) — with the
+    # previous ~100-byte rows the replay was dominated by narrow-column
+    # overheads that don't represent the real workload's decode/hash/
+    # compress compute.  64 buckets × 128Ki-row groups keep read
+    # parallelism ≥ 2 waves at 32 cpus.
+    n_events = max(100_000, int(1_000_000_000 * sf))
     spec = ChangeLogSpec(
         n_keys=max(10_000, n_events // 20),
         n_events=n_events,
-        num_buckets=32,
+        num_buckets=64,
         hot_repo_share=0.3,
-        content_pad=8,
+        content_pad=64,
     )
     log_dir = f"/tmp/cdc_bench/log_e{n_events}"
     marker = os.path.join(log_dir, "_COMPLETE")
@@ -134,6 +139,9 @@ def run_bench() -> dict:
     timed("product_performance", lambda d: A.product_performance(d))
     timed("per_order_allocation", A.per_order_allocation)
     timed("union_quality_report", lambda d: A.union_quality_report(d))
+    timed("rfm_segmentation", A.rfm_segmentation)
+    timed("inventory_optimization", A.inventory_optimization)
+    timed("events_sliding_window", lambda d: A.events_sliding_window(d))
 
     result = {
         "metric": "cdc_replay_wall_sec",

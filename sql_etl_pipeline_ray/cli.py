@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--max-polls", type=int, default=None)
     t.add_argument("--stop-after-idle", type=int, default=3)
 
+    a = sub.add_parser(
+        "analytics", help="run named analytics queries, save CSV results"
+    )
+    a.add_argument("sf_dir")
+    a.add_argument("out_dir")
+    a.add_argument("--queries", nargs="*", default=None,
+                   help="names from the registry (default: all)")
+
     v = sub.add_parser("validate", help="audit a change log against the ruleset")
     v.add_argument("log_dir")
 
@@ -122,6 +130,30 @@ def main(argv: list[str] | None = None) -> int:
                 stop_after_idle=args.stop_after_idle,
             )
             print(json.dumps({"polls": len(summaries), "last": summaries[-1]}))
+        elif args.cmd == "analytics":
+            import importlib
+            import os as _os
+
+            import pandas as _pd
+            import ray.data as _rd
+
+            E = importlib.import_module("__ray_entry__")
+            qs = E.queries()
+            names = args.queries or sorted(qs)
+            _os.makedirs(args.out_dir, exist_ok=True)
+            report = {}
+            for name in names:
+                out = qs[name](args.sf_dir)
+                if isinstance(out, _rd.Dataset):
+                    df = out.to_pandas()
+                elif isinstance(out, _pd.DataFrame):
+                    df = out
+                else:
+                    df = out.to_pandas()
+                path = _os.path.join(args.out_dir, f"{name}.csv")
+                df.to_csv(path, index=False)
+                report[name] = len(df)
+            print(json.dumps(report))
         elif args.cmd == "validate":
             from .sources.change_log import read_change_log, scan_change_log
             from .stages.validate import validate_events

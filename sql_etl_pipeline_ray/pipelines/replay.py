@@ -412,12 +412,15 @@ def replay(
     out_schema = output_schema_for(event_schema)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # Blocks scale with data (~128 MiB each) but never below the CPU count;
-    # partitions likewise (~256 MiB of input per partition).  Shuffle
-    # fragment count is blocks × partitions — keeping both proportional to
-    # data is what keeps the exchange from degenerating into tens of
+    # Blocks scale with data (~64 MiB each) but never below 4 waves per
+    # CPU: with exactly one block per core the slowest block gates the
+    # whole phase (measured as an ~12s Amdahl serial term on a 10M-event
+    # log — 1->8 cpu speedup was 2.8x; four waves of quarter-size blocks
+    # let the scheduler smooth the tail).  Partitions stay ~256 MiB of
+    # input each; shuffle fragment count is blocks × partitions — both
+    # proportional to data so the exchange never degenerates into tens of
     # thousands of tiny transfers.
-    num_blocks = max(ncpu, scan.total_bytes // (128 << 20))
+    num_blocks = max(4 * ncpu, scan.total_bytes // (64 << 20))
     if resume and manifests:
         num_partitions = next(iter(manifests.values()))["stats"].get(
             "num_partitions", max(manifests) + 1
@@ -426,6 +429,11 @@ def replay(
         num_partitions = cfg.num_partitions or max(
             ncpu, scan.total_bytes // (256 << 20)
         )
+        if cfg.num_partitions is None:
+            # round UP to a multiple of the actor pool so finalize rounds
+            # are balanced (3 partitions on 2 actors = one actor does 2)
+            pool = max(1, min(num_partitions, ncpu))
+            num_partitions = -(-num_partitions // pool) * pool
     num_actors = max(1, min(num_partitions, ncpu))
 
     resume_manifests = manifests if resume else {}
@@ -509,14 +517,15 @@ def _replay_late(
     p1_batch = cfg.batch_size or 1_000_000
     actors = [
         ExchangeActor.remote(
-            pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True))
+            pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True)),
+            copy_on_add=False,  # narrow columns — pinning plasma views is cheap
         )
         for _ in range(num_actors)
     ]
     if scan.files:
         ds1 = ray.data.read_parquet(
             scan.files, columns=PHASE1_COLUMNS,
-            override_num_blocks=max(num_actors, num_blocks // 4),
+            override_num_blocks=num_blocks,
         )
         feed1 = make_feeder(
             _make_phase1_process(num_partitions, ckpts), actors, num_partitions
@@ -567,7 +576,10 @@ def _replay_late(
 
     # ---- phase 2: extract winner rows, route to committers ----
     extract_args = {**commit_args, "stats_per_part": stats_per_part}
-    actors2 = [ExchangeActor.remote() for _ in range(num_actors)]
+    actors2 = [
+        ExchangeActor.remote(copy_on_add=False)  # pre-filtered winners only
+        for _ in range(num_actors)
+    ]
     if scan.files:
         ds2 = ray.data.read_parquet(scan.files, override_num_blocks=num_blocks)
         feed2 = make_feeder(

@@ -195,3 +195,17 @@ def dedup_embedding_cosine(sf_dir: str) -> ray.data.Dataset:
         [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
     )
     return SIM.embedding_near_dups(_emb(sf_dir), ids, vecs, threshold=0.3)
+
+
+def docs_bernoulli_sample(sf_dir: str) -> ray.data.Dataset:
+    """O3 seeded Bernoulli sampling (the reference documents TABLESAMPLE
+    BERNOULLI(1), docs/TECHNICAL_GUIDE.md:917-920): keep ~20% of docs by a
+    deterministic per-row coin — hash(doc_id) — so the sample is stable
+    across runs/retries and SQL-oracle-able, unlike ds.random_sample."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        coin = (ids * np.uint64(2654435761)) % np.uint64(100)
+        return t.filter(pa.array(coin < 20))
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -89,6 +89,7 @@ class ExchangeActor:
         self,
         compact_fn_ser: bytes | None = None,
         compact_threshold_rows: int = 16_000_000,
+        copy_on_add: bool = True,
     ):
         # Compaction bounds actor memory at extreme scale, but it runs
         # inside add() (the actor is single-threaded), stalling every
@@ -100,6 +101,14 @@ class ExchangeActor:
         self.buffered_rows: dict[int, int] = {}
         self.seen_spans: set[tuple[int, int, int, int]] = set()
         self.compact_threshold = compact_threshold_rows
+        # copy_on_add=False keeps received tables as zero-copy plasma views
+        # (saves two memcpy passes per routed byte).  Safe ONLY when the
+        # routed payload is a small fraction of the job's data — pinned
+        # views hold their backing objects in the object store until
+        # finalize.  The late strategy qualifies (phase 1 ships 4 narrow
+        # columns, phase 2 ships pre-filtered winners); the single-phase
+        # 'actor' mode routes the full payload and must copy.
+        self.copy_on_add = copy_on_add
         self.compact_fn: Callable | None = None
         if compact_fn_ser is not None:
             import ray.cloudpickle as pickle
@@ -116,7 +125,9 @@ class ExchangeActor:
         if span in self.seen_spans:  # retried feed task — drop duplicate
             return 0
         self.seen_spans.add(span)
-        self.buffers.setdefault(part, []).append(_deep_copy(tbl))
+        self.buffers.setdefault(part, []).append(
+            _deep_copy(tbl) if self.copy_on_add else tbl
+        )
         self.buffered_rows[part] = self.buffered_rows.get(part, 0) + len(tbl)
         if self.compact_fn is not None and self.buffered_rows[part] >= self.compact_threshold:
             merged = pa.concat_tables(self.buffers[part], promote_options="permissive")
