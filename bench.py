@@ -32,7 +32,9 @@ import time
 # cluster nodes each bring their own memory controllers, so the CPU-count
 # proxy is only faithful inside the machine's bandwidth envelope.  The 8→32
 # numbers + the bandwidth-ceiling measurement are recorded in BASELINE.md.
-SCALING_CPUS = (2, 8)
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8").split(",")
+)
 
 
 def sf_from_dir(sf_dir: str) -> float:
