@@ -825,16 +825,16 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
 
     def mask(t: pa.Table) -> pa.Table:
         ok = pc.not_equal(t.column("o_orderstatus"), pa.scalar("F"))
+        # dates as epoch-µs int64: Ray's hash aggregation mangles NULL-laden
+        # timestamp columns into object blocks (worker crash downstream);
+        # integers with nulls aggregate cleanly and convert back in finish
+        od_us = pc.cast(t.column("o_orderdate"), pa.int64())
         return pa.table(
             {
                 "o_custkey": t.column("o_custkey"),
                 "valid": pc.cast(ok, pa.int64()),
                 "tp": pc.if_else(ok, t.column("o_totalprice"), pa.scalar(None, pa.float64())),
-                "od": pc.if_else(
-                    ok,
-                    t.column("o_orderdate"),
-                    pa.scalar(None, t.schema.field("o_orderdate").type),
-                ),
+                "od": pc.if_else(ok, od_us, pa.scalar(None, pa.int64())),
             }
         )
 
@@ -866,7 +866,7 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
         freq = df["frequency"].fillna(0).astype(np.int64)
         monetary = df["monetary_raw"].fillna(0.0).to_numpy()
         avg_val = df["avg_raw"].fillna(0.0).to_numpy()
-        last = pd.to_datetime(df["last_order_date"])
+        last = pd.to_datetime(df["last_order_date"], unit="us")
         recency = (anchor - last).dt.days.fillna(999).astype(np.int64)
         r = np.select(
             [recency <= 30, recency <= 120, recency <= 240, recency <= 400],
@@ -913,8 +913,12 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
                     np.char.add(r.astype(str), f.astype(str)), m.astype(str)
                 ),
                 "customer_segment_rfm": seg,
-                "last_order_date": df["last_order_date"].to_numpy(),
-                "first_order_date": df["first_order_date"].to_numpy(),
+                # via to_datetime: the join can hand these over as OBJECT
+                # columns (python datetimes + None), which Arrow rejects
+                "last_order_date": last.to_numpy(),
+                "first_order_date": pd.to_datetime(
+                    df["first_order_date"], unit="us"
+                ).to_numpy(),
             }
         )
 
