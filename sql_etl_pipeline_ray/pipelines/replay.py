@@ -267,7 +267,11 @@ def _commit_extracted_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def _make_phase1_process(num_partitions: int, checkpoints: dict[int, int] | None):
+def _make_phase1_process(
+    num_partitions: int,
+    checkpoints: dict[int, int] | None,
+    combine: bool = False,
+):
     ckpt_arr = None
     if checkpoints:
         ckpt_arr = np.full(num_partitions, -1, dtype=np.int64)
@@ -308,6 +312,10 @@ def _make_phase1_process(num_partitions: int, checkpoints: dict[int, int] | None
         batch = batch.append_column(
             HAD_INSERT_COL, pc.equal(batch.column("op"), pa.scalar("I"))
         )
+        if combine:
+            # skew valve: collapse to latest-per-key within this batch so a
+            # hot key ships one row per batch, not one per event
+            batch = fold_latest(batch, keep_tombstones=True)
         return batch
 
     return process
@@ -528,7 +536,9 @@ def _replay_late(
             override_num_blocks=num_blocks,
         )
         feed1 = make_feeder(
-            _make_phase1_process(num_partitions, ckpts), actors, num_partitions
+            _make_phase1_process(num_partitions, ckpts, combine=cfg.phase1_combine),
+            actors,
+            num_partitions,
         )
         ds1.map_batches(
             feed1, batch_format="pyarrow", zero_copy_batch=True, batch_size=p1_batch

@@ -208,3 +208,44 @@ def test_late_resume_with_deletes_superseding_all_keys(tmp_path):
     res = replay(d2, out, ReplayConfig(num_partitions=2), resume=True)
     assert lake_table(out).num_rows == 0
     assert res.summary["deleted_keys"] == 2
+
+
+def test_hot_single_key_combiner(tmp_path):
+    """One (repo, path) receives 90% of all events (the single-hot-KEY skew
+    the phase-1 combiner is the valve for).  Combiner on/off must produce
+    identical lakes, and both must match the oracle."""
+    import numpy as np
+
+    n, hot_frac = 20_000, 0.9
+    rng = np.random.default_rng(7)
+    hot = rng.random(n) < hot_frac
+    key_id = np.where(hot, 0, rng.integers(1, 50, n))
+    lsn = np.arange(n, dtype=np.int64)
+    op = np.where(lsn % 17 == 3, "D", np.where(key_id == 0, "U", "I"))
+    op[key_id == 0][:1] = "I"
+    tbl = pa.table(
+        {
+            "lsn": lsn,
+            "op": pa.array(op.tolist(), pa.string()),
+            "repo": pa.array([f"org/r{k % 5}" for k in key_id], pa.string()),
+            "path": pa.array([f"f{k}.py" for k in key_id], pa.string()),
+            "commit": pa.array([f"{k:040x}" for k in key_id], pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(
+                [None if o == "D" else f"body {k} {l}" for o, k, l in zip(op, key_id, lsn)],
+                pa.string(),
+            ),
+        }
+    )
+    d = str(tmp_path / "log" / "lsn_bucket=0")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    log = str(tmp_path / "log")
+
+    lakes = {}
+    for combine in (True, False):
+        out = str(tmp_path / f"lake_{combine}")
+        replay(log, out, ReplayConfig(num_partitions=4, phase1_combine=combine))
+        compare_to_oracle(out, tbl)
+        lakes[combine] = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    assert lakes[True] == lakes[False]
