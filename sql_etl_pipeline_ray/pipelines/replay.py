@@ -404,7 +404,19 @@ def replay(
 
     manifests = mf.read_all_manifests(out_dir)
     ckpts = mf.checkpoints(manifests) if resume else None
-    min_lsn = min(ckpts.values()) if ckpts else None
+    # File-level pruning is safe ONLY when every partition has a committed
+    # checkpoint: after a partial crash (some partitions never committed),
+    # the survivors' high-water marks must not prune files that still hold
+    # the missing partitions' events — a missing partition's checkpoint is
+    # effectively -1, so no file can be skipped.  Row-level per-partition
+    # pruning below is always safe (missing partitions default to -1).
+    min_lsn = None
+    if ckpts:
+        expected_n = next(iter(manifests.values()))["stats"].get(
+            "num_partitions", max(manifests) + 1
+        )
+        if len(ckpts) >= expected_n:
+            min_lsn = min(ckpts.values())
     prior_files: list[str] = []
     if resume and manifests:
         prior_files = mf.manifest_data_files(out_dir, manifests)

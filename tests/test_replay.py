@@ -249,3 +249,20 @@ def test_hot_single_key_combiner(tmp_path):
         compare_to_oracle(out, tbl)
         lakes[combine] = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
     assert lakes[True] == lakes[False]
+
+
+def test_resume_after_partial_crash_rebuilds_missing_partition(tmp_path):
+    """Crash simulation: a run that committed only SOME partitions (e.g.
+    killed mid-commit) must not let the surviving partitions' high
+    checkpoints file-prune events that the missing partition still needs."""
+    d = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_keys=400, n_events=4000, num_buckets=8), d)
+    out = str(tmp_path / "lake")
+    replay(d, out, ReplayConfig(num_partitions=4))
+    # simulate a crash that lost partition 2's commit entirely
+    import shutil as sh
+
+    sh.rmtree(os.path.join(out, "part=2"))
+    res = replay(d, out, ReplayConfig(num_partitions=4), resume=True)
+    assert res.summary["partitions_committed"] >= 1
+    compare_to_oracle(out, read_log_files(d))
