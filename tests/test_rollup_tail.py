@@ -78,3 +78,52 @@ def test_tail_catches_up_with_growing_log(tmp_path):
         lake_table(oneshot).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_tail_picks_up_schema_evolution(tmp_path):
+    """Schema evolution lands WHILE tailing: buckets after the evolution
+    point add ``size_bytes`` and widen ``lang``; the resumed micro-batches
+    must unify with the narrower committed lake and match the oracle."""
+    import pyarrow as pa
+
+    from sql_etl_pipeline_ray.sources.datagen import generate_change_log, replay_oracle
+
+    spec = ChangeLogSpec(
+        n_keys=300, n_events=3000, num_buckets=6, evolve_after_frac=0.5
+    )
+    full_log = str(tmp_path / "log")
+    write_change_log(spec, full_log)
+
+    growing = str(tmp_path / "growing")
+    os.makedirs(growing)
+    for k in range(3):  # pre-evolution prefix only
+        os.symlink(
+            os.path.join(full_log, f"lsn_bucket={k}"),
+            os.path.join(growing, f"lsn_bucket={k}"),
+        )
+    lake = str(tmp_path / "lake")
+    tail_change_log(
+        growing, lake, ReplayConfig(num_partitions=4),
+        poll_interval_s=0.0, max_polls=1,
+    )
+    t = lake_table(lake)
+    assert "size_bytes" not in t.column_names  # narrow schema committed
+
+    for k in range(3, 6):  # evolved buckets land
+        os.symlink(
+            os.path.join(full_log, f"lsn_bucket={k}"),
+            os.path.join(growing, f"lsn_bucket={k}"),
+        )
+    tail_change_log(
+        growing, lake, ReplayConfig(num_partitions=4),
+        poll_interval_s=0.0, stop_after_idle=1,
+    )
+    t2 = lake_table(lake)
+    assert "size_bytes" in t2.column_names
+
+    want = replay_oracle(generate_change_log(spec))
+    got = t2.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = want.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(want.columns)], want[sorted(want.columns)], check_dtype=False
+    )
