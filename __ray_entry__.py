@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": A.events_sliding_window,
         "mv_monthly_sales": R.mv_monthly_sales,
         "docs_bernoulli_sample": T.docs_bernoulli_sample,
+        "region_nation_rollup": A.region_nation_rollup,
+        "orders_priority_pivot": A.orders_priority_pivot,
     }
 
 
@@ -537,6 +539,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
                   % 18446744073709551616 % 100 < 20
+        """,
+        "region_nation_rollup": """
+            SELECT r.r_name, n.n_name,
+                   COUNT(*) AS customers,
+                   ROUND(SUM(c.c_acctbal), 2) AS acctbal_sum
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+        """,
+        "orders_priority_pivot": """
+            SELECT EXTRACT(year FROM o_orderdate) AS year,
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+                   SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+                   SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+                   SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+            FROM orders GROUP BY 1
         """,
         "events_sliding_window": """
             WITH e AS (

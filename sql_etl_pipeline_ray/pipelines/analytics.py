@@ -1101,3 +1101,73 @@ def events_sliding_window(sf_dir: str) -> pa.Table:
     )
     agg["value_sum"] = _rha(agg["value_sum"].to_numpy(), 2)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def region_nation_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level rollup (GROUP BY ROLLUP(region, nation)): nation detail
+    + per-region subtotal + grand total in one result.  Computed as ONE
+    fine-grained distributed groupby; the coarser levels re-aggregate the
+    (tiny, one row per nation) result driver-side — re-aggregation of a
+    partial aggregate, never a second scan."""
+    nat = _small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _small(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    fine = (
+        cust.groupby("c_nationkey")
+        .aggregate(Count(alias_name="customers"), Sum("c_acctbal", alias_name="acctbal_sum"))
+        .to_pandas()
+    )
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
+    fine["r_name"] = fine["c_nationkey"].map(n2r).map(r2name)
+    fine["n_name"] = fine["c_nationkey"].map(n2name)
+    detail = fine[["r_name", "n_name", "customers", "acctbal_sum"]]
+    sub = (
+        detail.groupby("r_name", as_index=False)[["customers", "acctbal_sum"]]
+        .sum()
+        .assign(n_name=None)
+    )
+    total = pd.DataFrame(
+        {
+            "r_name": [None],
+            "n_name": [None],
+            "customers": [detail["customers"].sum()],
+            "acctbal_sum": [detail["acctbal_sum"].sum()],
+        }
+    )
+    out = pd.concat([detail, sub, total], ignore_index=True)[
+        ["r_name", "n_name", "customers", "acctbal_sum"]
+    ]
+    out["customers"] = out["customers"].astype(np.int64)
+    out["acctbal_sum"] = _rha(out["acctbal_sum"].to_numpy(), 2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_priority_pivot(sf_dir: str) -> pa.Table:
+    """Pivot / conditional aggregation: orders count per year × priority as
+    one row per year with one column per priority bucket — the
+    SUM(CASE WHEN ...) idiom vectorized as Arrow masks inside one
+    map_batches + a single grouped aggregate."""
+    orders = _t(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+    buckets = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["urgent", "high", "medium", "not_specified", "low"]
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {"year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64())}
+        pr = t.column("o_orderpriority")
+        for b, nm in zip(buckets, names):
+            cols[nm] = pc.cast(pc.equal(pr, pa.scalar(b)), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        orders.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("year")
+        .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+        .to_pandas()
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    for nm in names:
+        agg[nm] = agg[nm].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
