@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": A.events_sliding_window,
         "mv_monthly_sales": R.mv_monthly_sales,
         "docs_bernoulli_sample": T.docs_bernoulli_sample,
+        "dedup_embedding_cosine_ivf": T.dedup_embedding_cosine_ivf,
+        "dedup_clusters": T.dedup_clusters,
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
     }

@@ -209,3 +209,20 @@ def docs_bernoulli_sample(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pa.array(coin < 20))
 
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_embedding_cosine_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-blocked embedding near-dup pairs (the scale path — within-bucket
+    exact kernel after a broadcast-codebook assignment).  Approximate, so
+    rows-only for the driver; recall vs the brute-force pairs is asserted
+    in tests."""
+    return SIM.embedding_near_dups_ivf(_emb(sf_dir), threshold=0.3)
+
+
+def dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERS: exact n-gram-Jaccard pairs → connected components
+    (min-label union-find over the verified edge list)."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+    ).to_pandas()
+    return D.connected_components(pairs)

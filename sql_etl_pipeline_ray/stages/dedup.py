@@ -338,3 +338,37 @@ def ngram_jaccard_pairs(
         return out[j >= threshold]
 
     return inter.map_batches(jaccard, batch_format="pandas")
+
+
+def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> pd.DataFrame:
+    """Near-dup CLUSTERS from verified pairs: iterative min-label
+    propagation to a fixed point (each node's cluster = min id reachable).
+
+    Runs driver-side over the verified-pair edge list — pairs are rare by
+    construction (LSH/IVF candidates already verified), so the edge list is
+    tiny relative to the corpus even at 100 TB; if it ever isn't, the same
+    min-label iteration maps onto repeated groupby-min over an edge
+    Dataset.  Returns (doc_id, cluster_id≔min member id) for every node
+    that appears in any pair."""
+    label: dict = {}
+    for x in pd.concat([pairs[a_col], pairs[b_col]]).unique():
+        label[x] = x
+    edges = list(zip(pairs[a_col], pairs[b_col]))
+
+    def find(x):
+        root = x
+        while label[root] != root:
+            root = label[root]
+        while label[x] != root:  # path compression
+            label[x], x = root, label[x]
+        return root
+
+    for a, b in edges:  # union by min root
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            label[hi] = lo
+    out = pd.DataFrame(
+        {"doc_id": list(label), "cluster_id": [find(x) for x in label]}
+    ).sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    return out

@@ -141,3 +141,34 @@ def test_token_stats_edge_cases():
     df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "  a  b  ", "one"]})
     out = TokenStats()(df)
     assert list(out["token_count"]) == [0, 2, 1]
+
+
+def test_ivf_near_dups_recall_vs_brute():
+    import __ray_entry__ as E
+
+    brute = E.queries()["dedup_embedding_cosine"]("/root/testdata/sf0.001").to_pandas()
+    ivf = E.queries()["dedup_embedding_cosine_ivf"]("/root/testdata/sf0.001").to_pandas()
+    bset = set(zip(brute["vec_a"], brute["vec_b"]))
+    iset = set(zip(ivf["vec_a"], ivf["vec_b"]))
+    assert iset <= bset  # no false positives: within-bucket kernel is exact
+    assert len(iset) / max(len(bset), 1) >= 0.5  # blocked recall floor
+
+
+def test_connected_components_clusters():
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.stages.dedup import connected_components
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7, 9], "doc_b": [2, 3, 8, 1]})
+    out = connected_components(pairs)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_group_exact_dups_together():
+    import __ray_entry__ as E
+
+    out = E.queries()["dedup_clusters"]("/root/testdata/sf0.001")
+    # every cluster id is the min doc id of its members
+    assert (out.groupby("cluster_id")["doc_id"].min() == out["cluster_id"].unique()).all()
+    assert len(out) > 0
