@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": T.dedup_clusters,
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
+        "customers_without_orders": A.customers_without_orders,
     }
 
 
@@ -541,6 +542,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
                   % 18446744073709551616 % 100 < 20
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         """,
         "region_nation_rollup": """
             SELECT r.r_name, n.n_name,

@@ -1171,3 +1171,40 @@ def orders_priority_pivot(sf_dir: str) -> pa.Table:
     for nm in names:
         agg[nm] = agg[nm].astype(np.int64)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """J6 anti-join, explicit: lapsed customers — no order since 2000-01-01
+    (the reference's orphan-check idiom, sql/etl_transformations.sql:
+    200-210, LEFT JOIN ... IS NULL, crossed with its recency filter).
+
+    Plan: filter orders to the window FIRST, ONE distributed distinct over
+    the surviving keys (a groupby that collapses to ≤|customers| rows),
+    broadcast the sorted key array once via ``ray.put``, then a vectorized
+    not-in filter over customers — no big-big shuffle join for an
+    existence check."""
+    recent = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(pd.Timestamp("2000-01-01")))
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keys = (
+        recent.groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    keys_ref = ray.put(np.sort(keys))
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ck)
+        idx_c = np.minimum(idx, len(k) - 1) if len(k) else idx
+        has = (k[idx_c] == ck) if len(k) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(~has))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    return cust.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
