@@ -127,36 +127,70 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest IVF buckets.
 
-    Recall is tested against the brute-force baseline in the test suite;
-    at 100 TB the bucket assignment is a persisted column and each query
-    touches nprobe/n_clusters of the data."""
+    Fully distributed: each batch assigns its vectors to centroids
+    (broadcast codebook), keeps only rows in a query's probed buckets,
+    and emits a per-batch PARTIAL top-k; the driver merges
+    queries x k x num_batches partial rows — the classic partial-top-k
+    merge, so the embeddings dataset is never materialized.  Recall is
+    tested against the brute-force baseline; at 100 TB the bucket
+    assignment is a persisted column and each query touches
+    nprobe/n_clusters of the data."""
     sample = _to_matrix(
         embeddings.random_sample(sample_fraction, seed=seed).to_pandas()["embedding"]
     )
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
     cents = kmeans_lite(sample, n_clusters, seed=seed)
-    cents_ref = ray.put(cents)
-    assign = embeddings.map_batches(
-        IVFAssign, batch_format="pandas", concurrency=2, fn_constructor_args=(cents_ref,)
-    ).to_pandas()
-
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
-    emb_pdf = embeddings.to_pandas().merge(assign, on="vec_id")
+    state_ref = ray.put((cents, qn, probe))
+
+    class ProbeScore:
+        def __init__(self):
+            self.cents, self.qn, self.probe = ray.get(state_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _to_matrix(df["embedding"])
+            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            cl = np.argmax(m @ self.cents.T, axis=1)
+            ids = df["vec_id"].to_numpy()
+            parts = []
+            for qi in range(len(self.qn)):
+                mask = np.isin(cl, self.probe[qi])
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qn[qi]
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qi, "vec_id": ids[mask][top], "cosine_sim": s[top]}
+                    )
+                )
+            if not parts:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype=np.int64),
+                        "vec_id": pd.Series(dtype=np.int64),
+                        "cosine_sim": pd.Series(dtype=np.float64),
+                    }
+                )
+            return pd.concat(parts, ignore_index=True)
+
+    partial = embeddings.map_batches(
+        ProbeScore, batch_format="pandas", concurrency=2
+    ).to_pandas()  # <= queries x k x num_batches rows — tiny by construction
     out = []
     for qi in range(len(qn)):
-        cand = emb_pdf[emb_pdf["cluster"].isin(probe[qi])]
-        m = _to_matrix(cand["embedding"])
-        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
-        s = m @ qn[qi]
-        top = np.argsort(-s, kind="stable")[:k]
+        g = partial[partial["query_id"] == qi].sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        )[:k]
         out.append(
             pd.DataFrame(
                 {
                     "query_id": qi,
-                    "vec_id": cand["vec_id"].to_numpy()[top],
-                    "cosine_sim": np.round(s[top], 4),
-                    "rank": np.arange(1, len(top) + 1),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "cosine_sim": np.round(g["cosine_sim"].to_numpy(), 4),
+                    "rank": np.arange(1, len(g) + 1),
                 }
             )
         )
