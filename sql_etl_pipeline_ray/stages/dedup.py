@@ -118,11 +118,24 @@ def minhash_lsh_pairs(
         return pd.DataFrame(columns=["a", "b", "jaccard"])
     cand = cand.drop_duplicates().reset_index(drop=True)
 
-    # verify candidates with exact shingle Jaccard.  The candidate set is
-    # small by construction; at 100-TB scale this lookup becomes a hash
-    # join of the candidate ids against the docs table instead of a
-    # driver-side dict (documented cutover).
-    docs_pdf = docs.select_columns(["doc_id", text_col]).to_pandas()
+    # verify candidates with exact shingle Jaccard — fetch ONLY the
+    # candidate docs' texts (broadcast candidate-id set, distributed
+    # filter): the driver never holds the corpus, just the rare
+    # candidates.  At extreme candidate counts this becomes a hash join
+    # of pair ids against the docs table; same shape, no broadcast.
+    cand_ids = np.union1d(cand["a"].to_numpy(), cand["b"].to_numpy())
+    ids_ref = ray.put(np.sort(cand_ids))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(ids_ref)
+        m = np.isin(df["doc_id"].to_numpy(), wanted)
+        return df.loc[m, ["doc_id", text_col]]
+
+    docs_pdf = (
+        docs.select_columns(["doc_id", text_col])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
     texts = dict(zip(docs_pdf["doc_id"], docs_pdf[text_col]))
 
     def jaccard(a: str, b: str) -> float:
