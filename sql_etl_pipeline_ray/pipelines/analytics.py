@@ -721,9 +721,10 @@ def part_size_tiers(sf_dir: str) -> pa.Table:
 def cohort_retention(sf_dir: str) -> pa.Table:
     """J5/A4 (the reference's cohort analysis, sql/complex_queries.sql:
     227-273): customers grouped by first-order month, counted per months-
-    since-cohort.  Cohort assignment = a grouped min (small result)
-    broadcast back into a map-side join — both joined sides are aggregates,
-    so no big shuffle (the aggregate-to-aggregate join idiom)."""
+    since-cohort.  Cohort assignment happens INSIDE the per-customer group
+    (min month of the group) — the aggregate-to-aggregate join the
+    reference does with a CTE join happens here as a single customer-keyed
+    fold, so nothing is broadcast and the shuffles stay key-proportional."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
     def add_month(t: pa.Table) -> pa.Table:
@@ -735,35 +736,28 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         return t.append_column("order_month", m)
 
     with_month = orders.map_batches(add_month, batch_format="pyarrow", zero_copy_batch=True)
-    cohorts = (
-        with_month.groupby("o_custkey")
-        .aggregate(Min("order_month", alias_name="cohort_month"))
-        .to_pandas()
+    # ONE key drives everything: distinct (customer, month) via a grouped
+    # count, then per-customer month lists fold to (cohort, months_since)
+    # pairs inside map_groups — no per-customer broadcast dict (which would
+    # be the whole customer dimension at scale), no third shuffle.
+    distinct_cm = with_month.groupby(["o_custkey", "order_month"]).aggregate(
+        Count(alias_name="_n")
     )
-    cohort_map = dict(zip(cohorts["o_custkey"], cohorts["cohort_month"]))
-    map_ref = ray.put(cohort_map)
 
-    class AttachCohort:
-        def __init__(self):
-            self.m = ray.get(map_ref)
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        months = np.sort(g["order_month"].unique())
+        return pd.DataFrame(
+            {
+                "cohort_month": months[0],
+                "months_since": (months - months[0]).astype(np.int64),
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cm = df["o_custkey"].map(self.m)
-            return pd.DataFrame(
-                {
-                    "cohort_month": cm,
-                    "months_since": (df["order_month"] - cm).astype(np.int64),
-                    "o_custkey": df["o_custkey"],
-                }
-            )
-
-    lvl1 = (
-        with_month.map_batches(AttachCohort, batch_format="pandas", concurrency=2)
-        .groupby(["cohort_month", "months_since", "o_custkey"])
-        .aggregate(Count(alias_name="_n"))
+    pairs = distinct_cm.groupby("o_custkey").map_groups(
+        per_customer, batch_format="pandas"
     )
     out = (
-        lvl1.groupby(["cohort_month", "months_since"])
+        pairs.groupby(["cohort_month", "months_since"])
         .aggregate(Count(alias_name="active_customers"))
         .to_pandas()
         .sort_values(["cohort_month", "months_since"])
