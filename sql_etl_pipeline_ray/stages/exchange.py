@@ -26,9 +26,13 @@ Safety properties:
   sub-tables; the actor dedupes on ``(partition, first_lsn, last_lsn,
   rows)`` — LSNs are globally unique, so an identical span is the same
   data.
-- Plasma-safe: received tables are deep-copied into actor heap (an IPC
-  round-trip) — holding zero-copy views would pin the whole shuffle
-  payload in the object store and force spilling.
+- Plasma-safe: by default received tables are deep-copied into actor
+  heap (an IPC round-trip) — holding zero-copy views would pin the whole
+  shuffle payload in the object store and force spilling.  Stages whose
+  routed payload is a small fraction of the job's data (the late
+  strategy's narrow phase 1 / pre-filtered phase 2) pass
+  ``copy_on_add=False`` and buffer plasma views instead, saving two
+  memcpy passes per routed byte.
 - Memory-bounded: an optional compaction fn collapses the buffer once it
   crosses a row threshold (the merge's tombstone-keeping partial fold), so
   state approaches O(live keys per actor), not O(events).
