@@ -14,11 +14,20 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
+        # Under `ray job submit` the job runtime sets RAY_ADDRESS and this
+        # connects to the cluster; standalone (and in this sandbox, where
+        # RAY_ADDRESS=local is preset) it starts a local session.
+        kwargs = {
+            "address": os.environ.get("RAY_ADDRESS", "local"),
+            "include_dashboard": False,
+            "logging_level": "ERROR",
+        }
+        if num_cpus and kwargs["address"] == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data
