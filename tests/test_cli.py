@@ -1,0 +1,35 @@
+"""CLI surface smoke: the verbs chain end-to-end in subprocesses
+(each owns its Ray session per the driver contract)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "sql_etl_pipeline_ray.cli", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_gen_replay_status_resume(tmp_path):
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    gen = run_cli("gen-data", log, "--events", "5000", "--keys", "500", "--buckets", "4")
+    assert gen["events"] == 5000
+
+    rep = run_cli("--num-cpus", "4", "replay", log, lake, "--partitions", "4")
+    assert rep["partitions_committed"] == 4 and rep["events_in"] == 5000
+
+    st = run_cli("status", lake)
+    assert st["partitions"] == 4 and st["rows"] == rep["live_rows"]
+
+    res = run_cli("--num-cpus", "4", "replay", log, lake, "--resume")
+    assert res["partitions_committed"] == 0  # caught up: exactly-once no-op
