@@ -138,3 +138,43 @@ def unique_lsn_check(ds: ray.data.Dataset) -> int:
         .filter(expr="n > 1")
     )
     return dups.count()
+
+
+def null_quality_gate(
+    ds: ray.data.Dataset,
+    columns: list[str] | None = None,
+    threshold: float = 0.10,
+) -> pa.Table:
+    """Table-level null-fraction quality gate (the reference's
+    NULL_THRESHOLD=10% config, config/config.py:53): per-column null
+    fraction vs the threshold, computed as per-batch partial (nulls, rows)
+    counts reduced by one grouped sum — no full-column materialization.
+
+    Returns (column, nulls, rows, null_fraction, exceeds_threshold)."""
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        cols = columns or [
+            f.name for f in batch.schema if not f.name.startswith("_")
+        ]
+        return pa.table(
+            {
+                "column": cols,
+                "nulls": pa.array(
+                    [batch.column(c).null_count if c in batch.column_names else len(batch) for c in cols],
+                    pa.int64(),
+                ),
+                "rows": pa.array([len(batch)] * len(cols), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(count_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(Sum("nulls", alias_name="nulls"), Sum("rows", alias_name="rows"))
+        .to_pandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    df["null_fraction"] = (df["nulls"] / df["rows"].clip(lower=1)).round(6)
+    df["exceeds_threshold"] = df["null_fraction"] > threshold
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -64,3 +64,17 @@ def test_clean_log_no_fail_violations(tmp_path):
     report = validate_events(read_change_log(scan_change_log(d))).to_pandas()
     fails = report[report["severity"] == "fail"]
     assert (fails["violations"] == 0).all()
+
+
+def test_null_quality_gate_flags_high_null_columns():
+    """The reference's NULL_THRESHOLD table gate: content is 2/5 null in
+    the dirty fixture (flagged at 10%), lsn 1/5 (flagged), path 0 (clean)."""
+    from sql_etl_pipeline_ray.stages.validate import null_quality_gate
+
+    ds = ray.data.from_arrow(dirty_events())
+    rep = null_quality_gate(ds, threshold=0.10).to_pandas().set_index("column")
+    assert rep.loc["content", "nulls"] == 2
+    assert bool(rep.loc["content", "exceeds_threshold"])
+    assert rep.loc["path", "nulls"] == 0
+    assert not bool(rep.loc["path", "exceeds_threshold"])
+    assert (rep["rows"] == 5).all()
