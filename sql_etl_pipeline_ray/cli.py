@@ -165,11 +165,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(report))
         elif args.cmd == "validate":
             from .sources.change_log import read_change_log, scan_change_log
-            from .stages.validate import validate_events
+            from .stages.validate import null_quality_gate, validate_events
 
             scan = scan_change_log(args.log_dir)
-            report = validate_events(read_change_log(scan))
-            print(report.to_pandas().to_json(orient="records"))
+            ds = read_change_log(scan)
+            report = validate_events(ds).to_pandas().to_dict(orient="records")
+            nulls = null_quality_gate(ds).to_pandas().to_dict(orient="records")
+            print(json.dumps({"rules": report, "null_gate": nulls}))
     finally:
         ray.shutdown()
     return 0
