@@ -86,17 +86,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Money aggregates as exact int64 cents on BOTH engines (2-decimal input
+# prices), so the rounded outputs are independent of aggregation order —
+# double SUM/AVG differ by 1 ulp between engines exactly at .005 boundaries.
 _CUSTOMER_METRICS_SQL = """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment,
        COALESCE(o.cnt, 0) AS total_orders,
-       ROUND(COALESCE(o.sum_tp, 0), 2) AS lifetime_value,
-       ROUND(COALESCE(o.avg_tp, 0), 2) AS avg_order_value,
+       ROUND(COALESCE(o.cents, 0) / 100.0, 2) AS lifetime_value,
+       COALESCE(ROUND(o.cents / (o.cnt * 100.0), 2), 0) AS avg_order_value,
        o.min_d AS first_order_date,
        o.max_d AS last_order_date
 FROM customer c LEFT JOIN (
-  SELECT o_custkey, COUNT(*) AS cnt, SUM(o_totalprice) AS sum_tp,
-         AVG(o_totalprice) AS avg_tp, MIN(o_orderdate) AS min_d,
-         MAX(o_orderdate) AS max_d
+  SELECT o_custkey, COUNT(*) AS cnt,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d
   FROM orders GROUP BY o_custkey) o
 ON c.c_custkey = o.o_custkey
 """
@@ -137,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT *,
               RANK() OVER (PARTITION BY c_mktsegment ORDER BY lifetime_value DESC)
                 AS segment_rank,
+              DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY lifetime_value DESC)
+                AS segment_dense_rank,
               ROW_NUMBER() OVER (ORDER BY lifetime_value DESC, c_custkey)
                 AS ltv_row_number,
               NTILE(10) OVER (ORDER BY lifetime_value DESC, c_custkey)
@@ -150,23 +155,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT EXTRACT(year FROM o_orderdate) AS o_year,
                      EXTRACT(month FROM o_orderdate) AS o_month,
                      o_custkey, COUNT(*) AS orders_count,
-                     SUM(o_totalprice) AS revenue
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
               FROM orders GROUP BY 1, 2, 3),
             m AS (
               SELECT o_year, o_month, COUNT(*) AS unique_customers,
-                     SUM(orders_count) AS orders_count, SUM(revenue) AS revenue
-              FROM per_cust GROUP BY 1, 2)
+                     CAST(SUM(orders_count) AS BIGINT) AS orders_count,
+                     CAST(SUM(rev_cents) AS BIGINT) AS rev_cents
+              FROM per_cust GROUP BY 1, 2),
+            m2 AS (SELECT *, rev_cents / 100.0 AS rev_d FROM m)
             SELECT o_year, o_month, unique_customers, orders_count,
-              ROUND(revenue, 2) AS revenue,
-              ROUND(CASE WHEN LAG(revenue) OVER w IS NULL OR LAG(revenue) OVER w = 0
+              ROUND(rev_d, 2) AS revenue,
+              ROUND(CASE WHEN LAG(rev_d) OVER w IS NULL OR LAG(rev_d) OVER w = 0
                     THEN NULL
-                    ELSE (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100
+                    ELSE (rev_d - LAG(rev_d) OVER w) / LAG(rev_d) OVER w * 100
                     END, 2) AS mom_growth_pct,
-              ROUND(AVG(revenue) OVER (ORDER BY o_year, o_month
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_3m_avg,
-              ROUND(SUM(revenue) OVER (PARTITION BY o_year ORDER BY o_month
-                    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue_ytd
-            FROM m WINDOW w AS (ORDER BY o_year, o_month)
+              ROUND(CASE WHEN LAG(rev_d, 12) OVER w IS NULL
+                         OR LAG(rev_d, 12) OVER w = 0
+                    THEN NULL
+                    ELSE (rev_d - LAG(rev_d, 12) OVER w)
+                         / LAG(rev_d, 12) OVER w * 100
+                    END, 2) AS yoy_growth_pct,
+              ROUND(AVG(rev_cents) OVER (ORDER BY o_year, o_month
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 2)
+                AS rolling_3m_avg,
+              ROUND(SUM(rev_cents) OVER (PARTITION BY o_year ORDER BY o_month
+                    ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_revenue_ytd
+            FROM m2 WINDOW w AS (ORDER BY o_year, o_month)
             ORDER BY o_year, o_month
         """,
         "product_performance": """
@@ -182,7 +197,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_revenue_rollup": """
             SELECT r.r_name, COUNT(*) AS orders_count,
-                   ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+                   ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) / 100.0, 2) AS total_revenue
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -221,13 +237,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "per_order_allocation": """
+            WITH l AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem)
             SELECT l_orderkey, l_linenumber,
-              ROUND(l_extendedprice /
-                    SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) * 100, 4)
-                AS line_share_pct,
-              ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) /
-                    COUNT(*) OVER (PARTITION BY l_orderkey), 4) AS equal_split
-            FROM lineitem
+              ROUND(CAST(cents AS DOUBLE) /
+                    CAST(SUM(cents) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+                    * 100, 4) AS line_share_pct,
+              ROUND(CAST(SUM(cents) OVER (PARTITION BY l_orderkey) AS DOUBLE) /
+                    (COUNT(*) OVER (PARTITION BY l_orderkey) * 100.0), 4)
+                AS equal_split
+            FROM l
         """,
         "union_quality_report": """
             SELECT 'duplicate_lineitem_pk' AS check_name, COUNT(*) AS issue_count
@@ -373,7 +394,8 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
             SELECT COUNT(*) AS distinct_texts,
                    COUNT(*) FILTER (WHERE n > 1) AS duplicated_texts,
-                   COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0) AS duplicate_rows
+                   CAST(COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0) AS BIGINT)
+                     AS duplicate_rows
             FROM c
         """,
         "ann_cosine_topk": """
@@ -447,8 +469,13 @@ def oracle_sql() -> dict[str, str]:
                 COALESCE(datediff('day', MAX(o.o_orderdate),
                                   (SELECT a FROM anchor)), 999) AS recency_days,
                 COUNT(o.o_orderkey) AS frequency,
-                COALESCE(SUM(o.o_totalprice), 0) AS monetary_value,
-                COALESCE(AVG(o.o_totalprice), 0) AS avg_order_value,
+                COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                              AS BIGINT), 0) / 100.0 AS monetary_value,
+                CASE WHEN COUNT(o.o_orderkey) > 0
+                     THEN CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                               AS BIGINT)
+                          / (COUNT(o.o_orderkey) * 100.0)
+                     ELSE 0 END AS avg_order_value,
                 MAX(o.o_orderdate) AS last_order_date,
                 MIN(o.o_orderdate) AS first_order_date
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -562,11 +589,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_priority_pivot": """
             SELECT EXTRACT(year FROM o_orderdate) AS year,
-                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-                   SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-                   SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
-                   SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+                   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+                   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+                   CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
             FROM orders GROUP BY 1
         """,
         "events_sliding_window": """

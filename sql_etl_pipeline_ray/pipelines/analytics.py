@@ -56,11 +56,37 @@ def _small(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table
     return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _join_partitions(sf_dir: str, *tables: str) -> int:
+    """Hash-join partition count scaled to the input: ~128 MiB of on-disk
+    bytes per partition across the joined tables, floor 8 (keeps every core
+    busy at test scale), cap 512 (bounds shuffle-fragment count).  At 100×
+    the data this grows linearly instead of funnelling everything through a
+    fixed 8-16 partitions."""
+    total = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    return int(min(512, max(8, total // (128 << 20) + 1)))
+
+
 def _round2(tbl: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
         i = tbl.schema.get_field_index(c)
         tbl = tbl.set_column(i, c, pc.round(tbl.column(c), 2, **_ROUND))
     return tbl
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """2-decimal money column → exact int64 cents.
+
+    Summing doubles is order-dependent: Ray's partial+final aggregation and
+    DuckDB's scan-order accumulation can differ by 1 ulp, and exactly at a
+    ``.005`` boundary ``ROUND(..., 2)`` then diverges (the round-1 hash
+    failures in customer_order_metrics / rfm / per_order_allocation).
+    Prices in this data carry 2 decimals, so ``round(x*100)`` is an exact
+    integer far from the 0.5 rounding cliff; int64 sums are associative, so
+    any aggregation order yields the same value on both engines, and the
+    single final division mirrors the oracle's IEEE ops exactly."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -120,14 +146,29 @@ def customer_order_metrics(sf_dir: str) -> ray.data.Dataset:
     no orders appear with COALESCE'd zeros (src/sql_query_executor.py:92-93).
 
     Shuffle plan: one groupby on o_custkey (pre-aggregated by Ray's
-    partial+final under the hood), then a hash join customer⋈agg."""
+    partial+final under the hood), then a hash join customer⋈agg.  Money is
+    summed as exact int64 cents (see ``_cents``) so the rounded outputs are
+    aggregation-order-independent and hash-identical to the oracle."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
-    agg = orders.groupby("o_custkey").aggregate(
-        Count(alias_name="total_orders"),
-        Sum("o_totalprice", alias_name="lifetime_value"),
-        Mean("o_totalprice", alias_name="avg_order_value"),
-        Min("o_orderdate", alias_name="first_order_date"),
-        Max("o_orderdate", alias_name="last_order_date"),
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "tp_cents": _cents(t.column("o_totalprice")),
+                "o_orderdate": t.column("o_orderdate"),
+            }
+        )
+
+    agg = (
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="total_orders"),
+            Sum("tp_cents", alias_name="lv_cents"),
+            Min("o_orderdate", alias_name="first_order_date"),
+            Max("o_orderdate", alias_name="last_order_date"),
+        )
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     joined = cust.join(
@@ -140,17 +181,27 @@ def customer_order_metrics(sf_dir: str) -> ray.data.Dataset:
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.drop_columns([c for c in ("o_custkey",) if c in t.column_names])
-        for c in ("total_orders",):
-            i = t.schema.get_field_index(c)
-            t = t.set_column(
-                i, c, pc.fill_null(pc.cast(t.column(c), pa.int64()), 0)
-            )
-        for c in ("lifetime_value", "avg_order_value"):
-            i = t.schema.get_field_index(c)
-            t = t.set_column(
-                i, c, pc.round(pc.fill_null(t.column(c), 0.0), 2, **_ROUND)
-            )
-        return t
+        cnt = pc.fill_null(pc.cast(t.column("total_orders"), pa.int64()), 0)
+        cents_f = pc.cast(
+            pc.fill_null(pc.cast(t.column("lv_cents"), pa.int64()), 0), pa.float64()
+        )
+        lifetime = pc.round(pc.divide(cents_f, pa.scalar(100.0)), 2, **_ROUND)
+        # avg = cents / (count * 100.0) — mirrors the oracle's op order;
+        # count clamped to ≥1 inside the division (cents is 0 there anyway)
+        # so no div-by-zero ever evaluates, then masked to 0 by if_else
+        cnt_f = pc.max_element_wise(pc.cast(cnt, pa.float64()), pa.scalar(1.0))
+        avg = pc.if_else(
+            pc.greater(cnt, pa.scalar(0, pa.int64())),
+            pc.round(
+                pc.divide(cents_f, pc.multiply(cnt_f, pa.scalar(100.0))), 2, **_ROUND
+            ),
+            pa.scalar(0.0),
+        )
+        i = t.schema.get_field_index("total_orders")
+        t = t.set_column(i, "total_orders", cnt)
+        i = t.schema.get_field_index("lv_cents")
+        t = t.set_column(i, pa.field("lifetime_value", pa.float64()), lifetime)
+        return t.append_column("avg_order_value", avg)
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
@@ -169,6 +220,10 @@ def customer_ltv_ranked(sf_dir: str) -> pa.Table:
         g = g.sort_values(["lifetime_value", "c_custkey"], ascending=[False, True])
         g["segment_rank"] = (
             g["lifetime_value"].rank(method="min", ascending=False).astype(np.int64)
+        )
+        # DENSE_RANK twin (ref sql/complex_queries.sql:190-191)
+        g["segment_dense_rank"] = (
+            g["lifetime_value"].rank(method="dense", ascending=False).astype(np.int64)
         )
         return g
 
@@ -192,41 +247,59 @@ def customer_ltv_ranked(sf_dir: str) -> pa.Table:
 
 def monthly_sales_trends(sf_dir: str) -> pa.Table:
     """A3/A4 + W4-W6: per-month revenue, COUNT(DISTINCT customers), then
-    LAG MoM growth, 3-month rolling average, cumulative YTD revenue.
+    LAG MoM growth, LAG-12 YoY growth (ref sql/complex_queries.sql:167-173),
+    3-month rolling average, cumulative YTD revenue.
 
     Exact COUNT(DISTINCT) via two-level aggregation (no sketches in the
     reference): groupby(month, customer) → groupby(month).  Windows run on
-    the tiny month-level frame, sorted, in one pass."""
+    the tiny month-level frame, sorted, in one pass.  Revenue aggregates as
+    int64 cents (``_cents``) so every derived window value is a function of
+    exact integers — hash-identical to the oracle in any aggregation
+    order."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
 
     def add_month(t: pa.Table) -> pa.Table:
         d = t.column("o_orderdate")
-        t = t.append_column("o_year", pc.cast(pc.year(d), pa.int64()))
-        return t.append_column("o_month", pc.cast(pc.month(d), pa.int64()))
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(d), pa.int64()),
+                "o_month": pc.cast(pc.month(d), pa.int64()),
+                "o_custkey": t.column("o_custkey"),
+                "rev_cents": _cents(t.column("o_totalprice")),
+            }
+        )
 
     with_month = orders.map_batches(add_month, batch_format="pyarrow")
     # level 1: per (year, month, customer) — collapses duplicates
     per_cust = with_month.groupby(["o_year", "o_month", "o_custkey"]).aggregate(
-        Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="revenue")
+        Count(alias_name="orders_count"), Sum("rev_cents", alias_name="rev_cents")
     )
     # level 2: per (year, month)
     monthly = per_cust.groupby(["o_year", "o_month"]).aggregate(
         Count(alias_name="unique_customers"),
         Sum("orders_count", alias_name="orders_count"),
-        Sum("revenue", alias_name="revenue"),
+        Sum("rev_cents", alias_name="rev_cents"),
     )
     df = monthly.to_pandas().sort_values(["o_year", "o_month"]).reset_index(drop=True)
-    rev = df["revenue"]
-    lag = rev.shift(1)
-    df["mom_growth_pct"] = np.where(
-        lag.isna() | (lag == 0), np.nan, (rev - lag) / lag * 100
-    )
-    df["rolling_3m_avg"] = rev.rolling(3, min_periods=1).mean()
-    df["cum_revenue_ytd"] = df.groupby("o_year")["revenue"].cumsum()
-    for c in ("revenue", "mom_growth_pct", "rolling_3m_avg", "cum_revenue_ytd"):
-        df[c] = df[c].round(2)
+    cents = df["rev_cents"].to_numpy(dtype=np.int64)
+    rev_d = cents / 100.0  # same op as the oracle's rev_cents / 100.0
+    df["revenue"] = _rha(rev_d, 2)
+    for col, n in (("mom_growth_pct", 1), ("yoy_growth_pct", 12)):
+        lag = np.full(len(rev_d), np.nan)
+        lag[n:] = rev_d[:-n] if n else rev_d
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df[col] = _rha(
+                np.where(np.isnan(lag) | (lag == 0), np.nan, (rev_d - lag) / lag * 100),
+                2,
+            )
+    # rolling mean over exact integer cents: sums stay exact, the single
+    # division then /100.0 mirrors DuckDB's AVG(rev_cents) OVER ... / 100.0
+    roll = pd.Series(cents, dtype=np.float64).rolling(3, min_periods=1).mean()
+    df["rolling_3m_avg"] = _rha(roll.to_numpy() / 100.0, 2)
+    cum = df.groupby("o_year")["rev_cents"].cumsum().to_numpy(dtype=np.int64)
+    df["cum_revenue_ytd"] = _rha(cum / 100.0, 2)
     df["orders_count"] = df["orders_count"].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df.drop(columns=["rev_cents"]), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -301,44 +374,72 @@ def product_performance(sf_dir: str) -> pa.Table:
 
 
 def region_revenue_rollup(sf_dir: str) -> pa.Table:
-    """J3/J4: orders rolled up to region via BROADCAST dimension chain
-    customer→nation→region (all small sides; at scale customer would be
-    the first to outgrow broadcast → Dataset.join cutover documented)."""
-    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    """J3/J4: orders rolled up to region.  customer is FACT-scale at 100×,
+    so it is never broadcast: orders pre-aggregate per custkey (the
+    combiner — one row per customer leaves the shuffle), ``Dataset.join``
+    attaches c_nationkey, and only the genuinely tiny nation→region name
+    map (25 rows) broadcasts.  Money flows as exact int64 cents."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="cents")
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
     nation = _small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
-    cust_to_nation = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    nation_to_region = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
-    )
-    region_name = dict(
+    r_name = dict(
         zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
     )
-    lookup_ref = ray.put((cust_to_nation, nation_to_region, region_name))
+    n2rname_ref = ray.put(
+        {
+            nk: r_name[rk]
+            for nk, rk in zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_regionkey").to_pylist(),
+            )
+        }
+    )
 
     class ToRegion:
         def __init__(self):
-            c2n, n2r, rname = ray.get(lookup_ref)
-            self.map = {ck: rname[n2r[nk]] for ck, nk in c2n.items()}
+            self.map = ray.get(n2rname_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "r_name": df["o_custkey"].map(self.map),
-                    "o_totalprice": df["o_totalprice"],
+                    "r_name": df["c_nationkey"].map(self.map),
+                    "n_orders": df["n_orders"],
+                    "cents": df["cents"],
                 }
             )
 
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     agg = (
-        orders.map_batches(ToRegion, batch_format="pandas", concurrency=2)
+        joined.map_batches(ToRegion, batch_format="pandas", concurrency=2)
         .groupby("r_name")
-        .aggregate(Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="total_revenue"))
+        .aggregate(
+            Sum("n_orders", alias_name="orders_count"),
+            Sum("cents", alias_name="cents"),
+        )
     )
     df = agg.to_pandas().sort_values("r_name").reset_index(drop=True)
-    df["total_revenue"] = df["total_revenue"].round(2)
+    df["orders_count"] = df["orders_count"].astype(np.int64)
+    df["total_revenue"] = _rha(df.pop("cents").to_numpy(dtype=np.int64) / 100.0, 2)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -446,26 +547,43 @@ def per_order_allocation(sf_dir: str) -> ray.data.Dataset:
     """W8 (the reference's one window-over-raw-rows:
     ``tax * line/SUM(line) OVER (PARTITION BY order)``,
     sql/etl_transformations.sql:117-127): per-line share of order total and
-    equal split, via groupby(order).map_groups with in-group vectorized
-    broadcast of the group sum."""
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    equal split, via grouped totals hash-joined back to the lines.  Line
+    prices become exact int64 cents first (``_cents``), so the per-order
+    totals — and therefore both rounded ratios — are independent of Ray's
+    aggregation order and bit-identical to the oracle's."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "cents": _cents(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     # Group-count is huge (one per order), so per-group Python calls would
     # dominate; instead: grouped partial+final aggregate, hash-join the
     # totals back, and compute the shares vectorized per batch.
     totals = li.groupby("l_orderkey").aggregate(
-        Sum("l_extendedprice", alias_name="order_total"),
+        Sum("cents", alias_name="total_cents"),
         Count(alias_name="n_lines"),
     )
     joined = li.join(
-        totals, join_type="inner", num_partitions=16, on=("l_orderkey",)
+        totals,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem"),
+        on=("l_orderkey",),
     )
 
     def shares(t: pa.Table) -> pa.Table:
-        total = t.column("order_total")
-        share = pc.multiply(
-            pc.divide(t.column("l_extendedprice"), total), pa.scalar(100.0)
+        cents_f = pc.cast(t.column("cents"), pa.float64())
+        total_f = pc.cast(t.column("total_cents"), pa.float64())
+        share = pc.multiply(pc.divide(cents_f, total_f), pa.scalar(100.0))
+        split = pc.divide(
+            total_f,
+            pc.multiply(pc.cast(t.column("n_lines"), pa.float64()), pa.scalar(100.0)),
         )
-        split = pc.divide(total, pc.cast(t.column("n_lines"), pa.float64()))
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
@@ -496,8 +614,13 @@ def union_quality_report(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     ).count()
 
-    order_keys = set(
-        _small(sf_dir, "orders", ["o_orderkey"]).column("o_orderkey").to_pylist()
+    # Orphan check: broadcast ONE sorted int64 key array (8 bytes/order —
+    # plasma-shared, zero-copy numpy view per actor), vectorized
+    # searchsorted membership per batch.  At 100× the orders key column
+    # outgrows a broadcast → switch to Dataset.join(left_outer) + null
+    # filter (or a Bloom filter) — same check, shuffle-based existence.
+    order_keys = np.sort(
+        _small(sf_dir, "orders", ["o_orderkey"]).column("o_orderkey").to_numpy()
     )
     keys_ref = ray.put(order_keys)
 
@@ -506,16 +629,18 @@ def union_quality_report(sf_dir: str) -> pa.Table:
             self.keys = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = np.fromiter(
-                (k not in self.keys for k in t.column("l_orderkey").to_pylist()),
-                dtype=bool,
-                count=len(t),
-            )
-            return pa.table({"n": [int(mask.sum())]})
+            ck = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            if len(self.keys):
+                idx = np.minimum(
+                    np.searchsorted(self.keys, ck), len(self.keys) - 1
+                )
+                missing = self.keys[idx] != ck
+            else:
+                missing = np.ones(len(ck), dtype=bool)
+            return pa.table({"n": pa.array([int(missing.sum())], pa.int64())})
 
-    orphans = sum(
-        r["n"]
-        for r in li.map_batches(OrphanCount, batch_format="pyarrow", concurrency=2).take_all()
+    orphans = int(
+        li.map_batches(OrphanCount, batch_format="pyarrow", concurrency=2).sum("n")
     )
     dup_pk = (
         li.groupby(["l_orderkey", "l_linenumber"])
@@ -821,13 +946,16 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
         ok = pc.not_equal(t.column("o_orderstatus"), pa.scalar("F"))
         # dates as epoch-µs int64: Ray's hash aggregation mangles NULL-laden
         # timestamp columns into object blocks (worker crash downstream);
-        # integers with nulls aggregate cleanly and convert back in finish
+        # integers with nulls aggregate cleanly and convert back in finish.
+        # Money as exact int64 cents (``_cents``) — order-independent sums.
         od_us = pc.cast(t.column("o_orderdate"), pa.int64())
         return pa.table(
             {
                 "o_custkey": t.column("o_custkey"),
                 "valid": pc.cast(ok, pa.int64()),
-                "tp": pc.if_else(ok, t.column("o_totalprice"), pa.scalar(None, pa.float64())),
+                "tp_cents": pc.if_else(
+                    ok, _cents(t.column("o_totalprice")), pa.scalar(None, pa.int64())
+                ),
                 "od": pc.if_else(ok, od_us, pa.scalar(None, pa.int64())),
             }
         )
@@ -837,8 +965,7 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
         .groupby("o_custkey")
         .aggregate(
             Sum("valid", alias_name="frequency"),
-            Sum("tp", alias_name="monetary_raw"),
-            Mean("tp", alias_name="avg_raw"),
+            Sum("tp_cents", alias_name="monetary_cents"),
             Max("od", alias_name="last_order_date"),
             Min("od", alias_name="first_order_date"),
         )
@@ -858,8 +985,12 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
         # all-cancelled customers vanish (reference WHERE semantics)
         df = df[~(had_orders & (df["frequency"] == 0))].copy()
         freq = df["frequency"].fillna(0).astype(np.int64)
-        monetary = df["monetary_raw"].fillna(0.0).to_numpy()
-        avg_val = df["avg_raw"].fillna(0.0).to_numpy()
+        cents = df["monetary_cents"].fillna(0).to_numpy(dtype=np.float64)
+        monetary = cents / 100.0  # exact mirror of the oracle's cents/100.0
+        freq_np = freq.to_numpy()
+        avg_val = np.where(
+            freq_np > 0, cents / (np.maximum(freq_np, 1) * 100.0), 0.0
+        )
         last = pd.to_datetime(df["last_order_date"], unit="us")
         recency = (anchor - last).dt.days.fillna(999).astype(np.int64)
         r = np.select(
