@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
         "customers_without_orders": A.customers_without_orders,
+        # --- round-2 §2 gap closers ---
+        "products_profit_margin": A.products_profit_margin,
+        "docs_cleanse": A.docs_cleanse,
+        "string_agg_distinct_segments": A.string_agg_distinct_segments,
     }
 
 
@@ -615,6 +619,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS revenue,
                    ROUND(AVG(o_totalprice), 2) AS avg_order_value
             FROM orders GROUP BY 1, 2
+        """,
+        "products_profit_margin": """
+            WITH p AS (
+              SELECT p_partkey, p_name,
+                     CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+                     ((p_partkey * 37) % 9000) + 500 AS cost_cents
+              FROM part)
+            SELECT p_partkey,
+              list_aggregate(
+                list_transform(string_split(p_name, ' '),
+                               w -> upper(w[1]) || w[2:]),
+                'string_agg', ' ') AS product_name_title,
+              ROUND(price_cents / 100.0, 2) AS price,
+              ROUND(cost_cents / 100.0, 2) AS cost,
+              CASE WHEN price_cents > 0
+                   THEN ROUND((CAST(price_cents AS DOUBLE) - cost_cents)
+                              / price_cents * 100, 2)
+                   ELSE 0 END AS profit_margin_pct
+            FROM p
+        """,
+        "docs_cleanse": """
+            SELECT doc_id,
+                   NULLIF(TRIM(text), '') AS text_clean,
+                   LOWER(NULLIF(TRIM(lang), '')) AS lang_clean,
+                   LOWER(TRIM(source)) AS source_norm,
+                   REGEXP_REPLACE(source, '[^0-9]', '', 'g') AS source_digits
+            FROM documents
+        """,
+        "string_agg_distinct_segments": """
+            SELECT c_nationkey,
+                   STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                     AS segments
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "dim_date_seed": """
             SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key,

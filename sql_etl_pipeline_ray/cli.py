@@ -54,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("lake_dir")
     r.add_argument("--resume", action="store_true")
     r.add_argument("--partitions", type=int, default=None)
-    r.add_argument("--exchange", choices=["late", "actor", "groupby"], default="late")
+    r.add_argument("--exchange", choices=["late", "actor"], default="late")
 
     t = sub.add_parser(
         "tail", help="micro-batch streaming: poll the log, resume-replay new buckets"
@@ -146,8 +146,22 @@ def main(argv: list[str] | None = None) -> int:
             import pandas as _pd
             import ray.data as _rd
 
+            # __ray_entry__ lives at the repo root (one level above this
+            # package) — resolvable regardless of the caller's cwd
+            repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+            if repo_root not in sys.path:
+                sys.path.insert(0, repo_root)
             E = importlib.import_module("__ray_entry__")
             qs = E.queries()
+            unknown = sorted(set(args.queries or []) - set(qs))
+            if unknown:
+                print(
+                    json.dumps(
+                        {"error": f"unknown queries: {unknown}", "valid": sorted(qs)}
+                    ),
+                    file=sys.stderr,
+                )
+                return 2
             names = args.queries or sorted(qs)
             _os.makedirs(args.out_dir, exist_ok=True)
             report = {}

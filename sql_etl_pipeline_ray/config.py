@@ -71,10 +71,17 @@ class ReplayConfig:
     #              stateful merge-actor pool (simpler; competitive only
     #              when rows are narrow or nearly all events survive)
     # - "groupby": ds.groupby(part).map_groups (pure Dataset API path,
-    #              kept for comparison and small runs; Ray's generic
+    #              kept ONLY as a correctness cross-check; Ray's generic
     #              shuffle re-sorts the whole payload, measured 15-40x
-    #              slower on content-heavy rows)
+    #              slower on content-heavy rows).  Guarded: selecting it
+    #              raises unless allow_comparison_modes=True so the
+    #              documented anti-pattern can't ship as a production path.
     exchange: str = "late"
+
+    # Opt-in for the measured-slow comparison exchange ("groupby").  Tests
+    # set this to cross-check that all strategies produce byte-identical
+    # lakes; production entry points (CLI, bench) never do.
+    allow_comparison_modes: bool = False
 
 
 @dataclass

@@ -1333,3 +1333,95 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
     return cust.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def products_profit_margin(sf_dir: str) -> ray.data.Dataset:
+    """M2 (the reference's products transform, src/etl_pipeline.py:265-277 /
+    sql/etl_transformations.sql:45-58): INITCAP'd product name plus a
+    div-zero-guarded profit margin.
+
+    The testdata has no cost column, so cost is a DETERMINISTIC synthetic
+    in cents derived from p_partkey (same closed form in the oracle) —
+    the transform under test is the INITCAP (``pc.utf8_title``, vectorized,
+    NOT the reference's row-wise .title() apply) and the guarded ratio.
+    All money flows as exact int64 cents (see ``_cents``)."""
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def transform(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(t.column("p_retailprice")).to_numpy(zero_copy_only=False)
+        cost_c = (pk * 37) % 9000 + 500
+        price_f = price_c.astype(np.float64)
+        cost_f = cost_c.astype(np.float64)
+        margin = np.where(
+            price_c > 0,
+            _rha((price_f - cost_f) / np.maximum(price_f, 1.0) * 100, 2),
+            0.0,
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "product_name_title": pc.utf8_title(t.column("p_name")),
+                "price": _rha(price_f / 100.0, 2),
+                "cost": _rha(cost_f / 100.0, 2),
+                "profit_margin_pct": margin,
+            }
+        )
+
+    return part.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_cleanse(sf_dir: str) -> ray.data.Dataset:
+    """M7 cleanse MUTATIONS (the reference's clean_dataframe,
+    src/data_validator.py:329-392): trim, ``'' → NULL``, lowercase
+    normalization, digits-only extraction — the reference applies these to
+    emails/phones; here the same kernels run over the documents table.
+    Uses the reusable ``empty_strings_to_null`` cleanse stage."""
+    from ..stages.normalize import empty_strings_to_null
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def cleanse(t: pa.Table) -> pa.Table:
+        t = empty_strings_to_null(t, ["text", "lang"])
+        src = t.column("source")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_clean": t.column("text"),
+                "lang_clean": pc.utf8_lower(t.column("lang")),
+                "source_norm": pc.utf8_lower(pc.utf8_trim_whitespace(src)),
+                "source_digits": pc.replace_substring_regex(src, r"[^0-9]", ""),
+            }
+        )
+
+    return docs.map_batches(cleanse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def string_agg_distinct_segments(sf_dir: str) -> pa.Table:
+    """A5 DISTINCT variant (STRING_AGG(DISTINCT ...),
+    sql/complex_queries.sql:307): distinct market segments per nation,
+    sorted and comma-joined.  The distinct collapse is a DISTRIBUTED
+    two-level groupby (nation, segment) — only unique pairs reach the
+    per-nation string join, so the string_agg itself touches ≤ |nations| ×
+    |segments| rows at any scale."""
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    distinct = cust.groupby(["c_nationkey", "c_mktsegment"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def join_segs(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [g["c_nationkey"].iloc[0]],
+                "segments": [",".join(sorted(g["c_mktsegment"]))],
+            }
+        )
+
+    out = (
+        distinct.groupby("c_nationkey")
+        .map_groups(join_segs, batch_format="pandas")
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

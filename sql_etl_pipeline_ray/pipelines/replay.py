@@ -487,6 +487,13 @@ def replay(
             compact_fn=(lambda t: fold_latest(t, keep_tombstones=True)),
         )
     elif cfg.exchange == "groupby":
+        if not cfg.allow_comparison_modes:
+            raise ValueError(
+                "exchange='groupby' is a comparison-only mode (measured "
+                "15-40x slower than 'late' on content-heavy logs); set "
+                "ReplayConfig(allow_comparison_modes=True) to run it in a "
+                "correctness cross-check"
+            )
         metrics_rows = _replay_groupby(
             scan, cfg, commit_args, num_blocks, num_partitions, event_schema, ckpts
         )
@@ -598,8 +605,17 @@ def _replay_late(
 
     # ---- phase 2: extract winner rows, route to committers ----
     extract_args = {**commit_args, "stats_per_part": stats_per_part}
+    # copy_on_add=False buffers zero-copy plasma VIEWS, which pins the
+    # source blocks they slice until finalize.  That is cheap when winners
+    # are a small fraction of the log (update-heavy CDC), but for
+    # insert-dominated logs the routed winner rows approach the whole
+    # input — pinning ~all content risks plasma spill/backpressure, so
+    # copy the slices instead and let the executor release source blocks.
+    total_events = sum(r["stats"]["events_in"] for r in phase1)
+    total_live = sum(r["stats"]["live_rows"] for r in phase1)
+    winner_dense = total_events > 0 and total_live / total_events > 0.25
     actors2 = [
-        ExchangeActor.remote(copy_on_add=False)  # pre-filtered winners only
+        ExchangeActor.remote(copy_on_add=winner_dense)
         for _ in range(num_actors)
     ]
     if scan.files:

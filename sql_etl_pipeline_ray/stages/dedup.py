@@ -184,36 +184,84 @@ class SimHasher:
         )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 (numpy <2 has no bit_count ufunc)."""
+    return np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1).astype(np.int64)
+
+
 def simhash_near_dups(
     docs: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
 ) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: bucket on 16-bit chunks (a pair within
-    hamming distance d ≤ 3 shares at least one of 4 chunks), verify exact
-    hamming distance on candidates."""
-    sims = docs.map_batches(
-        SimHasher(text_col), batch_format="pandas", concurrency=2
-    ).to_pandas()
-    h = sims["simhash"].to_numpy().view(np.uint64)
-    ids = sims["doc_id"].to_numpy()
-    cand = set()
-    for chunk in range(4):
-        key = (h >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": key, "i": np.arange(len(ids))})
-        for _, g in df.groupby("k"):
-            idx = g["i"].to_numpy()
-            if len(idx) > 1:
-                for x in range(len(idx)):
-                    for y in range(x + 1, len(idx)):
-                        cand.add((idx[x], idx[y]))
-    rows = []
-    for x, y in sorted(cand):
-        d = int(bin(int(h[x]) ^ int(h[y])).count("1"))
-        if d <= max_hamming:
-            a, b = sorted((int(ids[x]), int(ids[y])))
-            rows.append((a, b, d))
-    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).sort_values(
-        ["a", "b"]
-    ).reset_index(drop=True) if rows else pd.DataFrame(columns=["a", "b", "hamming"])
+    """Near-dup pairs by SimHash, fully distributed: a pair within hamming
+    distance d ≤ 3 shares at least one of the hash's 4 16-bit chunks
+    (pigeonhole), so each doc explodes into 4 ``(chunk_id, chunk_key)``
+    bucket rows (the hash travels with the row — 24 bytes/row, never text),
+    candidate pairs are generated AND hamming-verified vectorized inside
+    each bucket's ``map_groups`` call, and the cross-chunk duplicates are
+    collapsed by one pair-key groupby.  Mirrors ``minhash_lsh_pairs``'s
+    banded-bucket shape — no driver-side hash table, no Python pair loops.
+
+    Skew note: a stop-word-heavy corpus can pile up one 16-bit bucket and
+    the in-bucket pair-gen is quadratic in bucket size — same inherent
+    hot-bucket caveat as LSH banding; cap or sub-split oversized buckets
+    if a real corpus ever hits it."""
+    sims = docs.map_batches(SimHasher(text_col), batch_format="pandas", concurrency=2)
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        hu = h.view(np.uint64)
+        parts = [
+            pd.DataFrame(
+                {
+                    "chunk_id": np.int64(chunk),
+                    "chunk_key": ((hu >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(
+                        np.int64
+                    ),
+                    "doc_id": ids,
+                    "simhash": h,
+                }
+            )
+            for chunk in range(4)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    buckets = sims.map_batches(to_buckets, batch_format="pandas")
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "hamming": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        h = g["simhash"].to_numpy()[order].view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = _popcount64(h[ii] ^ h[jj])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": d[keep]}
+        )
+
+    verified = buckets.groupby(["chunk_id", "chunk_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair found via k shared chunks appears k times — collapse to one
+    out = (
+        verified.groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()  # verified pairs are rare by construction — tiny
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:

@@ -28,6 +28,28 @@ from ..schemas import PART_COLUMN, VALID_OPS, conform_batch
 from .merge import EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL, fold_latest
 
 
+def empty_strings_to_null(
+    batch: pa.Table, columns: list[str] | None = None, trim: bool = True
+) -> pa.Table:
+    """Cleanse mutation: trim string columns and convert ``''`` to NULL —
+    the reference's ``replace('', None)`` cleanse pass
+    (``src/data_validator.py:329-359``), vectorized as Arrow kernels for
+    use inside ``map_batches``.  ``columns=None`` applies to every
+    string-typed column."""
+    for name in columns or batch.column_names:
+        i = batch.schema.get_field_index(name)
+        col = batch.column(i)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            continue
+        if trim:
+            col = pc.utf8_trim_whitespace(col)
+        col = pc.if_else(
+            pc.equal(col, pa.scalar("", col.type)), pa.scalar(None, col.type), col
+        )
+        batch = batch.set_column(i, batch.schema.field(i).with_nullable(True), col)
+    return batch
+
+
 def make_normalizer(
     target_schema: pa.Schema,
     num_partitions: int,

@@ -21,6 +21,27 @@ def _to_matrix(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _codebook_sample(
+    emb: ray.data.Dataset,
+    vec_col: str,
+    sample_fraction: float,
+    max_rows: int,
+    seed: int,
+) -> np.ndarray:
+    """Bounded, seeded codebook training sample (L2-normalized matrix).
+
+    ``random_sample(fraction)`` alone scales with the dataset — at 100 TB a
+    fixed fraction would pull billions of rows to the driver.  The fraction
+    keeps the sample spread across blocks; ``limit(max_rows)`` bounds what
+    the driver ever materializes regardless of input size."""
+    sample = _to_matrix(
+        emb.random_sample(sample_fraction, seed=seed)
+        .limit(max_rows)
+        .to_pandas()[vec_col]
+    )
+    return sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
+
+
 class CosineTopK:
     """Per-batch brute-force cosine scores + partial top-k.
 
@@ -123,6 +144,7 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_fraction: float = 0.25,
+    max_sample_rows: int = 65_536,
     seed: int = 42,
 ) -> pd.DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest IVF buckets.
@@ -135,10 +157,9 @@ def ivf_topk(
     tested against the brute-force baseline; at 100 TB the bucket
     assignment is a persisted column and each query touches
     nprobe/n_clusters of the data."""
-    sample = _to_matrix(
-        embeddings.random_sample(sample_fraction, seed=seed).to_pandas()["embedding"]
+    sample = _codebook_sample(
+        embeddings, "embedding", sample_fraction, max_sample_rows, seed
     )
-    sample = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
     cents = kmeans_lite(sample, n_clusters, seed=seed)
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
@@ -247,6 +268,7 @@ def embedding_near_dups_ivf(
     threshold: float = 0.3,
     n_clusters: int = 8,
     sample_fraction: float = 0.5,
+    max_sample_rows: int = 65_536,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -263,10 +285,7 @@ def embedding_near_dups_ivf(
     a pair sharing NO bucket is missed (recall vs the brute-force baseline
     asserted in tests; tune n_clusters/probes for the recall-cost
     trade)."""
-    sample = _to_matrix(
-        emb.random_sample(sample_fraction, seed=seed).to_pandas()[vec_col]
-    )
-    sample = sample / np.maximum(np.linalg.norm(sample, axis=1)[:, None], 1e-12)
+    sample = _codebook_sample(emb, vec_col, sample_fraction, max_sample_rows, seed)
     cents_ref = ray.put(kmeans_lite(sample, n_clusters, seed=seed))
 
     class AssignKeepVec:

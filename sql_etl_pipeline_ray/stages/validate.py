@@ -151,11 +151,20 @@ def null_quality_gate(
     counts reduced by one grouped sum — no full-column materialization.
 
     Returns (column, nulls, rows, null_fraction, exceeds_threshold)."""
+    # Resolve the column list ONCE from the dataset's unified schema: under
+    # schema evolution a late-added column appears only in some batches, and
+    # a per-batch column list would compute its null fraction over just the
+    # batches that carry it — understating the table-level fraction the
+    # reference's NULL_THRESHOLD gate measures.  With a fixed list, a batch
+    # missing the column counts it as all-null (len(batch) below).
+    schema = ds.schema()
+    cols_resolved = columns or [
+        n for n in (schema.names if schema is not None else [])
+        if not n.startswith("_")
+    ]
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        cols = columns or [
-            f.name for f in batch.schema if not f.name.startswith("_")
-        ]
+        cols = cols_resolved
         return pa.table(
             {
                 "column": cols,

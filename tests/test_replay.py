@@ -160,7 +160,13 @@ def test_all_exchange_strategies_identical(log_dir, tmp_path):
     digests = {}
     for mode in ("late", "actor", "groupby"):
         out = str(tmp_path / f"lake_{mode}")
-        replay(log_dir, out, ReplayConfig(num_partitions=8, exchange=mode))
+        replay(
+            log_dir,
+            out,
+            ReplayConfig(
+                num_partitions=8, exchange=mode, allow_comparison_modes=True
+            ),
+        )
         digests[mode] = {
             p: m["digest"] for p, m in mf.read_all_manifests(out).items()
         }
@@ -222,7 +228,10 @@ def test_hot_single_key_combiner(tmp_path):
     key_id = np.where(hot, 0, rng.integers(1, 50, n))
     lsn = np.arange(n, dtype=np.int64)
     op = np.where(lsn % 17 == 3, "D", np.where(key_id == 0, "U", "I"))
-    op[key_id == 0][:1] = "I"
+    # give the hot key a real initial insert (fancy-index assignment into a
+    # copy was a silent no-op before)
+    hot_idx = np.flatnonzero(key_id == 0)[:1]
+    op[hot_idx] = "I"
     tbl = pa.table(
         {
             "lsn": lsn,
