@@ -346,6 +346,54 @@ def _make_prior_phase1_process(num_partitions: int):
     return process
 
 
+# Winner-set membership representation: a dense LSN bitmap beats binary
+# search when the LSN span is bounded — searchsorted costs log2(|winners|)
+# cache-missy probes per row over the whole log (measured ~4s of the
+# phase-2 feed at 100M events), while the bitmap is one L2-resident byte
+# load per row (100M-LSN span = 12.5 MB).  Cap the bitmap at 64 MiB
+# (512M-LSN span); sparse/wide LSN spaces (e.g. timestamp LSNs) fall back
+# to the sorted-array searchsorted path.
+_MAX_BITMAP_BYTES = 64 << 20
+
+
+def make_winner_filter(winners: np.ndarray):
+    """Build the broadcast winner set: ('bitmap', lo, bits) when the span
+    allows, else ('sorted', winners).  Returns (payload, membership_fn)
+    where membership_fn(payload, lsn_array) -> bool mask."""
+    if len(winners) and (int(winners[-1]) - int(winners[0])) // 8 < _MAX_BITMAP_BYTES:
+        lo = int(winners[0])
+        off = winners - lo
+        bits = np.zeros((int(off[-1]) >> 3) + 1, dtype=np.uint8)
+        # bitwise_or.at, NOT bits[idx] |= v: fancy-index assignment keeps
+        # only one write per duplicate byte index
+        np.bitwise_or.at(bits, off >> 3, (1 << (off & 7)).astype(np.uint8))
+        return ("bitmap", lo, bits)
+    return ("sorted", winners)
+
+
+def winner_membership(payload, lsn: np.ndarray) -> np.ndarray:
+    # Raw log rows can carry NULL lsn (dropped by phase 1, but phase 2
+    # re-reads the unfiltered log): numpy surfaces those as float64 NaN,
+    # which can never be a winner — mask them and work on exact ints.
+    valid = None
+    if lsn.dtype.kind == "f":
+        valid = ~np.isnan(lsn)
+        lsn = np.where(valid, lsn, 0).astype(np.int64)
+    if payload[0] == "bitmap":
+        _, lo, bits = payload
+        hi = lo + (len(bits) << 3) - 1
+        in_range = (lsn >= lo) & (lsn <= hi)
+        off = (lsn - lo) * in_range  # clamp out-of-range to a safe index
+        hit = (((bits[off >> 3] >> (off & 7)) & 1) != 0) & in_range
+    else:
+        winners = payload[1]
+        if not len(winners):
+            return np.zeros(len(lsn), dtype=bool)
+        idx = np.minimum(np.searchsorted(winners, lsn), len(winners) - 1)
+        hit = winners[idx] == lsn
+    return hit if valid is None else hit & valid
+
+
 def _make_extract_process(
     event_schema: pa.Schema,
     num_partitions: int,
@@ -355,13 +403,9 @@ def _make_extract_process(
     """Phase-2: keep only winning-LSN rows, conform, route."""
 
     def process(batch: pa.Table) -> pa.Table:
-        winners = ray.get(winners_ref)  # zero-copy numpy view from plasma
+        payload = ray.get(winners_ref)  # zero-copy numpy view from plasma
         lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(winners, lsn)
-        idx_c = np.minimum(idx, len(winners) - 1) if len(winners) else idx
-        hit = (
-            (winners[idx_c] == lsn) if len(winners) else np.zeros(len(lsn), bool)
-        )
+        hit = winner_membership(payload, lsn)
         batch = batch.filter(pa.array(hit))
         if prior:
             n = len(batch)
@@ -599,7 +643,7 @@ def _replay_late(
         return []
     stats_per_part = {r["part"]: r["stats"] for r in phase1}
     all_winners = np.sort(np.concatenate([r["winner_lsns"] for r in phase1]))
-    winners_ref = ray.put(all_winners)
+    winners_ref = ray.put(make_winner_filter(all_winners))
     phase_times["phase1_finalize_s"] = round(time.time() - _t0, 3)
     _t0 = time.time()
 
@@ -625,6 +669,13 @@ def _replay_late(
             actors2,
             num_partitions,
         )
+        # Keep an explicit row batch_size here: the coalesce COPIES each
+        # block to task heap, which lets the executor release the plasma
+        # block before the feed's ack barrier.  batch_size=None (zero-copy
+        # whole blocks) measured 5x SLOWER (69s vs 13s interleaved min at
+        # 100M events) — the mapped block stays referenced through
+        # process+route+ack, the object store fills, and the read stalls
+        # on backpressure.
         ds2.map_batches(
             feed2, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.batch_size,

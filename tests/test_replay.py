@@ -275,3 +275,52 @@ def test_resume_after_partial_crash_rebuilds_missing_partition(tmp_path):
     res = replay(d, out, ReplayConfig(num_partitions=4), resume=True)
     assert res.summary["partitions_committed"] >= 1
     compare_to_oracle(out, read_log_files(d))
+
+
+def test_winner_filter_bitmap_and_sorted_paths():
+    """The phase-2 winner membership test must be exact in both
+    representations: dense-span bitmap and wide-span sorted fallback."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.pipelines.replay import (
+        make_winner_filter,
+        winner_membership,
+    )
+
+    rng = np.random.default_rng(3)
+    winners = np.sort(rng.choice(1_000_000, size=5_000, replace=False).astype(np.int64))
+    probe = np.concatenate([winners[::7], rng.integers(-10, 1_100_000, 20_000)])
+    truth = np.isin(probe, winners)
+
+    dense = make_winner_filter(winners)
+    assert dense[0] == "bitmap"
+    assert np.array_equal(winner_membership(dense, probe), truth)
+
+    # wide span (timestamp-like LSNs) must fall back to searchsorted
+    wide = winners * 10_000_000_000
+    probe_w = np.concatenate([wide[::7], rng.integers(0, wide[-1] + 5, 20_000)])
+    f = make_winner_filter(wide)
+    assert f[0] == "sorted"
+    assert np.array_equal(winner_membership(f, probe_w), np.isin(probe_w, wide))
+
+    # empty winner set: nothing matches
+    empty = make_winner_filter(np.zeros(0, np.int64))
+    assert not winner_membership(empty, probe).any()
+
+
+def test_winner_filter_null_lsn_rows():
+    """Phase 2 re-reads the raw log, so batches can carry NULL lsn rows
+    (numpy float64 + NaN) — membership must treat them as non-winners in
+    both representations."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.pipelines.replay import (
+        make_winner_filter,
+        winner_membership,
+    )
+
+    winners = np.array([2, 5, 9], dtype=np.int64)
+    lsn = np.array([2.0, np.nan, 5.0, 7.0, np.nan], dtype=np.float64)
+    want = np.array([True, False, True, False, False])
+    assert np.array_equal(winner_membership(make_winner_filter(winners), lsn), want)
+    assert np.array_equal(winner_membership(("sorted", winners), lsn), want)
