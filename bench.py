@@ -37,6 +37,23 @@ SCALING_CPUS = tuple(
 )
 
 
+def host_calibration() -> dict:
+    """~2s single-thread memory-bandwidth probe, reported with every bench
+    JSON.  This VM's host contention swings measured wall time by 2-4x
+    between sessions (single-thread read bandwidth observed anywhere from
+    2.4 to 12 GB/s on the same code); recording the host's speed alongside
+    each number lets cross-round comparisons normalize for it."""
+    import numpy as np
+
+    a = np.zeros(1 << 27, dtype=np.uint8)  # 128 MiB
+    reps = 8
+    t0 = time.time()
+    for _ in range(reps):
+        a.sum()
+    dt = time.time() - t0
+    return {"host_read_bw_gbps": round(reps * a.nbytes / dt / 1e9, 2)}
+
+
 def sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -122,6 +139,7 @@ def run_bench() -> dict:
             "events": n_events,
             "events_per_sec": round(n_events / t_replay, 1),
             "live_rows": res.summary["live_rows"],
+            **host_calibration(),
         }
         ray.shutdown()
         return result
@@ -155,6 +173,7 @@ def run_bench() -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / t_replay, 1),
         "live_rows": res.summary["live_rows"],
+        **host_calibration(),
     }
     ray.shutdown()
     return result
@@ -167,6 +186,7 @@ def run_scaling(reps: int = 3) -> None:
     lo, hi = SCALING_CPUS
     times: dict[int, list[float]] = {lo: [], hi: []}
     events = 0
+    host_bw: list[float] = []
     for _ in range(reps):
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_REPLAY="1")
@@ -180,6 +200,8 @@ def run_scaling(reps: int = 3) -> None:
             r = json.loads(proc.stdout.strip().splitlines()[-1])
             times[ncpu].append(r["value"])
             events = r["events"]
+            if "host_read_bw_gbps" in r:
+                host_bw.append(r["host_read_bw_gbps"])
     t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     print(
@@ -194,6 +216,7 @@ def run_scaling(reps: int = 3) -> None:
                 "events": events,
                 f"all_sec_{lo}cpu": times[lo],
                 f"all_sec_{hi}cpu": times[hi],
+                "host_read_bw_gbps_per_run": host_bw,
             }
         )
     )
