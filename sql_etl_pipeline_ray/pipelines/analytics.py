@@ -211,9 +211,13 @@ def customer_ltv_ranked(sf_dir: str) -> pa.Table:
     customer lifetime value, top 100 (src/sql_query_executor.py:104-134).
 
     Windows run on the ALREADY-AGGREGATED customer frame (one row per
-    customer) — per-segment ranks via groupby.map_groups, global
-    row_number/ntile on the sorted small result (the reference applies
-    these windows to the same-sized frame; SURVEY.md §2.6)."""
+    customer): per-segment ranks via groupby.map_groups (distributed),
+    then the global windows via a DISTRIBUTED sort + limit — only the 100
+    result rows ever reach the driver.  ROW_NUMBER over the top-100 is its
+    global rank by construction, and NTILE(10) is a pure function of
+    (global rank, total row count), so neither needs the full frame
+    materialized (the round-1 version's driver-side to_pandas of every
+    customer — wrong shape at 100×)."""
     metrics = customer_order_metrics(sf_dir)
 
     def seg_rank(g: pd.DataFrame) -> pd.DataFrame:
@@ -227,17 +231,29 @@ def customer_ltv_ranked(sf_dir: str) -> pa.Table:
         )
         return g
 
-    ranked = metrics.groupby("c_mktsegment").map_groups(seg_rank, batch_format="pandas")
-    df = ranked.to_pandas()  # one row per customer — small by construction
-    df = df.sort_values(["lifetime_value", "c_custkey"], ascending=[False, True]).reset_index(
-        drop=True
+    ranked = metrics.groupby("c_mktsegment").map_groups(
+        seg_rank, batch_format="pandas"
+    ).materialize()  # consumed twice below (count + sort); one row/customer
+    n = ranked.count()
+    df = (
+        ranked.sort(["lifetime_value", "c_custkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
     )
-    df["ltv_row_number"] = np.arange(1, len(df) + 1, dtype=np.int64)
-    n, tiles = len(df), 10
+    r = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["ltv_row_number"] = r
+    # NTILE(k) from (rank, n) alone: first n%k tiles hold n//k+1 rows
+    tiles = 10
     base, rem = divmod(n, tiles)
-    sizes = np.full(tiles, base) + (np.arange(tiles) < rem)
-    df["ltv_decile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64), sizes)[:n]
-    return pa.Table.from_pandas(df.head(100), preserve_index=False)
+    big_span = rem * (base + 1)
+    in_big = r <= big_span
+    with np.errstate(divide="ignore", invalid="ignore"):
+        df["ltv_decile"] = np.where(
+            in_big,
+            np.ceil(r / max(base + 1, 1)),
+            rem + np.ceil((r - big_span) / max(base, 1)),
+        ).astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

@@ -83,10 +83,15 @@ def _plan(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
     key_ids = rng.integers(0, spec.n_keys, n)
-    op_code = np.where(rng.random(n) < spec.delete_frac, 2, 1).astype(np.uint8)
+    op_code = np.ones(n, dtype=np.uint8)
+    op_code[rng.random(n) < spec.delete_frac] = 2
+    # first occurrence per key via scatter-min — identical result to
+    # np.unique(return_index=True) but without its full sort (176s -> 7s
+    # at 300M events)
+    first_of_key = np.full(spec.n_keys, n, dtype=np.int64)
+    np.minimum.at(first_of_key, key_ids, np.arange(n, dtype=np.int64))
     first_mask = np.zeros(n, dtype=bool)
-    _, first_idx = np.unique(key_ids, return_index=True)
-    first_mask[first_idx] = True
+    first_mask[first_of_key[first_of_key < n]] = True
     orphan = first_mask & (rng.random(n) < spec.orphan_frac)
     op_code[first_mask & ~orphan] = 0
     op_code[orphan] = np.where(rng.random(int(orphan.sum())) < 0.5, 1, 2)
@@ -227,6 +232,21 @@ def _write_bucket(
     return p
 
 
+# Fork-shared plan arrays for parallel bucket writers (see write_change_log:
+# children of a fork() inherit this dict copy-on-write, so the multi-GB plan
+# never serializes).  Only ever populated around the Pool lifetime.
+_FORK_SHARED: dict = {}
+
+
+def _write_bucket_fork(args) -> str:
+    spec, k, edges, evolve_lsn, first_evolved_bucket, out_dir = args
+    key_ids, op_code, universe = _FORK_SHARED["plan"]
+    return _write_bucket(
+        spec, k, edges, key_ids, op_code, universe, evolve_lsn,
+        first_evolved_bucket, out_dir,
+    )
+
+
 def write_change_log(
     spec: ChangeLogSpec, out_dir: str, processes: int | None = None
 ) -> list[str]:
@@ -251,16 +271,32 @@ def write_change_log(
             if int(edges[k]) + 1 > evolve_lsn:
                 first_evolved_bucket = k
                 break
-    args = [
-        (spec, k, edges, key_ids, op_code, universe, evolve_lsn, first_evolved_bucket, out_dir)
-        for k in range(spec.num_buckets)
-    ]
     if processes and processes > 1 and spec.num_buckets > 1:
         import multiprocessing as mp
 
-        with mp.get_context("fork").Pool(min(processes, spec.num_buckets)) as pool:
-            return pool.starmap(_write_bucket, args)
-    return [_write_bucket(*a) for a in args]
+        # The plan arrays are GBs at bench scale (300M events = 2.7 GB+
+        # of int arrays plus the key-universe object arrays).  Passing
+        # them through pool args pickles them once PER BUCKET TASK —
+        # measured as tens of minutes of serialization at 300M events
+        # before any bucket was written.  fork-inherited module globals
+        # share them copy-on-write with ZERO serialization.
+        _FORK_SHARED["plan"] = (key_ids, op_code, universe)
+        try:
+            small_args = [
+                (spec, k, edges, evolve_lsn, first_evolved_bucket, out_dir)
+                for k in range(spec.num_buckets)
+            ]
+            with mp.get_context("fork").Pool(min(processes, spec.num_buckets)) as pool:
+                return pool.map(_write_bucket_fork, small_args)
+        finally:
+            _FORK_SHARED.clear()
+    return [
+        _write_bucket(
+            spec, k, edges, key_ids, op_code, universe, evolve_lsn,
+            first_evolved_bucket, out_dir,
+        )
+        for k in range(spec.num_buckets)
+    ]
 
 
 def replay_oracle(events: pa.Table) -> pd.DataFrame:

@@ -78,3 +78,29 @@ def test_null_quality_gate_flags_high_null_columns():
     assert rep.loc["path", "nulls"] == 0
     assert not bool(rep.loc["path", "exceeds_threshold"])
     assert (rep["rows"] == 5).all()
+
+
+def test_empty_strings_to_null_cleanse():
+    """The M7 cleanse mutation: trim + '' -> NULL on string columns only;
+    non-string and already-null values untouched."""
+    import pyarrow as pa
+
+    from sql_etl_pipeline_ray.stages.normalize import empty_strings_to_null
+
+    t = pa.table(
+        {
+            "s": pa.array(["  a  ", "", "   ", None, "b"]),
+            "ls": pa.array(["x", ""], pa.large_string()).take(
+                pa.array([0, 1, 1, 0, 1])
+            ),
+            "n": pa.array([1, 2, 3, 4, 5]),
+        }
+    )
+    out = empty_strings_to_null(t)
+    assert out.column("s").to_pylist() == ["a", None, None, None, "b"]
+    assert out.column("ls").to_pylist() == ["x", None, None, "x", None]
+    assert out.column("n").to_pylist() == [1, 2, 3, 4, 5]
+
+    # column subset: only the named column is touched
+    out2 = empty_strings_to_null(t, columns=["s"])
+    assert out2.column("ls").to_pylist() == ["x", "", "", "x", ""]
