@@ -137,22 +137,29 @@ def _commits_slice(key_ids: np.ndarray, lsns: np.ndarray) -> pd.Series:
     v = (key_ids.astype(np.uint64) * np.uint64(2654435761) + lsns.astype(np.uint64)) & np.uint64(
         (1 << 63) - 1
     )
-    return pd.Series(v).map("{:040x}".format)
+    # astype(object): map() on an EMPTY series keeps the uint64 dtype,
+    # which Arrow then rejects as a string column (empty-bucket edge)
+    return pd.Series(v).map("{:040x}".format).astype(object)
 
 
-def _gen_slice(
+def _gen_rows(
     spec: ChangeLogSpec,
-    start: int,
-    end: int,
+    idx: np.ndarray,
     key_ids: np.ndarray,
     op_code: np.ndarray,
     universe: tuple[np.ndarray, np.ndarray, np.ndarray],
     evolve_lsn: int | None,
 ) -> pa.Table:
+    """Generate the events at absolute event indices ``idx`` (any order).
+
+    Content/commit are pure per-row functions of (key_id, lsn), so an
+    arbitrary index set generates byte-identically to a contiguous slice —
+    this is what lets bucket writers stream a PERMUTED bucket in bounded
+    chunks instead of materializing it whole."""
     repo_u, path_u, lang_u = universe
-    kid = key_ids[start:end]
-    oc = op_code[start:end]
-    lsn = np.arange(start + 1, end + 1, dtype=np.int64)
+    kid = key_ids[idx]
+    oc = op_code[idx]
+    lsn = (idx + 1).astype(np.int64)
     content = _content_slice(kid, lsn, spec.content_pad)
     content[oc == 2] = None
     tbl = pa.table(
@@ -177,12 +184,67 @@ def _gen_slice(
     return tbl
 
 
+def _gen_slice(
+    spec: ChangeLogSpec,
+    start: int,
+    end: int,
+    key_ids: np.ndarray,
+    op_code: np.ndarray,
+    universe: tuple[np.ndarray, np.ndarray, np.ndarray],
+    evolve_lsn: int | None,
+) -> pa.Table:
+    return _gen_rows(
+        spec, np.arange(start, end, dtype=np.int64), key_ids, op_code,
+        universe, evolve_lsn,
+    )
+
+
 def generate_change_log(spec: ChangeLogSpec) -> pa.Table:
     """Full change-event table in memory (LSN-ascending) — test scales."""
     key_ids, op_code = _plan(spec)
     universe = _keys(spec)
     evolve = _evolve_lsn(spec) if spec.evolve_after_frac is not None else None
     return _gen_slice(spec, 0, spec.n_events, key_ids, op_code, universe, evolve)
+
+
+def _apply_bucket_physical_schema(
+    part: pa.Table,
+    k: int,
+    bucket_min_lsn: int,
+    evolve_lsn: int | None,
+    first_evolved_bucket: int | None,
+) -> pa.Table:
+    """Per-bucket physical-schema mangling for the evolution epoch (a
+    bucket is wholly pre- or wholly post-evolution by construction)."""
+    if evolve_lsn is None:
+        return part
+    if bucket_min_lsn <= evolve_lsn:
+        # pre-evolution bucket: physical schema has no size_bytes
+        return part.drop_columns(["size_bytes"])
+    idx = part.schema.get_field_index("lang")
+    part = part.set_column(
+        idx,
+        pa.field("lang", pa.large_string()),
+        part.column("lang").cast(pa.large_string()),
+    )
+    if k == first_evolved_bucket:
+        i = part.schema.get_field_index("size_bytes")
+        part = part.set_column(
+            i,
+            pa.field("size_bytes", pa.int32()),
+            part.column("size_bytes").cast(pa.int32()),
+        )
+    return part
+
+
+# One generated+written chunk per Parquet row group.  Small row groups
+# (128Ki rows, not pyarrow's 1M default) let the reader split a bucket file
+# into multiple blocks WITHOUT re-decoding whole groups per block — a
+# single-row-group file caps read parallelism at one task per file and
+# re-splitting it duplicates decode work (measured: 32 blocks over 16
+# one-group files was SLOWER than 16 blocks).  Mirrors what a production
+# binlog archiver should do for a scan-parallel lake.
+_BUCKET_CHUNK_ROWS = 128 * 1024
 
 
 def _write_bucket(
@@ -196,39 +258,37 @@ def _write_bucket(
     first_evolved_bucket: int | None,
     out_dir: str,
 ) -> str:
-    part = _gen_slice(spec, edges[k], edges[k + 1], key_ids, op_code, universe, evolve_lsn)
+    """Stream one LSN bucket to Parquet in PERMUTED 128Ki-row chunks.
+
+    The within-bucket shuffle is a precomputed permutation of the bucket's
+    event indices; each chunk generates exactly the rows at its permuted
+    indices (``_gen_rows`` is index-set-invariant) and becomes one row
+    group.  Writer memory is O(chunk), not O(bucket) — materializing whole
+    4.7M-row padded buckets across 16 parallel workers OOM'd a 125 GiB
+    box; this bounds generation memory at ANY bucket size."""
+    start, end = int(edges[k]), int(edges[k + 1])
+    n_rows = end - start
     rng = np.random.default_rng(spec.seed + 2 + k)
-    part = part.take(rng.permutation(len(part)))
-    bucket_min_lsn = int(edges[k]) + 1
-    if evolve_lsn is not None:
-        if bucket_min_lsn <= evolve_lsn:
-            # pre-evolution bucket: physical schema has no size_bytes
-            part = part.drop_columns(["size_bytes"])
-        else:
-            idx = part.schema.get_field_index("lang")
-            part = part.set_column(
-                idx,
-                pa.field("lang", pa.large_string()),
-                part.column("lang").cast(pa.large_string()),
-            )
-            if k == first_evolved_bucket:
-                i = part.schema.get_field_index("size_bytes")
-                part = part.set_column(
-                    i,
-                    pa.field("size_bytes", pa.int32()),
-                    part.column("size_bytes").cast(pa.int32()),
-                )
+    perm = rng.permutation(n_rows)
+    bucket_min_lsn = start + 1
     d = os.path.join(out_dir, f"lsn_bucket={k}")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "events.parquet")
-    # Small row groups (128Ki rows, not pyarrow's 1M default) let the
-    # reader split a bucket file into multiple blocks WITHOUT re-decoding
-    # whole groups per block — a single-row-group file caps read
-    # parallelism at one task per file and re-splitting it duplicates
-    # decode work (measured: 32 blocks over 16 one-group files was SLOWER
-    # than 16 blocks).  Mirrors what a production binlog archiver should
-    # do for a scan-parallel lake.
-    pq.write_table(part, p, row_group_size=128 * 1024)
+    writer = None
+    try:
+        for i in range(0, max(n_rows, 1), _BUCKET_CHUNK_ROWS):
+            idx = start + perm[i : i + _BUCKET_CHUNK_ROWS]
+            part = _gen_rows(spec, idx, key_ids, op_code, universe, evolve_lsn)
+            part = _apply_bucket_physical_schema(
+                part, k, bucket_min_lsn, evolve_lsn, first_evolved_bucket
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(p, part.schema)
+            if len(part):
+                writer.write_table(part, row_group_size=_BUCKET_CHUNK_ROWS)
+    finally:
+        if writer is not None:
+            writer.close()
     return p
 
 
