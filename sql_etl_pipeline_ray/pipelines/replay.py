@@ -351,15 +351,19 @@ def _make_prior_phase1_process(num_partitions: int):
 # cache-missy probes per row over the whole log (measured ~4s of the
 # phase-2 feed at 100M events), while the bitmap is one L2-resident byte
 # load per row (100M-LSN span = 12.5 MB).  Cap the bitmap at 64 MiB
-# (512M-LSN span); sparse/wide LSN spaces (e.g. timestamp LSNs) fall back
-# to the sorted-array searchsorted path.
+# (512M-LSN span).  Sparse/wide LSN spaces (e.g. timestamp LSNs) use a
+# Bloom filter as the fast path — ~95% of phase-2 probes are losers, and a
+# definite-miss costs k byte loads into a 10-bits/key array — with the
+# rare maybe-hits (winners + ~1% FPs) verified exactly by searchsorted, so
+# the answer stays exact while per-row cost drops from log2(|winners|)
+# probes to O(1).
 _MAX_BITMAP_BYTES = 64 << 20
 
 
 def make_winner_filter(winners: np.ndarray):
     """Build the broadcast winner set: ('bitmap', lo, bits) when the span
-    allows, else ('sorted', winners).  Returns (payload, membership_fn)
-    where membership_fn(payload, lsn_array) -> bool mask."""
+    allows, else ('bloom', filter, sorted_winners).  Consumed by
+    ``winner_membership(payload, lsn_array) -> bool mask``."""
     if len(winners) and (int(winners[-1]) - int(winners[0])) // 8 < _MAX_BITMAP_BYTES:
         lo = int(winners[0])
         off = winners - lo
@@ -368,6 +372,10 @@ def make_winner_filter(winners: np.ndarray):
         # only one write per duplicate byte index
         np.bitwise_or.at(bits, off >> 3, (1 << (off & 7)).astype(np.uint8))
         return ("bitmap", lo, bits)
+    if len(winners):
+        from ..stages.bloom import Int64Bloom
+
+        return ("bloom", Int64Bloom(winners), winners)
     return ("sorted", winners)
 
 
@@ -385,6 +393,16 @@ def winner_membership(payload, lsn: np.ndarray) -> np.ndarray:
         in_range = (lsn >= lo) & (lsn <= hi)
         off = (lsn - lo) * in_range  # clamp out-of-range to a safe index
         hit = (((bits[off >> 3] >> (off & 7)) & 1) != 0) & in_range
+    elif payload[0] == "bloom":
+        _, bloom, winners = payload
+        maybe = bloom.contains(lsn)
+        hit = np.zeros(len(lsn), dtype=bool)
+        if maybe.any():
+            # exact verify of the rare maybe-hits (no false negatives, so
+            # bloom-miss rows are DEFINITELY losers and skip this)
+            cand = lsn[maybe]
+            idx = np.minimum(np.searchsorted(winners, cand), len(winners) - 1)
+            hit[maybe] = winners[idx] == cand
     else:
         winners = payload[1]
         if not len(winners):

@@ -296,11 +296,12 @@ def test_winner_filter_bitmap_and_sorted_paths():
     assert dense[0] == "bitmap"
     assert np.array_equal(winner_membership(dense, probe), truth)
 
-    # wide span (timestamp-like LSNs) must fall back to searchsorted
+    # wide span (timestamp-like LSNs) falls back to bloom + exact verify —
+    # still EXACT despite the bloom's false positives
     wide = winners * 10_000_000_000
     probe_w = np.concatenate([wide[::7], rng.integers(0, wide[-1] + 5, 20_000)])
     f = make_winner_filter(wide)
-    assert f[0] == "sorted"
+    assert f[0] == "bloom"
     assert np.array_equal(winner_membership(f, probe_w), np.isin(probe_w, wide))
 
     # empty winner set: nothing matches
