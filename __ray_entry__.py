@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "products_profit_margin": A.products_profit_margin,
         "docs_cleanse": A.docs_cleanse,
         "string_agg_distinct_segments": A.string_agg_distinct_segments,
+        "doc_stopword_stats": T.doc_stopword_stats,
+        "docs_per_lang_stats": T.docs_per_lang_stats,
     }
 
 
@@ -107,6 +109,26 @@ FROM customer c LEFT JOIN (
   FROM orders GROUP BY o_custkey) o
 ON c.c_custkey = o.o_custkey
 """
+
+
+# Stopword pattern built from the SAME table the Ray stage compiles
+# (stages/text.py:STOPWORDS_EN) so the two sides can never drift.
+from sql_etl_pipeline_ray.stages.text import STOPWORDS_EN as _SW
+
+_STOPWORD_STATS_SQL = r"""
+    SELECT doc_id,
+      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+           ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+      END AS token_count,
+      len(regexp_extract_all(lower(text), '{pat}')) AS stopword_count,
+      ROUND(len(regexp_extract_all(lower(text), '{pat}')) /
+            GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                      - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+            END, 1), 6) AS stopword_ratio
+    FROM documents
+""".replace("{pat}", r"\b(?:" + "|".join(sorted(_SW)) + r")\b")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -385,6 +407,22 @@ def oracle_sql() -> dict[str, str]:
                     - 30.0 * upper_ratio + LEAST(punct_count, 10)) > 10)
                 AS passes_quality
             FROM s
+        """,
+        "doc_stopword_stats": _STOPWORD_STATS_SQL,
+        "docs_per_lang_stats": r"""
+            WITH s AS (
+              SELECT lang, LENGTH(text) AS n_chars,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                          - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+                END AS token_count
+              FROM documents)
+            SELECT lang, COUNT(*) AS docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+              CAST(SUM(token_count) AS BIGINT) AS tokens_total,
+              ROUND(CAST(SUM(token_count) AS BIGINT) / (COUNT(*) * 1.0), 6)
+                AS mean_tokens
+            FROM s GROUP BY lang ORDER BY lang
         """,
         "doc_fingerprint": """
             SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex

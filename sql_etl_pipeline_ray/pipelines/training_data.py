@@ -19,7 +19,13 @@ import ray.data
 from ..stages import dedup as D
 from ..stages import multimodal as MM
 from ..stages import similarity as SIM
-from ..stages.text import Fingerprint, LangId, QualityScore, TokenStats
+from ..stages.text import (
+    Fingerprint,
+    LangId,
+    QualityScore,
+    StopwordStats,
+    TokenStats,
+)
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -48,6 +54,58 @@ def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityScore(), batch_format="pandas", concurrency=2
     )
+
+
+def doc_stopword_stats(sf_dir: str) -> ray.data.Dataset:
+    """Stopword count/ratio per document (whole-word matches of the
+    English stopword table — one vectorized regex pass per batch)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        StopwordStats(), batch_format="pandas", concurrency=2
+    )
+
+
+def docs_per_lang_stats(sf_dir: str) -> pa.Table:
+    """Per-language corpus statistics: doc count, char sum, exact-mirror
+    mean token count — the grouped-aggregate family applied to documents
+    (corpus composition reporting at 100 TB is exactly this shape: derive
+    per-doc stats vectorized, ONE small groupby on the language key)."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    class WithTokens:
+        def __init__(self):
+            self.stats = TokenStats()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            st = self.stats(df)
+            return pd.DataFrame(
+                {
+                    "lang": df["lang"].to_numpy(),
+                    "n_chars": st["n_chars"].to_numpy(),
+                    "token_count": st["token_count"].to_numpy(),
+                }
+            )
+
+    agg = (
+        docs.map_batches(WithTokens, batch_format="pandas", concurrency=2)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="docs"),
+            Sum("n_chars", alias_name="chars_total"),
+            Sum("token_count", alias_name="tokens_total"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("docs", "chars_total", "tokens_total"):
+        agg[c] = agg[c].astype(np.int64)
+    # single division of exact int sums — mirrors the oracle's op order
+    agg["mean_tokens"] = np.round(
+        agg["tokens_total"].to_numpy() / (agg["docs"].to_numpy() * 1.0), 6
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:

@@ -125,6 +125,38 @@ class LangId:
         )
 
 
+class StopwordStats:
+    """Stopword count/ratio per document — the standard fluency signal in
+    published text-quality filters (alongside TokenStats' symbol ratios).
+
+    One compiled whole-word alternation regex, applied via a single
+    vectorized ``str.count`` pass per batch; DuckDB mirrors it with
+    ``regexp_extract_all`` so the output is SQL-oracled."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # sorted for a deterministic pattern; \b keeps whole words only
+        self.pattern = r"\b(?:" + "|".join(sorted(STOPWORDS_EN)) + r")\b"
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        trimmed = s.str.strip()
+        token_count = np.where(
+            trimmed.str.len() == 0, 0, trimmed.str.count(r"\s+") + 1
+        ).astype(np.int64)
+        stop_count = s.str.lower().str.count(self.pattern).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "token_count": token_count,
+                "stopword_count": stop_count,
+                "stopword_ratio": (
+                    stop_count / np.maximum(token_count, 1)
+                ).round(6),
+            }
+        )
+
+
 class Fingerprint:
     """Content fingerprints: sha256/md5 hex (oracle-checkable in DuckDB)
     plus a polynomial rolling hash (Karp-Rabin) over the raw bytes."""
