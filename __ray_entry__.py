@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_distinct_segments": A.string_agg_distinct_segments,
         "doc_stopword_stats": T.doc_stopword_stats,
         "docs_per_lang_stats": T.docs_per_lang_stats,
+        # approximate by design → no oracle; error bounds pinned by
+        # tests/test_sketch.py against exact DuckDB distincts
+        "monthly_uniques_hll": T.monthly_uniques_hll,
     }
 
 
