@@ -3,6 +3,12 @@
 
 Mirrors what the driver does at sf0.01 (row count + schema + order-
 insensitive value comparison) but runs at sf0.001 so the suite stays fast.
+
+``PARITY_EXACT=1`` switches the comparison to bitwise equality (no float
+rounding, no tolerance) — the mode the driver's value hash effectively
+demands; run it before shipping oracle or aggregation changes:
+
+    PARITY_EXACT=1 PARITY_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
 """
 
 import glob
@@ -17,6 +23,7 @@ import ray.data
 import __ray_entry__ as E
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+EXACT = os.environ.get("PARITY_EXACT", "") == "1"
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -37,7 +44,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        if str(df[c].dtype).startswith("float"):
+        if not EXACT and str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -65,7 +72,12 @@ def test_query_matches_oracle(name):
     )
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
     g, w = normalize(got), normalize(want)
-    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+    if EXACT:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    else:
+        pd.testing.assert_frame_equal(
+            g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
+        )
 
 
 def test_entry_smoke():
