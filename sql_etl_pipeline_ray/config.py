@@ -47,13 +47,14 @@ class ReplayConfig:
 
     # Late-strategy phase-1 combiner: pre-fold latest-per-key WITHIN each
     # batch (narrow key/LSN projection only) before routing to the winner
-    # actors.  Default ON — the fold is one integer-led sort over 4 narrow
-    # columns (~ms per batch), and it caps a hot key's per-partition
-    # phase-1 volume at one row per (key, batch) instead of one per event:
-    # the explicit skew valve for a single (repo, path) receiving a large
-    # share of all updates.  Exactness is preserved — the fold groups by
-    # hash AND key strings (stages/merge.py:_segment_last_mask), so hash
-    # collisions survive to the finalize-side exact check.
+    # actors — it caps a hot key's per-partition phase-1 volume at one row
+    # per (key, batch) instead of one per event: the explicit skew valve
+    # for a single (repo, path) receiving a large share of all updates.
+    # ADAPTIVE: the fold costs a per-batch sort (~600ms/1M rows), pure
+    # overhead on low-duplication batches, so it only runs when a stride-
+    # sampled duplicate-ratio estimate says the batch is duplicate-heavy
+    # (pipelines/replay.py).  Exactness is preserved either way — winners
+    # are identical folded or not; the combiner only reduces routed volume.
     phase1_combine: bool = True
 
     # Parallelism hint for read tasks; None lets Ray Data decide.

@@ -49,6 +49,7 @@ from ..schemas import (
     conform_batch,
 )
 from ..sources.change_log import read_change_log, scan_change_log
+from ..stages.exchange import make_feeder
 from ..stages.merge import (
     EVENTS_COL,
     HAD_INSERT_COL,
@@ -312,10 +313,19 @@ def _make_phase1_process(
         batch = batch.append_column(
             HAD_INSERT_COL, pc.equal(batch.column("op"), pa.scalar("I"))
         )
-        if combine:
-            # skew valve: collapse to latest-per-key within this batch so a
-            # hot key ships one row per batch, not one per event
-            batch = fold_latest(batch, keep_tombstones=True)
+        if combine and n:
+            # Adaptive skew valve: collapse to latest-per-key within this
+            # batch so a hot key ships one row per batch, not one per event
+            # — but ONLY when the batch actually holds repeated keys.  The
+            # fold costs a full per-batch sort (~600ms/1M rows), which is
+            # pure overhead on low-duplication batches (a uniform 5M-key
+            # log dedups ~9% per 1M-row batch); a genuinely hot key makes
+            # duplicates survive even a 1/16 stride sample (a key with k
+            # events keeps ~k/16 sampled copies), so the sampled dup ratio
+            # separates skew (fold pays) from uniform traffic (skip).
+            sample = kh.view(np.int64)[::16]
+            if len(sample) and 1.0 - np.unique(sample).size / len(sample) > 0.25:
+                batch = fold_latest(batch, keep_tombstones=True)
         return batch
 
     return process
@@ -412,19 +422,10 @@ def winner_membership(payload, lsn: np.ndarray) -> np.ndarray:
     return hit if valid is None else hit & valid
 
 
-def _make_extract_process(
-    event_schema: pa.Schema,
-    num_partitions: int,
-    winners_ref,
-    prior: bool,
-):
-    """Phase-2: keep only winning-LSN rows, conform, route."""
+def _make_conform_winners(event_schema: pa.Schema, num_partitions: int, prior: bool):
+    """Conform + route-key an ALREADY winner-filtered batch (phase-2 tail)."""
 
     def process(batch: pa.Table) -> pa.Table:
-        payload = ray.get(winners_ref)  # zero-copy numpy view from plasma
-        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
-        hit = winner_membership(payload, lsn)
-        batch = batch.filter(pa.array(hit))
         if prior:
             n = len(batch)
             if "op" in batch.column_names:
@@ -443,6 +444,106 @@ def _make_extract_process(
         return batch
 
     return process
+
+
+def _make_extract_process(
+    event_schema: pa.Schema,
+    num_partitions: int,
+    winners_ref,
+    prior: bool,
+):
+    """Phase-2: keep only winning-LSN rows, conform, route."""
+    conform = _make_conform_winners(event_schema, num_partitions, prior)
+
+    def process(batch: pa.Table) -> pa.Table:
+        payload = ray.get(winners_ref)  # zero-copy numpy view from plasma
+        lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+        hit = winner_membership(payload, lsn)
+        return conform(batch.filter(pa.array(hit)))
+
+    return process
+
+
+def _fragment_tasks(scan, target_rows: int) -> list[dict]:
+    """Pack each file's row groups into ~``target_rows``-row read tasks.
+
+    Footer metadata only (collected once in ``scan_change_log``).  Row-group
+    granularity is exactly how ``read_parquet`` splits work too — this just
+    moves the split plan to the driver so the fused feed below can decode
+    inside the task.
+    """
+    items: list[dict] = []
+    for f in scan.files:
+        rgs = (scan.row_groups or {}).get(f)
+        if rgs is None:  # scan built without metadata (not via scan_change_log)
+            rgs = [
+                pq.ParquetFile(f).metadata.row_group(i).num_rows
+                for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+            ]
+        start, rows = 0, 0
+        for i, n in enumerate(rgs):
+            rows += n
+            if rows >= target_rows:
+                items.append({"file": f, "rg_start": start, "rg_end": i + 1})
+                start, rows = i + 1, 0
+        if start < len(rgs):
+            items.append({"file": f, "rg_start": start, "rg_end": len(rgs)})
+    return items
+
+
+def _make_fused_feed(
+    process_fn,
+    actors: list,
+    num_partitions: int,
+    columns: list[str] | None,
+    winners_ref=None,
+):
+    """One task = read a few row groups -> (optional winner filter) ->
+    process -> route.  Replaces ``read_parquet(...).map_batches(feeder)``
+    for the late strategy's two feeds.
+
+    Why not the stock reader pipeline: with ``read_parquet`` the decoded
+    block either transits the object store or (fused) is sliced into
+    row-batches that COPY each content payload to task heap before the
+    winner filter can drop 95% of it; decoding the row group in-task and
+    filtering IMMEDIATELY means loser rows' content never leaves the
+    decoder's heap and is freed per row group.  Interleaved A/B on a
+    100M-event log at 32 cpus: 10.3s vs 12.3-15.8s for the stock phase-2
+    feed.  Still the Dataset API end to end — the fragment list is itself
+    a Dataset, so streaming backpressure, retries and scheduling stay with
+    Ray Data; this is the documented "custom datasource" shape, with the
+    filter pushed inside the read task (the winner bitmap can't be
+    expressed as a serializable ``read_parquet`` filter without shipping
+    the whole winner set per task).
+    """
+    feeder = make_feeder(process_fn, actors, num_partitions)
+
+    def feed(batch: pa.Table) -> pa.Table:
+        payload = ray.get(winners_ref) if winners_ref is not None else None
+        kept: list[pa.Table] = []
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["file"])
+            for rg in range(row["rg_start"], row["rg_end"]):
+                t = pf.read_row_group(rg, columns=columns, use_threads=False)
+                if payload is not None:
+                    hit = winner_membership(
+                        payload, t.column("lsn").to_numpy(zero_copy_only=False)
+                    )
+                    if not hit.any():
+                        continue
+                    t = t.filter(pa.array(hit))
+                kept.append(t)
+        if not kept:
+            return pa.table({"routed": [0]})
+        return feeder(pa.concat_tables(kept, promote_options="permissive"))
+
+    return feed
+
+
+def _run_fused_feed(items: list[dict], feed) -> None:
+    ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        feed, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).count()
 
 
 def replay(
@@ -600,10 +701,13 @@ def _replay_late(
     import ray.cloudpickle as pickle
 
     # ---- phase 1: winner selection over (lsn, op, repo, path) only ----
-    # Same row-count batches as phase 2: bigger phase-1 batches mean fewer
-    # tasks than CPUs at low parallelism (measured 21.7s → load-imbalanced
-    # at 8 cpus with 4M-row batches on a 40M-event log).
-    p1_batch = cfg.batch_size or 1_000_000
+    # Task granularity mirrors the old num_blocks heuristic (~4 waves/cpu,
+    # ~64 MiB of input each) but as row-group-packed fragment tasks for the
+    # fused in-task reader; the fragment count scales with DATA, so at
+    # cluster scale the item list stays ~4 × cluster CPUs, not per-row.
+    total_rows = sum(sum(v) for v in (scan.row_groups or {}).values())
+    target_rows = max(1, total_rows // num_blocks) if total_rows else 1
+    frag_items = _fragment_tasks(scan, target_rows) if scan.files else []
     actors = [
         ExchangeActor.remote(
             pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True)),
@@ -611,19 +715,14 @@ def _replay_late(
         )
         for _ in range(num_actors)
     ]
-    if scan.files:
-        ds1 = ray.data.read_parquet(
-            scan.files, columns=PHASE1_COLUMNS,
-            override_num_blocks=num_blocks,
-        )
-        feed1 = make_feeder(
+    if frag_items:
+        feed1 = _make_fused_feed(
             _make_phase1_process(num_partitions, ckpts, combine=cfg.phase1_combine),
             actors,
             num_partitions,
+            columns=PHASE1_COLUMNS,
         )
-        ds1.map_batches(
-            feed1, batch_format="pyarrow", zero_copy_batch=True, batch_size=p1_batch
-        ).count()
+        _run_fused_feed(frag_items, feed1)
     if prior_files:
         dsp = ray.data.read_parquet(
             prior_files, columns=["repo", "path", "lsn"],
@@ -633,7 +732,8 @@ def _replay_late(
             _make_prior_phase1_process(num_partitions), actors, num_partitions
         )
         dsp.map_batches(
-            feedp, batch_format="pyarrow", zero_copy_batch=True, batch_size=p1_batch
+            feedp, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.batch_size or 1_000_000,
         ).count()
     phase_times["phase1_feed_s"] = round(time.time() - _t0, 3)
     _t0 = time.time()
@@ -680,24 +780,23 @@ def _replay_late(
         ExchangeActor.remote(copy_on_add=winner_dense)
         for _ in range(num_actors)
     ]
-    if scan.files:
-        ds2 = ray.data.read_parquet(scan.files, override_num_blocks=num_blocks)
-        feed2 = make_feeder(
-            _make_extract_process(event_schema, num_partitions, winners_ref, prior=False),
+    if frag_items:
+        # Fused in-task read: decode a row group, drop the ~95% loser rows
+        # IMMEDIATELY, concat only winners across the task's row groups,
+        # conform + route once.  Loser content never transits the object
+        # store and is freed per row group — the stock reader pipeline
+        # either pinned whole decoded blocks through the ack barrier
+        # (batch_size=None: measured 5x slower at 100M events) or paid a
+        # full content memcpy in the row-batch coalesce (batch_size=1M:
+        # measured 12.3-15.8s vs 10.3s fused, interleaved min).
+        feed2 = _make_fused_feed(
+            _make_conform_winners(event_schema, num_partitions, prior=False),
             actors2,
             num_partitions,
+            columns=None,
+            winners_ref=winners_ref,
         )
-        # Keep an explicit row batch_size here: the coalesce COPIES each
-        # block to task heap, which lets the executor release the plasma
-        # block before the feed's ack barrier.  batch_size=None (zero-copy
-        # whole blocks) measured 5x SLOWER (69s vs 13s interleaved min at
-        # 100M events) — the mapped block stays referenced through
-        # process+route+ack, the object store fills, and the read stalls
-        # on backpressure.
-        ds2.map_batches(
-            feed2, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.batch_size,
-        ).count()
+        _run_fused_feed(frag_items, feed2)
     if prior_files:
         dsp2 = ray.data.read_parquet(prior_files, override_num_blocks=num_actors)
         feedp2 = make_feeder(

@@ -36,6 +36,10 @@ class LogScan:
     schema: pa.Schema  # unified
     pruned_files: int
     total_bytes: int = 0
+    # rows per row group for each kept file (footer metadata, no data read)
+    # — lets the replay feeds plan row-group-granular read tasks without a
+    # second metadata pass.
+    row_groups: dict[str, list[int]] | None = None
 
 
 def scan_change_log(
@@ -44,6 +48,7 @@ def scan_change_log(
     """Footer-only scan: unified schema + file-level LSN pruning."""
     files = sorted(glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True))
     schemas, kept, pruned = [], [], 0
+    row_groups: dict[str, list[int]] = {}
     for f in files:
         pf = pq.ParquetFile(f)
         schemas.append(pf.schema_arrow)
@@ -58,9 +63,16 @@ def scan_change_log(
                 pruned += 1
                 continue
         kept.append(f)
+        row_groups[f] = [
+            pf.metadata.row_group(i).num_rows
+            for i in range(pf.metadata.num_row_groups)
+        ]
     unified = unify_event_schemas(schemas + list(extra_schemas or []))
     total = sum(os.path.getsize(f) for f in kept)
-    return LogScan(files=kept, schema=unified, pruned_files=pruned, total_bytes=total)
+    return LogScan(
+        files=kept, schema=unified, pruned_files=pruned, total_bytes=total,
+        row_groups=row_groups,
+    )
 
 
 def read_change_log(
