@@ -68,6 +68,38 @@ def _join_partitions(sf_dir: str, *tables: str) -> int:
     return int(min(512, max(8, total // (128 << 20) + 1)))
 
 
+def _by_key_partitions(
+    ds: ray.data.Dataset,
+    key_col: str,
+    part_fn,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Key-partitioned vectorized group processing.
+
+    ``groupby(key).map_groups(fn)`` calls ``fn`` once per GROUP — one
+    Python-level pandas call per customer/user is the per-row-loop
+    anti-pattern one level up.  This helper hash-partitions on an int key
+    and calls ``part_fn`` once per PARTITION with every key's rows
+    co-located, so the per-group work happens inside ``part_fn`` as
+    vectorized pandas (sort + shift/diff + groupby-agg, all C).  Python
+    call count = partitions (scales with data via ``_join_partitions``),
+    not groups.
+    """
+
+    def add_gp(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_gp", pa.array(k % num_partitions))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return part_fn(g.drop(columns=["_gp"]))
+
+    return (
+        ds.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def _round2(tbl: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
         i = tbl.schema.get_field_index(c)
@@ -704,40 +736,49 @@ def string_agg_nations_per_region(sf_dir: str) -> pa.Table:
 
 def first_last_order_value(sf_dir: str) -> ray.data.Dataset:
     """W7 (FIRST_VALUE/LAST_VALUE over the full frame): each customer's
-    first and last order price by date (ties broken by orderkey), via
-    per-group vectorized idxmin/idxmax — no global window."""
+    first and last order price by date (ties broken by orderkey).  One
+    vectorized pass per key-hash PARTITION (sort + groupby first/last),
+    not one Python call per customer — see ``_by_key_partitions``."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"])
 
     def fl(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        return pd.DataFrame(
-            {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "first_order_value": [g["o_totalprice"].iloc[0]],
-                "last_order_value": [g["o_totalprice"].iloc[-1]],
-                "orders_count": [np.int64(len(g))],
-            }
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        agg = g.groupby("o_custkey", sort=True).agg(
+            first_order_value=("o_totalprice", "first"),
+            last_order_value=("o_totalprice", "last"),
+            orders_count=("o_totalprice", "size"),
         )
+        agg["orders_count"] = agg["orders_count"].astype(np.int64)
+        return agg.reset_index()
 
-    return orders.groupby("o_custkey").map_groups(fl, batch_format="pandas")
+    return _by_key_partitions(
+        orders, "o_custkey", fl, _join_partitions(sf_dir, "orders")
+    )
 
 
 def consecutive_day_customers(sf_dir: str) -> pa.Table:
     """J7 (self-join shape): customers with orders on two consecutive
-    days — per-group sorted date-diff instead of an orders⋈orders self
-    join (the group is tiny; the self-join would shuffle orders twice)."""
+    days — sorted per-partition date-diff instead of an orders⋈orders
+    self join (which would shuffle orders twice).  Vectorized per
+    key-hash partition: dedupe (customer, day), sort, one shift/diff
+    pass over the whole partition."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
     def has_consecutive(g: pd.DataFrame) -> pd.DataFrame:
-        days = np.sort(g["o_orderdate"].dt.normalize().unique())
-        diffs_days = np.diff(days) / np.timedelta64(1, "D")
-        hit = bool(len(days) > 1 and (diffs_days == 1).any())
-        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]], "hit": [hit]})
+        d = (
+            g.assign(day=g["o_orderdate"].dt.normalize())
+            .drop_duplicates(["o_custkey", "day"])
+            .sort_values(["o_custkey", "day"], kind="mergesort")
+        )
+        same = d["o_custkey"].eq(d["o_custkey"].shift())
+        diff1 = d["day"].diff() == pd.Timedelta(days=1)
+        hits = d.loc[same & diff1, "o_custkey"].unique()
+        return pd.DataFrame({"o_custkey": np.sort(hits)})
 
-    flags = orders.groupby("o_custkey").map_groups(
-        has_consecutive, batch_format="pandas"
+    flags = _by_key_partitions(
+        orders, "o_custkey", has_consecutive, _join_partitions(sf_dir, "orders")
     ).to_pandas()
-    out = flags[flags["hit"]][["o_custkey"]].sort_values("o_custkey").reset_index(drop=True)
+    out = flags.sort_values("o_custkey").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -795,27 +836,28 @@ def events_hourly_tumbling(sf_dir: str) -> pa.Table:
 def events_sessionized(sf_dir: str) -> pa.Table:
     """§2.10 session windows: per-user sessions split on >30-minute gaps.
 
-    Per-user sorted pass inside ``map_groups`` (state stays inside the
-    group — the documented Ray Data expression of sessionization); the
-    oracle expresses the same with LAG + cumulative SUM."""
+    One vectorized pass per key-hash partition: sort by (user, ts), a
+    session starts where the user changes OR the gap exceeds 30 minutes
+    (shift/diff/cumsum — no per-user Python); the oracle expresses the
+    same with LAG + cumulative SUM."""
     ev = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
+        sid = (new_user | gap).cumsum()
         agg = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "count"),
         )
-        agg["user_id"] = g["user_id"].iloc[0]
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg.reset_index(drop=True)
 
     out = (
-        ev.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        _by_key_partitions(ev, "user_id", sessions, _join_partitions(sf_dir, "events"))
         .to_pandas()
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
