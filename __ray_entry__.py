@@ -15,6 +15,7 @@ from typing import Any
 
 from sql_etl_pipeline_ray.pipelines import analytics as A
 from sql_etl_pipeline_ray.pipelines import rollup as R
+from sql_etl_pipeline_ray.pipelines import temporal as TJ
 from sql_etl_pipeline_ray.pipelines import training_data as T
 from sql_etl_pipeline_ray.pipelines.flagship import run_flagship
 
@@ -92,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by design → no oracle; error bounds pinned by
         # tests/test_sketch.py against exact DuckDB distincts
         "monthly_uniques_hll": T.monthly_uniques_hll,
+        # --- temporal joins (beyond-reference custom operators) ---
+        "events_asof_enrich": TJ.events_asof_enrich,
+        "events_signup_followups": TJ.events_signup_followups,
     }
 
 
@@ -707,5 +711,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT UNNEST(generate_series(TIMESTAMP '2020-01-01',
                                                 TIMESTAMP '2021-12-31',
                                                 INTERVAL 1 DAY)) AS d)
+        """,
+        # DuckDB ASOF resolves (user_id, click_ts) ties arbitrarily, so the
+        # right side is pre-deduped to max event_id — the same tiebreak the
+        # Ray asof_join applies (pipelines/temporal.py:asof_join).
+        "events_asof_enrich": """
+            WITH l AS (
+              SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, ts AS click_ts, value AS click_value
+              FROM events WHERE event_type = 'click'
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) = 1)
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.click_ts, r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.click_ts <= l.ts
+            ORDER BY l.event_id
+        """,
+        "events_signup_followups": """
+            WITH a AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'signup')
+            SELECT a.event_id, a.user_id, a.ts,
+                   count(b.ts) AS n_in_window,
+                   min(b.ts) AS first_in_window
+            FROM a LEFT JOIN events b
+              ON a.user_id = b.user_id AND b.ts > a.ts
+              AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            GROUP BY a.event_id, a.user_id, a.ts
+            ORDER BY a.event_id
         """,
     }
