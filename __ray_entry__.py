@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- temporal joins (beyond-reference custom operators) ---
         "events_asof_enrich": TJ.events_asof_enrich,
         "events_signup_followups": TJ.events_signup_followups,
+        # --- holistic aggregates: exact distributed quantiles / top-k ---
+        "orders_value_percentiles": A.orders_value_percentiles,
+        "top_terms": T.top_terms,
     }
 
 
@@ -742,5 +745,25 @@ def oracle_sql() -> dict[str, str]:
               AND b.ts <= a.ts + INTERVAL 30 MINUTE
             GROUP BY a.event_id, a.user_id, a.ts
             ORDER BY a.event_id
+        """,
+        # quantile_disc over exact int64 cents: both engines pick the
+        # identical discrete element (rank ceil(q*n)), then divide once —
+        # no float-aggregation-order hazard anywhere.
+        "orders_value_percentiles": """
+            WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderpriority,
+                   unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS quantile,
+                   unnest(quantile_disc(cents, [0.25, 0.5, 0.75, 0.9, 0.99]))
+                     / 100.0 AS value
+            FROM c GROUP BY o_orderpriority
+            ORDER BY o_orderpriority, quantile
+        """,
+        "top_terms": """
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS term FROM documents)
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 50
         """,
     }

@@ -1483,3 +1483,55 @@ def string_agg_distinct_segments(sf_dir: str) -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_value_percentiles(sf_dir: str) -> pa.Table:
+    """Exact distributed percentiles (p25/50/75/90/99) of order value per
+    priority — the holistic-aggregate family the reference approximates
+    with sorted LIMIT queries (``src/sql_query_executor.py:134``).
+
+    Plan: per-batch partial histogram over exact int64 cents (``_cents``)
+    → ``groupby((priority, cents)).sum`` — the shuffle carries one row per
+    DISTINCT (priority, value), not per order — → driver-side rank
+    extraction over the compacted counts.  2-decimal money bounds the
+    distinct-cents domain (≲ price-range × 100 rows however many orders
+    exist), so the driver sees a histogram, never the data; an unbounded
+    domain would swap the last step for fixed-width bins + a second
+    refinement pass.  Rank formula matches DuckDB ``quantile_disc``:
+    1-based rank ``ceil(q*n)`` with the same IEEE double multiply.
+    """
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    orders = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t.column("o_orderpriority").to_pandas(),
+                "cents": _cents(t.column("o_totalprice")).to_numpy(),
+            }
+        )
+        g = (
+            df.groupby(["o_orderpriority", "cents"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        orders.map_batches(partial_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderpriority", "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out: list[tuple[str, float, float]] = []
+    for pri, g in hist.groupby("o_orderpriority", sort=True):
+        g = g.sort_values("cents")
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(int(np.ceil(np.float64(q) * n)), 1)
+            v = vals[int(np.searchsorted(cum, rank, side="left"))]
+            out.append((pri, q, v / 100.0))
+    res = pd.DataFrame(out, columns=["o_orderpriority", "quantile", "value"])
+    return pa.Table.from_pandas(res, preserve_index=False)

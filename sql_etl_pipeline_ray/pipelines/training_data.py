@@ -329,3 +329,51 @@ def dedup_clusters(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
     ).to_pandas()
     return D.connected_components(pairs)
+
+
+def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Exact corpus-wide top-k frequent terms: per-batch tokenize +
+    partial count (one vectorized pandas pass), ``groupby(term).sum`` to
+    merge counts, then per-block top-k and a driver merge of
+    blocks × k candidate rows — NO global sort.  After the count-merge
+    groupby each term lives in exactly one block, so block-local top-k
+    followed by a top-k over the winners is exact, and the driver-side
+    frame is O(blocks × k) no matter the term cardinality.  Tie-break
+    (cnt DESC, term ASC) is total, so the cut is deterministic."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            df["text"]
+            .str.lower()
+            .str.findall(r"[a-z0-9]+")
+            .explode()
+            .value_counts()
+        )
+        return pd.DataFrame(
+            {"term": vc.index.astype(str), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    candidates = (
+        docs.map_batches(partial_counts, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(topk_block, batch_format="pandas")
+        .to_pandas()
+    )
+    top = (
+        candidates.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["cnt"] = top["cnt"].astype(np.int64)
+    return top
