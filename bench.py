@@ -162,6 +162,14 @@ def run_bench() -> dict:
     timed("rfm_segmentation", A.rfm_segmentation)
     timed("inventory_optimization", A.inventory_optimization)
     timed("events_sliding_window", lambda d: A.events_sliding_window(d))
+    # round-2 additions (round-1 entries above keep their names so the
+    # driver's per-query series stays comparable across rounds)
+    from sql_etl_pipeline_ray.pipelines import temporal as TJ
+    from sql_etl_pipeline_ray.pipelines import training_data as T
+
+    timed("events_asof_enrich", TJ.events_asof_enrich)
+    timed("orders_value_percentiles", A.orders_value_percentiles)
+    timed("top_terms", T.top_terms)
 
     result = {
         "metric": "cdc_replay_wall_sec",
