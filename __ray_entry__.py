@@ -505,6 +505,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnts cb ON cb.doc_id = db
             WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5
         """,
+        # Connected components over the SAME exact pair set as
+        # dedup_ngram_jaccard: transitive closure via recursive CTE, then
+        # cluster label = min reachable doc_id — exactly the min-label
+        # union-find the Ray side runs (stages/dedup.py:connected_components).
+        "dedup_clusters": """
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN generate_series(1, len(w) - 2)]) AS g
+                FROM toks WHERE len(w) >= 3)),
+            cnts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT da AS a, db AS b FROM inter
+              JOIN cnts ca ON ca.doc_id = da
+              JOIN cnts cb ON cb.doc_id = db
+              WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach AS (
+              SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+            SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY src ORDER BY cluster_id, doc_id
+        """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
