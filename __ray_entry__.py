@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- holistic aggregates: exact distributed quantiles / top-k ---
         "orders_value_percentiles": A.orders_value_percentiles,
         "top_terms": T.top_terms,
+        # --- embedding clustering (fixed-point exact vector aggregation;
+        # kmeans is iterative → no oracle, pinned by tests/test_clustering) ---
+        "embedding_label_centroids": T.embedding_label_centroids,
+        "embedding_kmeans": T.embedding_kmeans,
     }
 
 
@@ -797,5 +801,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                     AS term FROM documents)
             GROUP BY term ORDER BY cnt DESC, term LIMIT 50
+        """,
+        # Vector centroids in fixed-point: both engines sum the SAME int64
+        # quantized values (round-half-away × 2^20) and divide once, so the
+        # float outputs are bit-identical under any aggregation order.
+        "embedding_label_centroids": """
+            SELECT label, i AS dim,
+                   SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576)
+                            AS BIGINT))
+                     / (1048576.0 * COUNT(*)) AS centroid
+            FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+            GROUP BY label, i ORDER BY label, i
         """,
     }

@@ -377,3 +377,20 @@ def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
     )
     top["cnt"] = top["cnt"].astype(np.int64)
     return top
+
+
+def embedding_label_centroids(sf_dir: str) -> pa.Table:
+    """Grouped vector centroid (mean embedding per label) — exact via
+    fixed-point int64 vector aggregation; see ``stages/clustering.py``."""
+    from ..stages import clustering as CL
+
+    return CL.label_centroids(_emb(sf_dir))
+
+
+def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Deterministic distributed k-means assignments (k=8, 5 Lloyd
+    iterations).  Iterative → no SQL oracle; bit-reproducibility and
+    cluster quality are pinned in ``tests/test_clustering.py``."""
+    from ..stages import clustering as CL
+
+    return CL.kmeans(_emb(sf_dir), k=8, iters=5)

@@ -1,0 +1,173 @@
+"""Embedding clustering: grouped vector centroids + distributed k-means.
+
+Beyond-reference operators for the training-data family (the reference
+engine has no vector ops at all; its nearest idiom is the grouped
+aggregate family, ``sql/complex_queries.sql:17-60``).
+
+Determinism design: float vector sums are order-dependent (Ray's partial
+aggregation vs any sequential reference differ by ulps), so BOTH
+operators aggregate vectors in **fixed-point int64** (value × 2²⁰,
+rounded half-away like DuckDB ``round``) — int sums are associative, so
+any partitioning/iteration order yields bit-identical centroids, which
+makes the k-means reproducible cluster-for-cluster and the centroid
+query exactly SQL-oracle-able (same trick as the money-cents
+aggregation, ``pipelines/analytics.py:_cents``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# 2^20 fixed-point scale: float32 inputs carry 24 significant bits, so
+# quantization error is ≤ 2^-21 per element — far below any cluster-
+# boundary gap in practice, and identical on every engine.
+_FP = 1 << 20
+
+
+def _quantize(vecs: np.ndarray) -> np.ndarray:
+    """float vectors → int64 fixed-point, rounding half away from zero
+    (DuckDB ``round`` semantics, via the Arrow kernel both sides trust)."""
+    flat = pa.array(vecs.astype(np.float64).ravel())
+    q = pc.cast(
+        pc.round(pc.multiply(flat, pa.scalar(float(_FP))),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+    return q.to_numpy().reshape(vecs.shape)
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.vstack(col.to_numpy())
+
+
+def label_centroids(emb: ray.data.Dataset) -> pa.Table:
+    """Mean embedding per label, exact: per-batch partial int64 sums per
+    (label, dim) — the shuffle carries labels × dims rows per block, never
+    vectors — then one final division ``sum / (FP * n)`` whose operands are
+    bit-identical to the SQL oracle's.  Output long-form (label, dim
+    1-based, centroid) for direct SQL comparison."""
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(_stack(df["embedding"]))
+        labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), q.shape[1]), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(labels))
+        k, d = sums.shape
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+                "s": sums.ravel(),
+                "n": np.repeat(counts.astype(np.int64), d),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partials, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "label": agg["label"].astype(np.int32),
+            "dim": agg["dim"].astype(np.int64),
+            # single division, same operands as the oracle's
+            # SUM(q) / (1048576.0 * COUNT(*))
+            "centroid": agg["s"].to_numpy(np.int64)
+            / (float(_FP) * agg["n"].to_numpy(np.int64)),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmeans(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed Lloyd's k-means with deterministic, order-independent
+    iterations.
+
+    Per iteration: broadcast the k×d centroid matrix (``ray.put`` once,
+    read per task), one ``map_batches`` pass emits per-batch partial
+    (count, int64 fixed-point sum) per cluster — blocks × k tiny rows to
+    the driver, never vectors — then the driver folds them and divides
+    once.  Int sums make every iteration bit-identical under ANY
+    partitioning, so the result is reproducible cluster-for-cluster
+    (pinned in ``tests/test_clustering.py`` against a single-process
+    reference).  Assignment is vectorized ``argmin_c |x|² − 2x·C + |C|²``;
+    ties break to the lowest cluster index on both paths.
+
+    Init: the k lowest-``id_col`` vectors (deterministic; swap for a
+    seeded-hash sample at production scale).  Empty clusters keep their
+    previous centroid.  The input is materialized once — ``iters`` passes
+    re-reading storage would pay the scan ``iters`` times; if the table
+    exceeds cluster memory, drop ``.materialize()`` and accept re-scans
+    (the object store spills either way).
+    """
+    emb = emb.materialize()
+    init = emb.sort(id_col).limit(k).to_pandas()
+    cents = _stack(init[vec_col]).astype(np.float64)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial_fit(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            X = _stack(df[vec_col]).astype(np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)  # ties → lowest index
+            q = _quantize(X)
+            sums = np.zeros((len(C), X.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            kk, d = sums.shape
+            return pd.DataFrame(
+                {
+                    "c": np.arange(kk, dtype=np.int64),
+                    "n": counts,
+                    "s": list(sums),
+                }
+            )
+
+        parts = emb.map_batches(partial_fit, batch_format="pandas").to_pandas()
+        counts = np.zeros(len(cents), np.int64)
+        sums = np.zeros_like(cents, dtype=np.int64)
+        for c, g in parts.groupby("c"):
+            counts[c] = g["n"].sum()
+            sums[c] = np.sum(np.vstack(g["s"].to_numpy()), axis=0)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / (float(_FP) * counts[nonempty, None])
+
+    cref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        X = _stack(df[vec_col]).astype(np.float64)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "cluster": np.argmin(d2, axis=1).astype(np.int64),
+            }
+        )
+
+    out = (
+        emb.map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    out[id_col] = out[id_col].astype(np.int64)
+    return out
