@@ -57,6 +57,12 @@ class ReplayConfig:
     # are identical folded or not; the combiner only reduces routed volume.
     phase1_combine: bool = True
 
+    # Combiner decision mode: "adaptive" (stride-sampled dup ratio decides
+    # per batch), "always" (unconditional per-batch fold — the pre-adaptive
+    # behavior, useful for A/B), "never".  Only consulted when
+    # phase1_combine is True.
+    phase1_combine_mode: str = "adaptive"
+
     # Parallelism hint for read tasks; None lets Ray Data decide.
     read_concurrency: int | None = None
 

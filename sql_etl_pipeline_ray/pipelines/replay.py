@@ -272,6 +272,7 @@ def _make_phase1_process(
     num_partitions: int,
     checkpoints: dict[int, int] | None,
     combine: bool = False,
+    combine_mode: str = "adaptive",
 ):
     ckpt_arr = None
     if checkpoints:
@@ -323,9 +324,15 @@ def _make_phase1_process(
             # duplicates survive even a 1/16 stride sample (a key with k
             # events keeps ~k/16 sampled copies), so the sampled dup ratio
             # separates skew (fold pays) from uniform traffic (skip).
-            sample = kh.view(np.int64)[::16]
-            if len(sample) and 1.0 - np.unique(sample).size / len(sample) > 0.25:
+            if combine_mode == "always":
                 batch = fold_latest(batch, keep_tombstones=True)
+            elif combine_mode != "never":
+                sample = kh.view(np.int64)[::16]
+                if (
+                    len(sample)
+                    and 1.0 - np.unique(sample).size / len(sample) > 0.25
+                ):
+                    batch = fold_latest(batch, keep_tombstones=True)
         return batch
 
     return process
@@ -717,7 +724,10 @@ def _replay_late(
     ]
     if frag_items:
         feed1 = _make_fused_feed(
-            _make_phase1_process(num_partitions, ckpts, combine=cfg.phase1_combine),
+            _make_phase1_process(
+                num_partitions, ckpts, combine=cfg.phase1_combine,
+                combine_mode=cfg.phase1_combine_mode,
+            ),
             actors,
             num_partitions,
             columns=PHASE1_COLUMNS,
