@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kmeans is iterative → no oracle, pinned by tests/test_clustering) ---
         "embedding_label_centroids": T.embedding_label_centroids,
         "embedding_kmeans": T.embedding_kmeans,
+        "docs_stratified_sample": T.docs_stratified_sample,
     }
 
 
@@ -812,5 +813,15 @@ def oracle_sql() -> dict[str, str]:
                      / (1048576.0 * COUNT(*)) AS centroid
             FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
             GROUP BY label, i ORDER BY label, i
+        """,
+        # Same hash coin as docs_bernoulli_sample; the per-lang threshold is
+        # pure integer arithmetic ((cmin*10000)//n_lang) on both engines.
+        "docs_stratified_sample": """
+            WITH n AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+            m AS (SELECT MIN(c) AS cmin FROM n)
+            SELECT d.* FROM documents d JOIN n USING (lang) CROSS JOIN m
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+                  % 18446744073709551616 % 10000
+                  < (m.cmin * 10000) // n.c
         """,
     }

@@ -394,3 +394,32 @@ def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     from ..stages import clustering as CL
 
     return CL.kmeans(_emb(sf_dir), k=8, iters=5)
+
+
+def docs_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Stratified (per-language balanced) sampling: downsample every
+    language toward the smallest language's count, the corpus-balancing
+    idiom of training-data curation.  Two streaming passes: a tiny
+    per-lang COUNT groupby → driver dict (|langs| entries, broadcast in
+    the filter closure), then a vectorized keep-filter with an
+    ALL-INTEGER per-lang threshold on the same deterministic hash coin as
+    ``docs_bernoulli_sample`` — integer arithmetic mirrors exactly in the
+    SQL oracle, and the sample is stable across runs/retries/partitioning."""
+    counts = (
+        _docs(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
+    )
+    cmin = int(counts["count()"].min())
+    thr = {
+        r["lang"]: (cmin * 10_000) // int(r["count()"])
+        for _, r in counts.iterrows()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        coin = (ids * np.uint64(2654435761)) % np.uint64(10_000)
+        lang_thr = (
+            pd.Series(t.column("lang").to_pandas()).map(thr).to_numpy(np.uint64)
+        )
+        return t.filter(pa.array(coin < lang_thr))
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
