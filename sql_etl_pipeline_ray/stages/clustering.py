@@ -117,7 +117,17 @@ def kmeans(
     (the object store spills either way).
     """
     emb = emb.materialize()
-    init = emb.sort(id_col).limit(k).to_pandas()
+    # init = the k lowest-id vectors, WITHOUT a global sort: block-local
+    # min-k then a driver merge of blocks × k candidates (the top_terms
+    # pattern) — same deterministic result, no shuffle.
+    init = (
+        emb.map_batches(
+            lambda df: df.nsmallest(k, id_col), batch_format="pandas"
+        )
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col)
+    )
     cents = _stack(init[vec_col]).astype(np.float64)
 
     for _ in range(iters):
