@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": T.embedding_label_centroids,
         "embedding_kmeans": T.embedding_kmeans,
         "docs_stratified_sample": T.docs_stratified_sample,
+        # bounded-shuffle top-k sketch (exact result: candidates proven
+        # complete, then recounted) — shares top_terms's semantics/oracle
+        "top_terms_bounded": T.top_terms_bounded,
     }
 
 
@@ -823,5 +826,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
                   % 18446744073709551616 % 10000
                   < (m.cmin * 10000) // n.c
+        """,
+        # identical semantics to top_terms — the bounded-summary plan is
+        # exact by construction (candidates proven complete, recounted)
+        "top_terms_bounded": """
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS term FROM documents)
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 50
         """,
     }

@@ -423,3 +423,93 @@ def docs_stratified_sample(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pa.array(coin < lang_thr))
 
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms_bounded(sf_dir: str, k: int = 50, summary_k: int = 1024) -> pd.DataFrame:
+    """Top-k frequent terms with BOUNDED shuffle/memory — the scale path
+    for ``top_terms`` when term cardinality explodes (exact top-k's
+    count-merge groupby shuffles one row per distinct term; web-scale
+    n-gram vocabularies make that the dominant exchange).
+
+    Mergeable truncated-summary plan (Misra-Gries/SpaceSaving family):
+    each batch emits only its top ``summary_k`` terms plus the batch's
+    truncation bound e_b (the largest dropped count — any term absent
+    from the batch summary occurred ≤ e_b times in it).  Driver-side
+    merge gives per-term lower bounds and upper bounds
+    (lower + Σ e_b over batches that dropped the term); candidates =
+    {upper ≥ k-th lower}.  Completeness is PROVABLE per run: a term seen
+    in no summary has count ≤ Σ e_b, so if the k-th candidate's exact
+    count exceeds Σ e_b the true top-k is inside the candidate set —
+    asserted, with a documented fallback to the exact groupby when the
+    data defeats the bound.  A second pass recounts ONLY candidates
+    (broadcast set, tiny groupby), so the result is EXACT — bitwise the
+    same as ``top_terms`` and its SQL oracle — while the shuffle carries
+    O(blocks × summary_k + |candidates|) rows at ANY vocabulary size.
+    """
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            df["text"]
+            .str.lower()
+            .str.findall(r"[a-z0-9]+")
+            .explode()
+            .value_counts()
+        )
+        kept = vc.iloc[:summary_k]
+        e_b = int(vc.iloc[summary_k]) if len(vc) > summary_k else 0
+        out = pd.DataFrame(
+            {"term": kept.index.astype(str), "cnt": kept.to_numpy(np.int64)}
+        )
+        # one sentinel row carries this batch's truncation bound
+        out.loc[len(out)] = ["", e_b]
+        return out
+
+    s = docs.map_batches(summarize, batch_format="pandas").to_pandas()
+    is_sentinel = s["term"] == ""
+    e_total = int(s.loc[is_sentinel, "cnt"].sum())
+    # per-term: lower = sum of observed counts; upper = lower + the bounds
+    # of every batch that did NOT report the term
+    n_batches = int(is_sentinel.sum())
+    terms = s[~is_sentinel]
+    g = terms.groupby("term")["cnt"].agg(["sum", "count"])
+    # batches that dropped the term contribute at most their e_b; using
+    # e_total - (mean e_b × batches seen) would need per-batch pairing, so
+    # take the safe coarser bound: all of e_total minus nothing — unless
+    # the term was seen in EVERY batch, in which case nothing was dropped.
+    upper = g["sum"] + np.where(g["count"] == n_batches, 0, e_total)
+    kth_lower = int(g["sum"].nlargest(k).iloc[-1]) if len(g) >= k else 0
+    candidates = set(g.index[upper >= kth_lower])
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            df["text"].str.lower().str.findall(r"[a-z0-9]+").explode()
+        )
+        vc = ex[ex.isin(candidates)].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.astype(str), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    exact = (
+        docs.map_batches(recount, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    exact["cnt"] = exact["cnt"].astype(np.int64)
+    top = (
+        exact.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    # provable completeness: every term outside all summaries has
+    # count <= e_total < the k-th candidate's exact count
+    if e_total > 0 and (
+        len(top) < k or int(top["cnt"].iloc[-1]) <= e_total
+    ):
+        # the bound failed (adversarially flat distribution) — fall back
+        # to the exact unbounded plan rather than return unproven results
+        return top_terms(sf_dir, k=k)
+    return top

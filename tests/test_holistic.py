@@ -87,3 +87,41 @@ def test_top_terms_tie_break_and_empty_docs(tmp_path):
     assert list(got["term"]) == ["apple", "banana"]
     assert list(got["cnt"]) == [3, 3]
     assert got["cnt"].dtype == np.int64
+
+
+def test_top_terms_bounded_matches_exact_under_truncation(tmp_path):
+    """Tiny summary_k forces real truncation in every batch; the proven-
+    complete candidate + recount plan must still equal the exact result."""
+    from sql_etl_pipeline_ray.pipelines import training_data as T
+
+    rng = np.random.default_rng(3)
+    # zipf-ish corpus: head terms dominate, long random tail gets truncated
+    vocab = [f"t{i}" for i in range(400)]
+    weights = 1.0 / np.arange(1, 401)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=60, p=weights)) for _ in range(300)
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    exact = T.top_terms(str(tmp_path), k=20)
+    bounded = T.top_terms_bounded(str(tmp_path), k=20, summary_k=32)
+    pd.testing.assert_frame_equal(bounded, exact)
+
+
+def test_top_terms_bounded_falls_back_on_flat_distribution(tmp_path):
+    """A perfectly flat distribution defeats the completeness bound; the
+    operator must return the exact answer via the fallback, not a guess."""
+    from sql_etl_pipeline_ray.pipelines import training_data as T
+
+    texts = [f"u{i} u{i + 1000}" for i in range(500)]  # every term once
+    docs = pa.table(
+        {"doc_id": pa.array(range(500), pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    exact = T.top_terms(str(tmp_path), k=10)
+    bounded = T.top_terms_bounded(str(tmp_path), k=10, summary_k=8)
+    pd.testing.assert_frame_equal(bounded, exact)
