@@ -229,14 +229,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_year, o_month
         """,
         "product_performance": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS u
+              FROM lineitem)
             SELECT l.l_partkey,
                    ROUND(SUM(l_quantity), 2) AS total_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ROUND(CAST(SUM(u) AS BIGINT) / 10000.0, 2) AS revenue,
                    COUNT(*) AS num_lines,
                    p.p_name, p.p_brand, p.p_retailprice
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            FROM li l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY l.l_partkey, p.p_name, p.p_brand, p.p_retailprice
-            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l.l_partkey
+            ORDER BY SUM(u) DESC, l.l_partkey
             LIMIT 100
         """,
         "region_revenue_rollup": """
@@ -250,12 +255,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name ORDER BY r.r_name
         """,
         "category_share": """
-            WITH b AS (
-              SELECT p.p_brand, SUM(l_extendedprice * (1 - l_discount)) AS revenue
-              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS u
+              FROM lineitem),
+            b AS (
+              SELECT p.p_brand, CAST(SUM(u) AS BIGINT) AS u
+              FROM li l JOIN part p ON l.l_partkey = p.p_partkey
               GROUP BY p.p_brand)
-            SELECT p_brand, ROUND(revenue, 2) AS revenue,
-                   ROUND(revenue / SUM(revenue) OVER () * 100, 4) AS revenue_share_pct
+            SELECT p_brand, ROUND(u / 10000.0, 2) AS revenue,
+                   ROUND(CAST(u AS DOUBLE)
+                         / CAST(CAST(SUM(u) OVER () AS BIGINT) AS DOUBLE)
+                         * 100, 4) AS revenue_share_pct
             FROM b ORDER BY p_brand
         """,
         "top3_parts_per_brand": """
@@ -265,7 +277,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_filter_window": """
             SELECT o_orderpriority, COUNT(*) AS orders_count,
-                   ROUND(SUM(o_totalprice), 2) AS total_value
+                   ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) / 100.0, 2) AS total_value
             FROM orders
             WHERE o_orderstatus <> 'F'
               AND o_orderdate >= TIMESTAMP '1997-01-01'
@@ -342,7 +355,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly_tumbling": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+                   COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                              AS BIGINT) / 100.0, 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
         """,
         "events_sessionized": """
@@ -673,7 +688,8 @@ def oracle_sql() -> dict[str, str]:
         "region_nation_rollup": """
             SELECT r.r_name, n.n_name,
                    COUNT(*) AS customers,
-                   ROUND(SUM(c.c_acctbal), 2) AS acctbal_sum
+                   ROUND(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                              AS BIGINT) / 100.0, 2) AS acctbal_sum
             FROM customer c
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -697,16 +713,22 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM e)
             SELECT window_start, COUNT(*) AS events_count,
-                   ROUND(SUM(value), 2) AS value_sum
+                   ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                              AS BIGINT) / 100.0, 2) AS value_sum
             FROM x GROUP BY 1
         """,
         "mv_monthly_sales": """
-            SELECT EXTRACT(year FROM o_orderdate) AS year,
-                   EXTRACT(month FROM o_orderdate) AS month,
+            WITH o AS (
+              SELECT EXTRACT(year FROM o_orderdate) AS year,
+                     EXTRACT(month FROM o_orderdate) AS month,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+            SELECT year, month,
                    COUNT(*) AS total_orders,
-                   ROUND(SUM(o_totalprice), 2) AS revenue,
-                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
-            FROM orders GROUP BY 1, 2
+                   ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS revenue,
+                   ROUND(CAST(SUM(cents) AS BIGINT) / (COUNT(*) * 100.0), 2)
+                     AS avg_order_value
+            FROM o GROUP BY 1, 2
         """,
         "products_profit_margin": """
             WITH p AS (

@@ -371,18 +371,21 @@ def product_performance(sf_dir: str) -> pa.Table:
     )
 
     def add_revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        # price*(1-disc) as EXACT int64 in 1e-4-dollar units: both factors
+        # carry 2 decimals, so cents(price) * (100 - cents(disc)) is an
+        # integer and the Sum is order-independent (see _cents).
+        rev_u = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
         )
-        return t.append_column("revenue", rev)
+        return t.append_column("rev_u", rev_u)
 
     agg = (
         li.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_partkey")
         .aggregate(
             Sum("l_quantity", alias_name="total_qty"),
-            Sum("revenue", alias_name="revenue"),
+            Sum("rev_u", alias_name="rev_u"),
             Count(alias_name="num_lines"),
         )
     )
@@ -412,12 +415,14 @@ def product_performance(sf_dir: str) -> pa.Table:
 
     out = agg.map_batches(AttachPart, batch_format="pandas", concurrency=2)
     df = (
-        out.sort(["revenue", "l_partkey"], descending=[True, False])
+        out.sort(["rev_u", "l_partkey"], descending=[True, False])
         .limit(100)
         .to_pandas()
     )
-    df["revenue"] = df["revenue"].round(2)
+    # single division mirrors the oracle's ROUND(SUM(u)/10000.0, 2)
+    df["revenue"] = _rha(df.pop("rev_u").to_numpy(dtype=np.int64) / 10000.0, 2)
     df["total_qty"] = df["total_qty"].round(2)
+    df = df[["l_partkey", "total_qty", "revenue", "num_lines", "p_name", "p_brand", "p_retailprice"]]
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -506,23 +511,28 @@ def category_share(sf_dir: str) -> pa.Table:
             self.map = ray.get(brand_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            # 1e-4-dollar integer units: order-independent Sum (see _cents)
+            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+            disc_h = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
             return pd.DataFrame(
                 {
                     "p_brand": df["l_partkey"].map(self.map),
-                    "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+                    "rev_u": cents * (100 - disc_h),
                 }
             )
 
     per_brand = (
         li.map_batches(ToBrand, batch_format="pandas", concurrency=2)
         .groupby("p_brand")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
         .to_pandas()
     )
-    total = per_brand["revenue"].sum()
-    per_brand["revenue_share_pct"] = (per_brand["revenue"] / total * 100).round(4)
-    per_brand["revenue"] = per_brand["revenue"].round(2)
+    u = per_brand.pop("rev_u").to_numpy(dtype=np.int64)
+    total = float(u.sum())  # exact int64 total, one conversion
+    per_brand["revenue"] = _rha(u / 10000.0, 2)
+    per_brand["revenue_share_pct"] = _rha(u.astype(np.float64) / total * 100.0, 4)
     per_brand = per_brand.sort_values("p_brand").reset_index(drop=True)
+    per_brand = per_brand[["p_brand", "revenue", "revenue_share_pct"]]
     return pa.Table.from_pandas(per_brand, preserve_index=False)
 
 
@@ -555,12 +565,21 @@ def orders_filter_window(sf_dir: str) -> pa.Table:
         )
         return t.filter(mask)
 
-    filtered = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    def keep_cents(t: pa.Table) -> pa.Table:
+        t = keep(t)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    filtered = orders.map_batches(keep_cents, batch_format="pyarrow", zero_copy_batch=True)
     agg = filtered.groupby("o_orderpriority").aggregate(
-        Count(alias_name="orders_count"), Sum("o_totalprice", alias_name="total_value")
+        Count(alias_name="orders_count"), Sum("cents", alias_name="cents")
     )
     df = agg.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
-    df["total_value"] = df["total_value"].round(2)
+    df["total_value"] = _rha(df.pop("cents").to_numpy(dtype=np.int64) / 100.0, 2)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -819,17 +838,23 @@ def events_hourly_tumbling(sf_dir: str) -> pa.Table:
 
     def add_window(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
-        return t.append_column("window_start", hour)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": hour,
+                "cents": _cents(t.column("value")),
+            }
+        )
 
     agg = (
         ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
         .to_pandas()
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
-    agg["total_value"] = agg["total_value"].round(2)
+    agg["total_value"] = _rha(agg.pop("cents").to_numpy(dtype=np.int64) / 100.0, 2)
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
@@ -1260,7 +1285,7 @@ def events_sliding_window(sf_dir: str) -> pa.Table:
     def explode(t: pa.Table) -> pa.Table:
         half = pc.floor_temporal(t.column("ts"), multiple=30, unit="minute")
         prev = pc.subtract(half, pa.scalar(pd.Timedelta(minutes=30)))
-        v = t.column("value")
+        v = _cents(t.column("value"))  # int64 cents: order-independent Sum
         return pa.table(
             {
                 "window_start": pa.chunked_array(
@@ -1268,7 +1293,7 @@ def events_sliding_window(sf_dir: str) -> pa.Table:
                     if isinstance(half, pa.ChunkedArray)
                     else [prev, half]
                 ),
-                "value": pa.chunked_array(
+                "cents": pa.chunked_array(
                     v.chunks + v.chunks if isinstance(v, pa.ChunkedArray) else [v, v]
                 ),
             }
@@ -1277,12 +1302,12 @@ def events_sliding_window(sf_dir: str) -> pa.Table:
     agg = (
         ev.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("window_start")
-        .aggregate(Count(alias_name="events_count"), Sum("value", alias_name="value_sum"))
+        .aggregate(Count(alias_name="events_count"), Sum("cents", alias_name="cents"))
         .to_pandas()
         .sort_values("window_start")
         .reset_index(drop=True)
     )
-    agg["value_sum"] = _rha(agg["value_sum"].to_numpy(), 2)
+    agg["value_sum"] = _rha(agg.pop("cents").to_numpy(dtype=np.int64) / 100.0, 2)
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
@@ -1294,10 +1319,19 @@ def region_nation_rollup(sf_dir: str) -> pa.Table:
     partial aggregate, never a second scan."""
     nat = _small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
     reg = _small(sf_dir, "region", ["r_regionkey", "r_name"])
-    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "cents": _cents(t.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     fine = (
         cust.groupby("c_nationkey")
-        .aggregate(Count(alias_name="customers"), Sum("c_acctbal", alias_name="acctbal_sum"))
+        .aggregate(Count(alias_name="customers"), Sum("cents", alias_name="acctbal_sum"))
         .to_pandas()
     )
     n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
@@ -1323,7 +1357,8 @@ def region_nation_rollup(sf_dir: str) -> pa.Table:
         ["r_name", "n_name", "customers", "acctbal_sum"]
     ]
     out["customers"] = out["customers"].astype(np.int64)
-    out["acctbal_sum"] = _rha(out["acctbal_sum"].to_numpy(), 2)
+    # re-aggregated int64 cents are exact at every rollup level
+    out["acctbal_sum"] = _rha(out["acctbal_sum"].to_numpy(dtype=np.int64) / 100.0, 2)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -15,14 +15,15 @@ import os
 import shutil
 import uuid
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
-from .analytics import _rha
+from .analytics import _cents, _rha
 
 
 def _orders_with_month(sf_dir: str) -> ray.data.Dataset:
@@ -33,17 +34,23 @@ def _orders_with_month(sf_dir: str) -> ray.data.Dataset:
 
     def add_month(t: pa.Table) -> pa.Table:
         d = t.column("o_orderdate")
-        t = t.append_column("year", pc.cast(pc.year(d), pa.int64()))
-        return t.append_column("month", pc.cast(pc.month(d), pa.int64()))
+        return pa.table(
+            {
+                "year": pc.cast(pc.year(d), pa.int64()),
+                "month": pc.cast(pc.month(d), pa.int64()),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        )
 
     return orders.map_batches(add_month, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _aggregate(ds: ray.data.Dataset) -> ray.data.Dataset:
+    # money as exact int64 cents: Sum is order-independent, and the mean is
+    # ONE division at the end (cents / (n*100.0)) mirroring the oracle
     return ds.groupby(["year", "month"]).aggregate(
         Count(alias_name="total_orders"),
-        Sum("o_totalprice", alias_name="revenue"),
-        Mean("o_totalprice", alias_name="avg_order_value"),
+        Sum("cents", alias_name="cents"),
     )
 
 
@@ -69,8 +76,10 @@ def refresh_monthly_sales(
 
         ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     agg = _aggregate(ds).to_pandas()  # one row per month — tiny by construction
-    agg["revenue"] = _rha(agg["revenue"].to_numpy(), 2)
-    agg["avg_order_value"] = _rha(agg["avg_order_value"].to_numpy(), 2)
+    cents = agg.pop("cents").to_numpy(dtype=np.int64)
+    n = agg["total_orders"].to_numpy(dtype=np.int64)
+    agg["revenue"] = _rha(cents / 100.0, 2)
+    agg["avg_order_value"] = _rha(cents / (n * 100.0), 2)
 
     written: list[tuple[int, int]] = []
     for (y, m), grp in agg.groupby(["year", "month"]):
