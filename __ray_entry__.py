@@ -148,6 +148,60 @@ _STOPWORD_STATS_SQL = r"""
     FROM documents
 """.replace("{pat}", r"\b(?:" + "|".join(sorted(_SW)) + r")\b")
 
+# Lang-id oracle built from the SAME marker tables the Ray stage compiles
+# (stages/text.py:_LANG_MARKERS): per-language distinct-marker hit counts,
+# then the stage's exact argmax tie-break (dict order, strictly-greater to
+# replace) as an ordered CASE over GREATEST.
+from sql_etl_pipeline_ray.stages.text import _LANG_MARKERS as _LM
+
+_LANG_HITS = ",\n      ".join(
+    "len(list_filter(words, x -> list_contains([{}], x))) AS h_{}".format(
+        ", ".join("'" + m.replace("'", "''") + "'" for m in sorted(marks)), lang
+    )
+    for lang, marks in _LM.items()
+)
+_LANG_GREATEST = "GREATEST({})".format(", ".join(f"h_{l}" for l in _LM))
+_LANG_CASES = "\n           ".join(
+    f"WHEN h_{l} = {_LANG_GREATEST} THEN '{l}'" for l in _LM
+)
+
+_LANG_ID_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+        list_distinct(list_transform(
+          regexp_extract_all(coalesce(text, ''), '[a-zA-Z'']+')[:200],
+          x -> lower(x))) AS words
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+      {_LANG_HITS}
+      FROM w)
+    SELECT doc_id,
+      CASE WHEN {_LANG_GREATEST} = 0 THEN 'unknown'
+           {_LANG_CASES}
+           END AS detected_lang,
+      lang
+    FROM h
+"""
+
+# Karp-Rabin rolling hash (stages/text.py:Fingerprint): h = (h*257 + byte)
+# mod 2^61-1 over the first 4096 UTF-8 bytes, replayed byte-for-byte from
+# the hex encoding with HUGEINT modular arithmetic.
+_ROLLING_HASH_SQL = """
+    WITH d AS (
+      SELECT doc_id, lower(hex(encode(coalesce(text, ''))))[:8192] AS h
+      FROM documents)
+    SELECT doc_id,
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(1, LENGTH(h)//2 + 1),
+            i -> CAST(strpos('0123456789abcdef', h[2*i-1]) - 1 AS HUGEINT) * 16
+                 + (strpos('0123456789abcdef', h[2*i]) - 1))),
+        (acc, b) -> (acc * 257 + b) % 2305843009213693951) AS BIGINT)
+        AS rolling_hash
+    FROM d
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -461,6 +515,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex
             FROM documents
         """,
+        "doc_fingerprint_rolling": _ROLLING_HASH_SQL,
+        "doc_lang_id": _LANG_ID_SQL,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
