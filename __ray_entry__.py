@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bernoulli_sample": T.docs_bernoulli_sample,
         "dedup_embedding_cosine_ivf": T.dedup_embedding_cosine_ivf,
         "dedup_clusters": T.dedup_clusters,
+        "dedup_clusters_distributed": T.dedup_clusters_distributed,
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
         "customers_without_orders": A.customers_without_orders,
@@ -204,7 +205,7 @@ _ROLLING_HASH_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "cdc_replay": """
             SELECT source AS repo,
                    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
@@ -914,3 +915,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY cnt DESC, term LIMIT 50
         """,
     }
+    # Same clusters, distributed label propagation — one oracle, two plans.
+    sql["dedup_clusters_distributed"] = sql["dedup_clusters"]
+    return sql

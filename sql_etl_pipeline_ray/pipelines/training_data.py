@@ -331,6 +331,18 @@ def dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return D.connected_components(pairs)
 
 
+def dedup_clusters_distributed(sf_dir: str) -> ray.data.Dataset:
+    """Same clusters as ``dedup_clusters`` but the components run
+    DISTRIBUTED (iterative min-label propagation over the edge Dataset,
+    stages/dedup.py:connected_components_distributed) — the scale path for
+    when the verified edge list no longer fits the driver.  Shares
+    ``dedup_clusters``'s recursive-CTE oracle."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+    )
+    return D.connected_components_distributed(pairs)
+
+
 def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Exact corpus-wide top-k frequent terms: per-batch tokenize +
     partial count (one vectorized pandas pass), ``groupby(term).sum`` to

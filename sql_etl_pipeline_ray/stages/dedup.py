@@ -433,3 +433,134 @@ def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a", b_col: str =
         {"doc_id": list(label), "cluster_id": [find(x) for x in label]}
     ).sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
     return out
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 8,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Connected components over an edge DATASET — the scale path promised
+    by ``connected_components``'s docstring, for when the verified-pair
+    edge list itself no longer fits one machine.
+
+    Iterative distributed min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels (one hash
+    join edges⋈labels + one grouped min — both all-to-all over the edge
+    set only, never the corpus).  Labels are min-monotone, so the global
+    label SUM strictly decreases until the fixed point; the convergence
+    check is therefore one cheap scalar aggregate per round, no
+    old-vs-new join.  Rounds = graph diameter, which for near-dup
+    clusters (chains of mutual rewrites) stays small; ``max_iters``
+    guards pathological chains.  Labels are materialized per round —
+    required state for any iterative algorithm, and O(nodes-in-pairs),
+    tiny relative to the corpus.
+
+    Returns a Dataset of (doc_id, cluster_id := min id reachable), equal
+    to ``connected_components`` on the same pairs."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def norm_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return label_schema.empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "label": pc.cast(t.column("label"), pa.int64()),
+            }
+        )
+
+    def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # Aggregate emits one block per hash partition; EMPTY partitions
+        # surface as zero-row blocks with an EMPTY schema, and map_batches
+        # short-circuits zero-row inputs so no transform can repair them.
+        # A schema-less block on the build side of a Dataset.join makes
+        # Acero fail with "No match ... FieldRef.Name(node)" — rebuild the
+        # materialized labels from non-empty blocks only (metadata-only
+        # num_rows check; no block is fetched to the driver).
+        refs = [
+            ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        if not refs:
+            return ray.data.from_arrow(label_schema.empty_table())
+        return ray.data.from_arrow_refs(refs)
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.int64()).combine_chunks()
+        b = pc.cast(t.column(b_col), pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, b]),
+                "dst": pa.chunked_array([b, a]),
+            }
+        )
+
+    sym = edges.map_batches(
+        to_sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if sym.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+
+    # round 0 folded in: label(u) = min(u, min neighbor)
+    def seed_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return label_schema.empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("src"), pa.int64()),
+                "label": pc.cast(
+                    pc.min_element_wise(t.column("src"), t.column("label")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    labels = drop_empty_blocks(
+        sym.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
+        .map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = sym.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = drop_empty_blocks(
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(norm_labels, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["cluster_id", "doc_id"])  # label table is O(nodes-in-pairs), sort is cheap

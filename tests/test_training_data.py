@@ -172,3 +172,56 @@ def test_dedup_clusters_group_exact_dups_together():
     # every cluster id is the min doc id of its members
     assert (out.groupby("cluster_id")["doc_id"].min() == out["cluster_id"].unique()).all()
     assert len(out) > 0
+
+
+def test_connected_components_distributed_matches_union_find():
+    import pandas as pd
+    import ray
+
+    from sql_etl_pipeline_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    # long chain (forces several propagation rounds), a triangle with a
+    # cross edge, an isolated pair, and duplicate edges
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [10, 11, 12, 13, 14, 5, 6, 5, 100, 10],
+            "doc_b": [11, 12, 13, 14, 15, 6, 7, 7, 101, 11],
+        }
+    )
+    want = connected_components(pairs)
+    got = (
+        connected_components_distributed(ray.data.from_pandas(pairs), num_partitions=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_clusters_distributed_matches_driver_side():
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    want = E.queries()["dedup_clusters"]("/root/testdata/sf0.001").reset_index(drop=True)
+    got = (
+        E.queries()["dedup_clusters_distributed"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_connected_components_distributed_empty_edges():
+    import ray
+    import pyarrow as pa
+
+    from sql_etl_pipeline_ray.stages.dedup import connected_components_distributed
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    out = connected_components_distributed(empty)
+    assert out.count() == 0
