@@ -204,6 +204,99 @@ _ROLLING_HASH_SQL = """
 """
 
 
+# MinHash+LSH oracle: the approximate algorithm replayed EXACTLY in SQL —
+# same md5-derived 32-bit shingle hashes (DuckDB md5_number_lower % 2^32),
+# same seeded (a,b) universal-hash family (inlined as literals from the
+# single source of truth, stages/dedup.py:minhash_coefficients; every
+# a*x+b < 2^63 so BIGINT arithmetic is exact on both engines), same
+# 16-band×4-row banding (band key = the literal value tuple), same
+# exact-Jaccard verification of candidates.
+from sql_etl_pipeline_ray.stages.dedup import minhash_coefficients as _mh_coef
+
+_MH_A, _MH_B = _mh_coef(num_hashes=64, seed=42)
+_MH_COEF_ROWS = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(zip(_MH_A.tolist(), _MH_B.tolist()))
+)
+
+_MINHASH_SQL = f"""
+    WITH coef(hi, a, b) AS (VALUES {_MH_COEF_ROWS}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       FOR i IN generate_series(1, len(w) - 2)]) AS g
+        FROM toks WHERE len(w) >= 3)),
+    gh AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(g) % 4294967296 AS BIGINT) AS x
+           FROM grams),
+    mh AS (SELECT doc_id, hi, MIN((a * x + b) % 2147483647) AS v
+           FROM gh CROSS JOIN coef GROUP BY doc_id, hi),
+    bands AS (SELECT doc_id, hi // 4 AS band_id,
+                     string_agg(v::VARCHAR, ',' ORDER BY hi) AS band_key
+              FROM mh GROUP BY doc_id, hi // 4),
+    cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id),
+    cnts AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+    inter AS (SELECT c.da, c.db, COUNT(*) AS ni
+              FROM cand c
+              JOIN gh ga ON ga.doc_id = c.da
+              JOIN gh gb ON gb.doc_id = c.db AND gb.x = ga.x
+              GROUP BY 1, 2)
+    SELECT i.da AS a, i.db AS b,
+           ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN cnts ca ON ca.doc_id = i.da
+    JOIN cnts cb ON cb.doc_id = i.db
+    WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5
+    ORDER BY a, b
+"""
+
+# SimHash oracle: 64-bit signature rebuilt bit-by-bit (±1 vote per distinct
+# word per bit of md5_number_lower(word), bit set iff the vote sum is
+# positive, assembled in HUGEINT then converted to the signed BIGINT the
+# engine stores), then the same 4×16-bit chunk pigeonhole bucketing and
+# bit_count(xor) hamming verify as stages/dedup.py:simhash_near_dups.
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)),
+    votes AS (
+      SELECT doc_id, r.i AS i,
+             SUM(CASE WHEN (md5_number_lower(w) >> r.i) & 1 = 1
+                      THEN 1 ELSE -1 END) AS c
+      FROM toks CROSS JOIN range(64) r(i)
+      GROUP BY doc_id, r.i),
+    sims AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                       THEN s - 18446744073709551616::HUGEINT
+                       ELSE s END AS BIGINT) AS simhash
+      FROM (SELECT doc_id,
+                   COALESCE(SUM(CASE WHEN c > 0 THEN 1::HUGEINT << i END),
+                            0::HUGEINT) AS s
+            FROM votes GROUP BY doc_id)),
+    buckets AS (
+      SELECT doc_id, simhash, r.c AS chunk,
+             (simhash >> (16 * r.c)) & 65535 AS chunk_key
+      FROM sims CROSS JOIN range(4) r(c)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS da, x.simhash AS ha,
+                      y.doc_id AS db, y.simhash AS hb
+      FROM buckets x JOIN buckets y
+        ON x.chunk = y.chunk AND x.chunk_key = y.chunk_key
+       AND x.doc_id < y.doc_id)
+    SELECT da AS a, db AS b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY a, b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "cdc_replay": """
@@ -518,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint_rolling": _ROLLING_HASH_SQL,
         "doc_lang_id": _LANG_ID_SQL,
+        "dedup_minhash_pairs": _MINHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_SQL,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -196,15 +196,22 @@ def dedup_stats(sf_dir: str) -> pa.Table:
 def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
 
-    Non-SQL-expressible (rows-only driver check); correctness is pinned by
-    ``tests/test_dedup.py`` against a brute-force all-pairs oracle."""
+    Approximate algorithm, EXACT oracle: the md5-based hashing and the
+    seeded coefficient family are DuckDB-reproducible, so the SQL twin
+    replays banding + verification value-for-value (``_MINHASH_SQL``);
+    recall properties additionally pinned by ``tests/test_training_data``
+    against a brute-force all-pairs reference."""
     return D.minhash_lsh_pairs(
         _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
     )
 
 
 def dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed + verified."""
+    """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed + verified.
+
+    Approximate algorithm, EXACT oracle (``_SIMHASH_SQL``) — the 64-bit
+    signature is a pure function of md5_number_lower over distinct words,
+    replayed bit-for-bit in SQL."""
     return D.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
 
 

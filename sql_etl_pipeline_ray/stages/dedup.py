@@ -8,8 +8,12 @@ over content), then candidate verification.
 
 Scale notes:
 - exact: shuffle volume = one 64-hex digest per row, not the content.
-- MinHash/LSH: shuffle volume = bands × 16 bytes per doc; candidate pairs
-  are verified with exact Jaccard before reporting (no false positives).
+- MinHash/LSH: shuffle volume = bands × ~48 bytes per doc (the literal
+  band-value tuple travels as the bucket key); candidate pairs are
+  verified with exact Jaccard before reporting (no false positives).
+- hashing is DuckDB-reproducible by construction (md5_number_lower +
+  int64-exact universal hashes), so even the approximate operators carry
+  exact SQL value oracles.
 - connected components are NOT computed here — callers get verified pairs
   and can run iterative min-label propagation if they need clusters.
 """
@@ -24,52 +28,93 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
-_MERSENNE = (1 << 61) - 1
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus — see minhash_coefficients
+
+
+def minhash_coefficients(num_hashes: int = 64, seed: int = 42):
+    """Seeded universal-hash family ``(a*x + b) mod (2^31-1)``.
+
+    Single source of truth shared by ``ShingleMinHash`` and the SQL oracle
+    (``__ray_entry__.oracle_sql`` inlines these as literals): base shingle
+    hashes are 32-bit, ``a < 2^31-1``, so ``a*x + b < 2^63`` — every term is
+    exact in int64 on BOTH numpy and DuckDB BIGINT, no overflow, no wrap."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MINHASH_P, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MINHASH_P, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _rha6(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero to 6 decimals — DuckDB ``ROUND(x, 6)``
+    semantics (numpy's default is banker's).  Jaccard ratios CAN land on
+    exact decimal ties (any union size divisible by 2^7, e.g. 1/128 =
+    0.0078125), so the rounding rule must match the oracle's exactly;
+    same discipline as ``pipelines/analytics.py:_rha``."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _md5_lower32(s: str) -> int:
+    """Lowest 32 bits of DuckDB ``md5_number_lower`` (little-endian int of
+    digest bytes 8..16) — i.e. digest bytes 8..12 LE.  Using the exact
+    DuckDB definition makes every hash-derived operator SQL-oracle-able."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:12], "little")
+
+
+def _md5_lower64(s: str) -> int:
+    """DuckDB ``md5_number_lower(s)``: little-endian int of digest[8:16]."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
 
 
 class ShingleMinHash:
     """Per-batch MinHash signatures over word k-shingles.
 
-    Universal-hash family ``(a*x + b) mod p`` with seeded coefficients —
-    built once per actor; signatures are exact functions of the text, so
-    reruns and retries are deterministic."""
+    Universal-hash family ``(a*x + b) mod (2^31-1)`` over 32-bit md5 base
+    hashes with seeded coefficients — built once per actor; signatures are
+    exact functions of the text, so reruns and retries are deterministic
+    AND the whole construction is reproducible in SQL (DuckDB
+    ``md5_number_lower`` + BIGINT arithmetic), which is what lets
+    ``dedup_minhash_pairs`` carry an exact value-hash oracle despite being
+    an approximate algorithm.
+
+    Tokenization matches the n-gram-Jaccard operator (and DuckDB
+    ``string_split(text, ' ')``): docs with fewer than ``shingle_k``
+    space-separated words have no shingles and never pair."""
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42,
                  text_col: str = "text"):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+        self.a, self.b = minhash_coefficients(num_hashes, seed)
         self.k = shingle_k
         self.num_hashes = num_hashes
         self.text_col = text_col
 
     def shingles(self, text: str) -> np.ndarray:
-        words = (text or "").split()
+        # split(" ") (not split()) to match DuckDB string_split(text,' ')
+        words = (text or "").split(" ")
         if len(words) < self.k:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                >> 3
-                for g in set(grams)
-            ),
-            dtype=np.int64,
-        )
+            return np.empty(0, dtype=np.int64)
+        grams = {
+            " ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)
+        }
+        return np.fromiter((_md5_lower32(g) for g in grams), dtype=np.int64)
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> np.ndarray | None:
         sh = self.shingles(text)
         if len(sh) == 0:
-            return np.zeros(self.num_hashes, dtype=np.int64)
-        # (num_hashes, n_shingles) universal hashes -> row-wise min
-        hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+            return None  # shorter than k words — no signature, never pairs
+        # (num_hashes, n_shingles) universal hashes -> row-wise min;
+        # a*x + b < 2^63 so int64 arithmetic is exact (no silent wrap)
+        hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MINHASH_P
         return hv.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df[self.text_col]])
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
-        out["sig"] = list(sigs)
+        rows = [
+            (doc_id, sig)
+            for doc_id, t in zip(df["doc_id"], df[self.text_col])
+            if (sig := self.signature(t)) is not None
+        ]
+        out = pd.DataFrame({"doc_id": np.asarray([r[0] for r in rows], dtype=np.int64)})
+        out["sig"] = [r[1] for r in rows]
         return out
 
 
@@ -96,7 +141,10 @@ def minhash_lsh_pairs(
         for doc_id, sig in zip(sig_df["doc_id"], sig_df["sig"]):
             for b in range(bands):
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                # the bucket key is the literal value tuple (as the SQL
+                # oracle's string_agg ORDER BY i), not a re-hash of it:
+                # zero collision risk, ~40 bytes/row shuffle — still tiny
+                bh = ",".join(str(v) for v in band)
                 recs.append((b, bh, doc_id))
         return pd.DataFrame(recs, columns=["band_id", "band_hash", "doc_id"])
 
@@ -139,21 +187,26 @@ def minhash_lsh_pairs(
     texts = dict(zip(docs_pdf["doc_id"], docs_pdf[text_col]))
 
     def jaccard(a: str, b: str) -> float:
+        # candidates always have ≥1 shingle (short docs never band)
         sa, sb = set(hasher.shingles(a).tolist()), set(hasher.shingles(b).tolist())
-        if not sa and not sb:
-            return 1.0
-        return len(sa & sb) / max(1, len(sa | sb))
+        return len(sa & sb) / len(sa | sb)
 
-    cand["jaccard"] = [
-        round(jaccard(texts[a], texts[b]), 6) for a, b in zip(cand["a"], cand["b"])
-    ]
-    out = cand[cand["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    j = np.array(
+        [jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
+    )
+    cand["jaccard"] = _rha6(j)  # filter on the unrounded value,
+    out = cand[j >= jaccard_threshold].reset_index(drop=True)  # like ngram
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 class SimHasher:
     """64-bit SimHash over word unigrams (per-actor state: none heavy, but
-    kept as a class for the actor-pool pattern and seeding discipline)."""
+    kept as a class for the actor-pool pattern and seeding discipline).
+
+    Word hash = DuckDB ``md5_number_lower`` and tokenization =
+    ``string_split(text, ' ')`` distinct, so the whole signature — and
+    therefore the chunk-bucketed near-dup pair set — is reproducible
+    bit-for-bit in SQL (the ``dedup_simhash_pairs`` oracle)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -162,10 +215,9 @@ class SimHasher:
         """64-bit simhash as a SIGNED python int (int64-storable)."""
         acc = np.zeros(64, dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
-        for w in set((text or "").split()):
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            )
+        # split(" ") (not split()) to match DuckDB string_split(text,' ')
+        for w in set((text or "").split(" ")):
+            h = np.uint64(_md5_lower64(w))
             bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         v = int(np.sum((acc > 0).astype(np.uint64) << shifts, dtype=np.uint64))
@@ -393,7 +445,7 @@ def ngram_jaccard_pairs(
             {
                 "doc_a": df["doc_a"].to_numpy(),
                 "doc_b": df["doc_b"].to_numpy(),
-                "jaccard": np.round(j, 6),
+                "jaccard": _rha6(j),
             }
         )
         return out[j >= threshold]
