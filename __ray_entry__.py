@@ -91,8 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_distinct_segments": A.string_agg_distinct_segments,
         "doc_stopword_stats": T.doc_stopword_stats,
         "docs_per_lang_stats": T.docs_per_lang_stats,
-        # approximate by design → no oracle; error bounds pinned by
-        # tests/test_sketch.py against exact DuckDB distincts
+        # approximate by design, yet EXACTLY oracled (_HLL_SQL replays the
+        # sketch); error bounds additionally pinned by tests/test_sketch.py
         "monthly_uniques_hll": T.monthly_uniques_hll,
         # --- temporal joins (beyond-reference custom operators) ---
         "events_asof_enrich": TJ.events_asof_enrich,
@@ -294,6 +294,68 @@ _SIMHASH_SQL = """
     FROM cand
     WHERE bit_count(xor(ha, hb)) <= 3
     ORDER BY a, b
+"""
+
+
+# HyperLogLog oracle: the sketch replayed EXACTLY in SQL.  splitmix64 is
+# pure mod-2^64 integer arithmetic (HUGEINT multiply + UBIGINT xor/shift),
+# register rho comes from bin()-string leading-zero counting, the harmonic
+# denominator is the exact HUGEINT S = sum 2^(64-M) the Ray side also
+# uses (stages/sketch.py:hll_estimate), and the alpha / 2^(64+2p) factors
+# are inlined as the identical double literals.  ln() is libm on both
+# engines — verified bit-equal over all 2^p possible linear-counting
+# inputs in tests/test_sketch.py.
+_HLL_P, _HLL_M = 12, 4096
+_HLL_ALPHA = repr(0.7213 / (1 + 1.079 / _HLL_M))
+_HLL_NUM = repr(float((1 << 64) * _HLL_M * _HLL_M))
+
+
+def _mulmod64(zexpr: str, c: int) -> str:
+    """SQL for ``(z * c) mod 2^64`` without INT128 overflow: split z into
+    32-bit halves — ``(z_hi*c mod 2^32)*2^32 + z_lo*c`` keeps every
+    intermediate under 2^97 (HUGEINT-safe)."""
+    return (
+        f"CAST((((({zexpr}) >> 32)::HUGEINT * {c % (1 << 32)} % 4294967296)"
+        f" * 4294967296 + (({zexpr}) % 4294967296)::HUGEINT * {c})"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+_HLL_SQL = f"""
+    WITH o AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+             CAST(o_custkey AS UBIGINT) AS x
+      FROM orders),
+    h0 AS (SELECT ym, CAST((x::HUGEINT + 11400714819323198485)
+                           % 18446744073709551616 AS UBIGINT) AS z FROM o),
+    h1 AS (SELECT ym, {_mulmod64("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z
+           FROM h0),
+    h2 AS (SELECT ym, {_mulmod64("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z
+           FROM h1),
+    hf AS (SELECT ym, xor(z, z >> 31) AS h FROM h2),
+    rr AS (SELECT ym, CAST(h >> {64 - _HLL_P} AS BIGINT) AS idx,
+                  -- rest = (h << p | sentinel) truncated to 64 bits;
+                  -- rho = clz(rest) + 1 = 65 - LENGTH(bin(rest))
+                  65 - LENGTH(bin(CAST((h::HUGEINT % {1 << (64 - _HLL_P)})
+                                       * {1 << _HLL_P}
+                                       + {1 << (_HLL_P - 1)} AS UBIGINT)))
+                    AS rho
+           FROM hf),
+    regs AS (SELECT ym, idx, MAX(rho) AS mx FROM rr GROUP BY ym, idx),
+    s AS (SELECT ym,
+                 SUM(1::HUGEINT << (64 - mx))
+                   + ({_HLL_M} - COUNT(*)) * 18446744073709551616::HUGEINT
+                   AS S,
+                 {_HLL_M} - COUNT(*) AS zeros
+          FROM regs GROUP BY ym)
+    SELECT ym,
+           ROUND(CASE WHEN {_HLL_ALPHA} * ({_HLL_NUM} / CAST(S AS DOUBLE))
+                           <= {2.5 * _HLL_M} AND zeros > 0
+                      THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                      ELSE {_HLL_ALPHA} * ({_HLL_NUM} / CAST(S AS DOUBLE))
+                      END, 1) AS unique_customers_approx
+    FROM s ORDER BY ym
 """
 
 
@@ -613,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_SQL,
         "dedup_minhash_pairs": _MINHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_SQL,
+        "monthly_uniques_hll": _HLL_SQL,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1

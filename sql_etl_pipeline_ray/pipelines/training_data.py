@@ -118,7 +118,10 @@ def monthly_uniques_hll(sf_dir: str) -> pa.Table:
     Shape: per-batch partial registers (vectorized scatter-max) →
     ``groupby(month).map_groups`` merge + estimate.  Accuracy
     (~1.04/sqrt(4096) ≈ 1.6% standard error) is pinned against the exact
-    counts by a unit test; no SQL oracle (approximate by design)."""
+    counts by a unit test — AND, because the splitmix64 hash, the
+    exact-integer harmonic sum, and the libm log are all DuckDB-
+    replayable, the sketch carries an exact value oracle
+    (``__ray_entry__._HLL_SQL``) despite being approximate by design."""
     from ..stages.sketch import hll_estimate, hll_merge, hll_partial
 
     orders = ray.data.read_parquet(
@@ -135,10 +138,12 @@ def monthly_uniques_hll(sf_dir: str) -> pa.Table:
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         regs = hll_merge(np.frombuffer(b, dtype=np.uint8) for b in g["regs"])
+        est = hll_estimate(regs)
+        # round half AWAY from zero (DuckDB ROUND), not Python banker's
         return pd.DataFrame(
             {
                 "ym": [g["ym"].iloc[0]],
-                "unique_customers_approx": [round(hll_estimate(regs), 1)],
+                "unique_customers_approx": [np.floor(est * 10 + 0.5) / 10],
             }
         )
 

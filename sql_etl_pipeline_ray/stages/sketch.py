@@ -56,13 +56,29 @@ def hll_merge(reg_arrays) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Bias-corrected HLL cardinality estimate."""
+    """Bias-corrected HLL cardinality estimate.
+
+    Computed to be ORDER-INDEPENDENT and SQL-replayable: the harmonic
+    denominator ``sum 2^-M`` is accumulated as the exact integer
+    ``S = sum 2^(64-M)`` (so it never depends on float summation order the
+    way ``np.sum(2.0**-regs)`` does), then the estimate is
+    ``alpha * (2^(64+2p) / S)`` with one IEEE rounding per step — DuckDB
+    reproduces every operation bitwise (HUGEINT sum, one CAST, one
+    division, one multiply), which is what lets ``monthly_uniques_hll``
+    carry an exact value oracle despite being an approximate sketch.
+    The linear-counting branch uses ``math.log`` (libm), verified
+    bit-identical to DuckDB ``ln`` over all 2^p possible inputs in
+    ``tests/test_sketch.py``."""
+    import math
+
     m = len(regs)
     if m == 0:
         return 0.0
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
-    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    S = sum(int(c) << (64 - r) for r, c in enumerate(counts.tolist()) if c)
+    est = alpha * (float((1 << 64) * m * m) / float(S))
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting, small range
+        est = m * math.log(m / zeros)  # linear counting, small range
     return float(est)

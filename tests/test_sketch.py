@@ -52,3 +52,19 @@ def test_monthly_uniques_query_close_to_exact():
     diff = (got["unique_customers_approx"] - exact["n"]).abs()
     tol = np.maximum(3.0, 0.06 * exact["n"])
     assert (diff <= tol).all(), (diff / exact["n"]).max()
+
+
+def test_libm_log_matches_duckdb_ln_on_all_linear_counting_inputs():
+    """hll_estimate's linear-counting branch uses math.log; the SQL oracle
+    uses DuckDB ln.  The input domain is finite (m / zeros for zeros in
+    1..m-1) — pin bit-equality over ALL of it so the oracle can never
+    drift by a ulp."""
+    import math
+
+    import duckdb
+
+    m = 4096
+    rows = duckdb.sql(
+        f"SELECT v, ln({float(m)} / v) FROM (SELECT UNNEST(generate_series(1, {m - 1})) v)"
+    ).fetchall()
+    assert all(l == math.log(m / v) for v, l in rows)
