@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": T.embedding_label_centroids,
         "embedding_kmeans": T.embedding_kmeans,
         "docs_stratified_sample": T.docs_stratified_sample,
+        # --- corpus curation: split / shuffle / packing (stages/curation) ---
+        "docs_train_val_test_split": T.docs_train_val_test_split,
+        "docs_shuffled": T.docs_shuffled,
+        "docs_pack_sequences": T.docs_pack_sequences,
         # bounded-shuffle top-k sketch (exact result: candidates proven
         # complete, then recounted) — shares top_terms's semantics/oracle
         "top_terms_bounded": T.top_terms_bounded,
@@ -676,6 +680,52 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _MINHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_SQL,
         "monthly_uniques_hll": _HLL_SQL,
+        # corpus curation (stages/curation.py): the hash coins are single
+        # wrap-around multiplies — doc_id < 2^63 keeps one HUGEINT product
+        # exact, % 2^64 realizes the uint64 wrap
+        "docs_train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 1000 THEN 'test'
+                        WHEN b < 2000 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         CAST(doc_id::HUGEINT * 11400714819323198485
+                              % 18446744073709551616 % 10000 AS BIGINT) AS b
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "docs_shuffled": """
+            WITH k AS (
+              SELECT doc_id,
+                     doc_id::HUGEINT * 13787848793156543929
+                       % 18446744073709551616 AS ku
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN ku >= 9223372036854775808::HUGEINT
+                               THEN ku - 18446744073709551616::HUGEINT
+                               ELSE ku END AS BIGINT) AS shuffle_key
+              FROM k)
+            SELECT doc_id, shuffle_key,
+                   (shuffle_key >> 56) & 255 AS shard
+            FROM s ORDER BY shuffle_key
+        """,
+        "docs_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS stream_offset
+              FROM t)
+            SELECT doc_id, n_tokens, stream_offset,
+                   stream_offset // 2048 AS seq_id
+            FROM c ORDER BY doc_id
+        """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from ..stages import curation as CU
 from ..stages import dedup as D
 from ..stages import multimodal as MM
 from ..stages import similarity as SIM
@@ -353,6 +354,25 @@ def dedup_clusters_distributed(sf_dir: str) -> ray.data.Dataset:
         _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
     )
     return D.connected_components_distributed(pairs)
+
+
+def docs_train_val_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 80/10/10 train/val/test assignment by integer hash
+    coin (stages/curation.py) — exactly SQL-oracled."""
+    return CU.train_val_test_split(_docs(sf_dir, ["doc_id"]))
+
+
+def docs_shuffled(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic global training shuffle: bijective-hash sort key +
+    resumable shard byte (stages/curation.py) — exactly SQL-oracled."""
+    return CU.deterministic_shuffle(_docs(sf_dir, ["doc_id"]))
+
+
+def docs_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-and-chunk token packing into 2048-token sequences via a
+    distributed by-key prefix sum (stages/curation.py) — exactly
+    SQL-oracled against a window cumsum."""
+    return CU.pack_sequences(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:

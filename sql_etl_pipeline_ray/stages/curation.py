@@ -1,0 +1,162 @@
+"""Corpus-curation operators a training-data pipeline runs LAST, after
+dedup/quality filtering: deterministic train/val/test splitting, a
+deterministic global shuffle, and token-budget sequence packing (the
+concat-and-chunk layout GPT-style pretraining uses).
+
+All three are pure functions of the data — seeded integer hash coins and
+exact integer prefix sums, never ``random_sample``/``random_shuffle`` —
+so retries, re-runs and any partitioning give bit-identical results, and
+each carries an exact DuckDB oracle in ``__ray_entry__``.
+
+Scale notes:
+- split: embarrassingly parallel map, zero shuffle.
+- shuffle: one range-partitioned sort on an 8-byte key (the canonical
+  Ray Data ``sort``); at 100 TB you'd write one file per ``shard`` so
+  the output is resumable per shard.
+- packing: a distributed prefix sum — coarse per-bucket token totals
+  (tiny groupby) → driver exclusive-prefix over buckets (|buckets|
+  rows) → per-bucket vectorized cumsum (``map_groups``).  No global
+  sort, no driver materialization of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# odd 64-bit multipliers → bijective mod 2^64 (a perfect, tie-free
+# pseudo-random permutation of the id space); wrap-around multiply is
+# numpy uint64 semantics and HUGEINT-% in the SQL oracle.  Ids must stay
+# below 2^63 for the oracle's single HUGEINT multiply — any realistic
+# doc_id is.
+_SPLIT_MULT = np.uint64(0x9E3779B97F4A7C15)
+_SHUFFLE_MULT = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def train_val_test_split(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> ray.data.Dataset:
+    """Assign every row to train/val/test by a seeded integer hash coin:
+    ``bucket = (id * GOLDEN) mod 2^64 mod 10000`` with integer-threshold
+    cuts — disjoint, exhaustive, stable across runs/retries/partitioning,
+    and exactly replayable in SQL.  Percentages are whole points."""
+    t_cut = np.int64(test_pct * 100)
+    v_cut = np.int64((test_pct + val_pct) * 100)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * _SPLIT_MULT) % np.uint64(10000)).astype(np.int64)
+        split = np.where(
+            bucket < t_cut, "test", np.where(bucket < v_cut, "val", "train")
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_shuffle(
+    docs: ray.data.Dataset, id_col: str = "doc_id", num_shards: int = 256
+) -> ray.data.Dataset:
+    """Deterministic global shuffle: order by the bijective hash key
+    ``(id * MIX) mod 2^64`` (stored signed int64; no ties because the
+    multiplier is odd), with a ``shard`` = top byte of the key for
+    resumable per-shard output.  Unlike ``Dataset.random_shuffle`` the
+    permutation is a pure function of the ids — reruns, retries and the
+    SQL oracle all agree on the exact order."""
+    shard_shift = np.int64(64 - int(num_shards).bit_length() + 1)
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (ids * _SHUFFLE_MULT).view(np.int64)  # signed view, order-defining
+        shard = (k >> shard_shift) & np.int64(num_shards - 1)
+        return pa.table(
+            {id_col: t.column(id_col), "shuffle_key": k, "shard": shard}
+        )
+
+    return docs.map_batches(
+        key, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("shuffle_key")
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1024,
+) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing: lay all documents end-to-end in
+    ``id_col`` order and cut the token stream every ``budget`` tokens;
+    each doc reports its ``stream_offset`` and the ``seq_id`` (chunk) its
+    first token lands in.  Token count = space-split field count,
+    matching DuckDB ``len(string_split(text, ' '))``.
+
+    The global offset is a distributed prefix sum BY KEY (no global
+    sort): coarse per-bucket (``id // bucket_size``) token totals via a
+    tiny groupby, exclusive prefix over the bucket totals on the driver
+    (|buckets| integers), then a per-bucket vectorized cumsum in
+    ``map_groups``.  Exact int64 arithmetic throughout — any partitioning
+    yields identical offsets."""
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(text_col).to_pandas()).fillna("")
+        n = (s.str.count(" ") + 1).to_numpy(np.int64)  # len(split(" "))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": n,
+                "bucket": ids // np.int64(bucket_size),
+            }
+        )
+
+    toks = docs.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: bucket totals + per-bucket cumsum
+
+    btot = (
+        toks.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    base = dict(
+        zip(
+            btot["bucket"].to_numpy(),
+            np.concatenate(([0], np.cumsum(btot["tot"].to_numpy())[:-1])).astype(
+                np.int64
+            ),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        off0 = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col)
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = off0 + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "n_tokens": n,
+                "stream_offset": start,
+                "seq_id": start // np.int64(budget),
+            }
+        )
+
+    return (
+        toks.groupby("bucket")
+        .map_groups(within, batch_format="pandas")
+        .sort(id_col)
+    )

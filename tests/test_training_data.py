@@ -225,3 +225,56 @@ def test_connected_components_distributed_empty_edges():
     )
     out = connected_components_distributed(empty)
     assert out.count() == 0
+
+
+def test_train_val_test_split_disjoint_exhaustive_stable():
+    import ray
+
+    from sql_etl_pipeline_ray.stages.curation import train_val_test_split
+
+    df = pd.DataFrame({"doc_id": np.arange(10_000, dtype=np.int64)})
+    out = train_val_test_split(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 10_000 and out["doc_id"].is_unique
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.07 < frac["test"] < 0.13 and 0.07 < frac["val"] < 0.13
+    # stable under different partitioning
+    out2 = train_val_test_split(
+        ray.data.from_pandas(df).repartition(7)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2
+    )
+
+
+def test_deterministic_shuffle_is_permutation_with_tie_free_keys():
+    import ray
+
+    from sql_etl_pipeline_ray.stages.curation import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(5_000, dtype=np.int64)})
+    out = deterministic_shuffle(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(5_000))
+    assert out["shuffle_key"].is_unique  # odd multiplier -> bijective
+    assert out["shuffle_key"].is_monotonic_increasing  # sorted output
+    assert out["shard"].between(0, 255).all()
+    # actually shuffled: head of output is not the head of the input
+    assert list(out["doc_id"].head(50)) != list(range(50))
+
+
+def test_pack_sequences_prefix_sum_invariants():
+    import ray
+
+    from sql_etl_pipeline_ray.stages.curation import pack_sequences
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(1, 400, 300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    out = pack_sequences(
+        ray.data.from_pandas(df), budget=512, bucket_size=64
+    ).to_pandas()
+    n = df["text"].str.count(" ").to_numpy(np.int64) + 1
+    want_off = np.cumsum(n) - n
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["stream_offset"].to_numpy() == want_off).all()
+    assert (out["seq_id"].to_numpy() == want_off // 512).all()
+    assert out["seq_id"].is_monotonic_increasing
