@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kmeans is iterative → no oracle, pinned by tests/test_clustering) ---
         "embedding_label_centroids": T.embedding_label_centroids,
         "embedding_kmeans": T.embedding_kmeans,
+        "embedding_kmeans_pp": T.embedding_kmeans_pp,
         "docs_stratified_sample": T.docs_stratified_sample,
         # --- corpus curation: split / shuffle / packing (stages/curation) ---
         "docs_train_val_test_split": T.docs_train_val_test_split,

@@ -440,6 +440,17 @@ def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     return CL.kmeans(_emb(sf_dir), k=8, iters=5)
 
 
+def embedding_kmeans_pp(sf_dir: str) -> pd.DataFrame:
+    """k-means with the deterministic k-means|| over-seeding init
+    (stages/clustering.py:kmeans_parallel_init) and convergence stop —
+    the quality/scale path next to ``embedding_kmeans``'s min-id baseline.
+    Iterative → no SQL oracle; partition-invariance and quality pinned in
+    ``tests/test_clustering.py``."""
+    from ..stages import clustering as CL
+
+    return CL.kmeans(_emb(sf_dir), k=8, iters=10, init="parallel")
+
+
 def docs_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Stratified (per-language balanced) sampling: downsample every
     language toward the smallest language's count, the corpus-balancing

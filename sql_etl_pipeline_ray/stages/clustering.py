@@ -89,12 +89,162 @@ def label_centroids(emb: ray.data.Dataset) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def kmeans_parallel_init(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means|| over-seeding (Bahmani et al., VLDB 2012):
+    the quality init for distributed k-means, replacing the min-id seed
+    without ever collecting the corpus.
+
+    Per round, ONE ``map_batches`` pass over the (materialized) input
+    computes each point's min squared distance to the current candidate
+    set (broadcast, tiny), and emits (a) the batch's int64 sum of the
+    *quantized* distances — folded into the potential ``phi`` used by the
+    NEXT round, so each round is a single pass — and (b) the points
+    sampled with probability ``min(1, l*d2/phi)``.  The sample decision is
+    an integer compare ``hash54(id, round) < floor(2^54 * l * d2q / phi)``
+    — both sides are pure functions of the data, NOT of partitioning or
+    scheduling, so the chosen candidates (and everything downstream) are
+    bit-reproducible under any blocking, unlike textbook RNG-per-task
+    sampling.  A final pass weights each candidate by the number of
+    points nearest to it, then a driver-side weighted Lloyd's (over the
+    ~``rounds*l + 1`` candidates only) reduces to k centers.
+
+    Cost: ``rounds + 1`` scans, each shipping back O(blocks + samples)
+    rows; candidates ≈ ``rounds * l`` stay driver-sized by construction.
+    """
+    from .bloom import _splitmix64
+
+    l = oversample if oversample is not None else 2 * k
+    emb = emb.materialize()
+
+    # candidate 0: the min-id vector (block-local min-1 + driver merge)
+    first = (
+        emb.map_batches(lambda df: df.nsmallest(1, id_col), batch_format="pandas")
+        .to_pandas()
+        .nsmallest(1, id_col)
+    )
+    cand = _stack(first[vec_col]).astype(np.float64)
+
+    phi = None  # potential vs candidates, lagging one round (single pass)
+    for r in range(rounds):
+        cref = ray.put(cand)
+        salt = np.uint64(_splitmix64(np.array([seed + r], dtype=np.uint64))[0])
+        phi_prev = phi
+
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {
+                        "kind": pd.Series(dtype=object),
+                        "val": pd.Series(dtype=np.int64),
+                        "vec": pd.Series(dtype=object),
+                    }
+                )
+            C = ray.get(cref)
+            X = _stack(df[vec_col]).astype(np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+            dmin = np.maximum(d2.min(axis=1), 0.0)
+            # quantized distances: the potential phi is an exact int sum,
+            # identical under any partitioning
+            d2q = np.floor(dmin * _FP + 0.5).astype(np.int64)
+            rows = [pd.DataFrame({"kind": ["phi"], "val": [d2q.sum()], "vec": [b""]})]
+            if phi_prev is not None and phi_prev > 0:
+                ids = df[id_col].to_numpy(np.int64).view(np.uint64)
+                coin = (_splitmix64(ids ^ salt) >> np.uint64(10)).astype(np.int64)
+                thr = np.minimum(
+                    float(1 << 54), np.floor((1 << 54) * l * (d2q / phi_prev))
+                ).astype(np.int64)
+                pick = coin < thr
+                if pick.any():
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "kind": "cand",
+                                "val": df[id_col].to_numpy(np.int64)[pick],
+                                "vec": [
+                                    v.tobytes()
+                                    for v in _stack(df.loc[pick, vec_col]).astype(
+                                        np.float64
+                                    )
+                                ],
+                            }
+                        )
+                    )
+            return pd.concat(rows, ignore_index=True)
+
+        out = emb.map_batches(scan, batch_format="pandas").to_pandas()
+        phi = int(out.loc[out["kind"] == "phi", "val"].sum())
+        picked = out[out["kind"] == "cand"].sort_values("val")  # by id: stable
+        if len(picked):
+            new = np.vstack(
+                [np.frombuffer(b, dtype=np.float64) for b in picked["vec"]]
+            )
+            cand = np.vstack([cand, new])
+
+    # weight pass: points nearest to each candidate
+    cref = ray.put(cand)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "c": np.arange(len(C), dtype=np.int64),
+                    "w": np.zeros(len(C), np.int64),
+                }
+            )
+        X = _stack(df[vec_col]).astype(np.float64)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        w = np.bincount(np.argmin(d2, axis=1), minlength=len(C)).astype(np.int64)
+        return pd.DataFrame({"c": np.arange(len(C), dtype=np.int64), "w": w})
+
+    wsum = (
+        emb.map_batches(weigh, batch_format="pandas")
+        .to_pandas()
+        .groupby("c")["w"]
+        .sum()
+        .reindex(range(len(cand)), fill_value=0)
+        .to_numpy(np.int64)
+    )
+
+    # driver-side weighted Lloyd's over the tiny candidate set:
+    # deterministic init = heaviest k candidates (ties -> earliest)
+    order = np.lexsort((np.arange(len(cand)), -wsum))
+    cents = cand[np.sort(order[:k])].copy()
+    for _ in range(100):
+        d2 = (
+            (cand * cand).sum(1)[:, None]
+            - 2.0 * cand @ cents.T
+            + (cents * cents).sum(1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = a == c
+            tw = wsum[m].sum()
+            if tw > 0:
+                new[c] = (cand[m] * wsum[m, None]).sum(0) / tw
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
 def kmeans(
     emb: ray.data.Dataset,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    converge: bool = True,
+    init: str | np.ndarray = "min_id",
 ) -> pd.DataFrame:
     """Distributed Lloyd's k-means with deterministic, order-independent
     iterations.
@@ -109,26 +259,38 @@ def kmeans(
     reference).  Assignment is vectorized ``argmin_c |x|² − 2x·C + |C|²``;
     ties break to the lowest cluster index on both paths.
 
-    Init: the k lowest-``id_col`` vectors (deterministic; swap for a
-    seeded-hash sample at production scale).  Empty clusters keep their
-    previous centroid.  The input is materialized once — ``iters`` passes
-    re-reading storage would pay the scan ``iters`` times; if the table
-    exceeds cluster memory, drop ``.materialize()`` and accept re-scans
-    (the object store spills either way).
+    Init: the k lowest-``id_col`` vectors (deterministic; see
+    ``kmeans_parallel_init`` for the quality-seeking scale init).  Empty
+    clusters keep their previous centroid.  The input is materialized
+    once — ``iters`` passes re-reading storage would pay the scan
+    ``iters`` times; if the table exceeds cluster memory, drop
+    ``.materialize()`` and accept re-scans (the object store spills
+    either way).
+
+    ``converge=True`` stops early when an iteration leaves every centroid
+    bit-identical (then assignments are a pure function of centroids, so
+    no further iteration can change anything); ``iters`` becomes the max.
+    The check is a driver-side compare of the k×d array — O(k·d), free
+    relative to a pass over the data.
     """
     emb = emb.materialize()
-    # init = the k lowest-id vectors, WITHOUT a global sort: block-local
-    # min-k then a driver merge of blocks × k candidates (the top_terms
-    # pattern) — same deterministic result, no shuffle.
-    init = (
-        emb.map_batches(
-            lambda df: df.nsmallest(k, id_col), batch_format="pandas"
+    if isinstance(init, np.ndarray):
+        cents = init.astype(np.float64).copy()
+    elif init == "parallel":
+        cents = kmeans_parallel_init(emb, k, id_col=id_col, vec_col=vec_col)
+    else:
+        # init = the k lowest-id vectors, WITHOUT a global sort:
+        # block-local min-k then a driver merge of blocks × k candidates
+        # (the top_terms pattern) — same deterministic result, no shuffle.
+        seed_rows = (
+            emb.map_batches(
+                lambda df: df.nsmallest(k, id_col), batch_format="pandas"
+            )
+            .to_pandas()
+            .nsmallest(k, id_col)
+            .sort_values(id_col)
         )
-        .to_pandas()
-        .nsmallest(k, id_col)
-        .sort_values(id_col)
-    )
-    cents = _stack(init[vec_col]).astype(np.float64)
+        cents = _stack(seed_rows[vec_col]).astype(np.float64)
 
     for _ in range(iters):
         cref = ray.put(cents)
@@ -158,7 +320,11 @@ def kmeans(
             counts[c] = g["n"].sum()
             sums[c] = np.sum(np.vstack(g["s"].to_numpy()), axis=0)
         nonempty = counts > 0
-        cents[nonempty] = sums[nonempty] / (float(_FP) * counts[nonempty, None])
+        new_cents = cents.copy()
+        new_cents[nonempty] = sums[nonempty] / (float(_FP) * counts[nonempty, None])
+        if converge and np.array_equal(new_cents, cents):
+            break  # fixed point: assignments can no longer change
+        cents = new_cents
 
     cref = ray.put(cents)
 

@@ -78,3 +78,39 @@ def test_label_centroids_exactness_under_blocking(tmp_path):
     a = CL.label_centroids(ds1).to_pandas()
     b = CL.label_centroids(ds2).to_pandas()
     pd.testing.assert_frame_equal(a, b)  # exact, no tolerance
+
+
+def test_kmeans_converge_stop_matches_fixed_iters():
+    # converged centroids are a fixed point: stopping early must not
+    # change the final assignment vs running all iterations
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    a = CL.kmeans(ds, k=8, iters=50, converge=True).sort_values("vec_id")
+    b = CL.kmeans(ds, k=8, iters=50, converge=False).sort_values("vec_id")
+    np.testing.assert_array_equal(a["cluster"].to_numpy(), b["cluster"].to_numpy())
+
+
+def test_kmeans_parallel_init_partition_invariant():
+    ds1 = ray.data.read_parquet(f"{SF}/embeddings.parquet", override_num_blocks=1)
+    ds2 = ray.data.read_parquet(f"{SF}/embeddings.parquet", override_num_blocks=9)
+    c1 = CL.kmeans_parallel_init(ds1, k=8)
+    c2 = CL.kmeans_parallel_init(ds2, k=8)
+    np.testing.assert_array_equal(c1, c2)  # bit-identical under blocking
+    assert c1.shape[0] == 8
+
+
+def test_kmeans_parallel_init_beats_min_id_wcss():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+
+    def wcss(assign):
+        tot = 0.0
+        for c in np.unique(assign):
+            xs = X[assign == c]
+            tot += ((xs - xs.mean(0)) ** 2).sum()
+        return tot
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    pp = CL.kmeans(ds, k=8, iters=10, init="parallel").sort_values("vec_id")
+    base = CL.kmeans(ds, k=8, iters=10).sort_values("vec_id")
+    # over-seeded init should never be dramatically worse; usually better
+    assert wcss(pp["cluster"].to_numpy()) <= 1.05 * wcss(base["cluster"].to_numpy())
