@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_val_test_split": T.docs_train_val_test_split,
         "docs_shuffled": T.docs_shuffled,
         "docs_pack_sequences": T.docs_pack_sequences,
+        "dedup_incremental": T.dedup_incremental,
+        "docs_curation_pipeline": T.docs_curation_pipeline,
         # bounded-shuffle top-k sketch (exact result: candidates proven
         # complete, then recounted) — shares top_terms's semantics/oracle
         "top_terms_bounded": T.top_terms_bounded,
@@ -710,6 +712,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shuffle_key,
                    (shuffle_key >> 56) & 255 AS shard
             FROM s ORDER BY shuffle_key
+        """,
+        # incremental exact dedup: content equality stands in for the
+        # sha256 digest equality the engine shuffles (no collisions)
+        "dedup_incremental": """
+            WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+            old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+            k AS (SELECT doc_id, text FROM newd
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+            SELECT k.doc_id, k.text FROM k
+            WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.text = k.text)
+            ORDER BY k.doc_id
+        """,
+        # the whole curation composition in one SQL pipeline: quality gate
+        # (same predicate as doc_quality_score) -> exact dedup -> hash-coin
+        # split -> per-split window cumsum packing
+        "docs_curation_pipeline": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                          - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+                END AS token_count,
+                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
+                LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))
+                  AS punct_count
+              FROM documents),
+            q AS (
+              SELECT doc_id, text FROM s
+              WHERE token_count >= 5 AND digit_ratio < 0.3
+                AND (LEAST(token_count, 100) - 50.0 * digit_ratio
+                     - 30.0 * upper_ratio + LEAST(punct_count, 10)) > 10),
+            d AS (
+              SELECT doc_id, text FROM q
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+            sp AS (
+              SELECT doc_id, text,
+                     CASE WHEN b < 1000 THEN 'test'
+                          WHEN b < 2000 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM (SELECT doc_id, text,
+                           CAST(doc_id::HUGEINT * 11400714819323198485
+                                % 18446744073709551616 % 10000 AS BIGINT) AS b
+                    FROM d)),
+            t AS (
+              SELECT doc_id, split,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM sp),
+            c AS (
+              SELECT doc_id, split, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY split ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS stream_offset
+              FROM t)
+            SELECT doc_id, n_tokens, stream_offset,
+                   stream_offset // 2048 AS seq_id, split
+            FROM c ORDER BY doc_id
         """,
         "docs_pack_sequences": """
             WITH t AS (

@@ -356,6 +356,61 @@ def dedup_clusters_distributed(sf_dir: str) -> ray.data.Dataset:
     return D.connected_components_distributed(pairs)
 
 
+def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental exact dedup (stages/dedup.py:incremental_dedup): even
+    doc_ids play the already-ingested corpus, odd doc_ids the new
+    increment; admitted = new content never seen before, min-id within
+    the increment.  Exactly SQL-oracled (anti-join + ROW_NUMBER)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(keep_odd: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_odd = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+            return t.filter(is_odd if keep_odd else pc.invert(is_odd))
+
+        return f
+
+    existing = docs.map_batches(
+        parity(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    new = docs.map_batches(parity(True), batch_format="pyarrow", zero_copy_batch=True)
+    return D.incremental_dedup(new, existing)
+
+
+def docs_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """The composed end-to-end curation flow a training run ships:
+    quality filter (Gopher/C4-style gate, same predicate as
+    ``doc_quality_score``) → exact dedup (min-id wins) → deterministic
+    train/val/test split → per-split concat-and-chunk token packing.
+    Every stage is individually oracled; this query oracles the whole
+    composition in one SQL pipeline."""
+    from ..stages.curation import pack_sequences, split_of_ids
+    from ..stages.text import QualityScore
+
+    qs = QualityScore()
+
+    def keep_quality(df: pd.DataFrame) -> pd.DataFrame:
+        passed = qs(df)["passes_quality"].to_numpy()
+        return df.loc[passed, ["doc_id", "text"]]
+
+    def add_split(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["split"] = split_of_ids(df["doc_id"].to_numpy())
+        return df
+
+    curated = (
+        D.exact_dedup(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                keep_quality, batch_format="pandas"
+            )
+        )
+        .map_batches(add_split, batch_format="pandas")
+    )
+    return pack_sequences(curated, part_col="split")
+
+
 def docs_train_val_test_split(sf_dir: str) -> ray.data.Dataset:
     """Deterministic 80/10/10 train/val/test assignment by integer hash
     coin (stages/curation.py) — exactly SQL-oracled."""

@@ -35,25 +35,36 @@ _SPLIT_MULT = np.uint64(0x9E3779B97F4A7C15)
 _SHUFFLE_MULT = np.uint64(0xBF58476D1CE4E5B9)
 
 
+def split_of_ids(
+    ids: np.ndarray, val_pct: int = 10, test_pct: int = 10
+) -> np.ndarray:
+    """Vectorized split assignment for int ids: ``bucket = (id * GOLDEN)
+    mod 2^64 mod 10000`` with integer-threshold cuts.  Shared by
+    ``train_val_test_split`` and the composed curation pipeline so the
+    coin has one definition (mirrored literally in the SQL oracles)."""
+    bucket = (ids.astype(np.uint64) * _SPLIT_MULT) % np.uint64(10000)
+    bucket = bucket.astype(np.int64)
+    return np.where(
+        bucket < test_pct * 100,
+        "test",
+        np.where(bucket < (test_pct + val_pct) * 100, "val", "train"),
+    )
+
+
 def train_val_test_split(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",
     val_pct: int = 10,
     test_pct: int = 10,
 ) -> ray.data.Dataset:
-    """Assign every row to train/val/test by a seeded integer hash coin:
-    ``bucket = (id * GOLDEN) mod 2^64 mod 10000`` with integer-threshold
-    cuts — disjoint, exhaustive, stable across runs/retries/partitioning,
-    and exactly replayable in SQL.  Percentages are whole points."""
-    t_cut = np.int64(test_pct * 100)
-    v_cut = np.int64((test_pct + val_pct) * 100)
+    """Assign every row to train/val/test by a seeded integer hash coin
+    (``split_of_ids``) — disjoint, exhaustive, stable across runs/retries/
+    partitioning, and exactly replayable in SQL.  Percentages are whole
+    points."""
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((ids * _SPLIT_MULT) % np.uint64(10000)).astype(np.int64)
-        split = np.where(
-            bucket < t_cut, "test", np.where(bucket < v_cut, "val", "train")
-        )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        split = split_of_ids(ids, val_pct, test_pct)
         return pa.table(
             {
                 id_col: t.column(id_col),
@@ -94,12 +105,15 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 1024,
+    part_col: str | None = None,
 ) -> ray.data.Dataset:
     """Concat-and-chunk sequence packing: lay all documents end-to-end in
     ``id_col`` order and cut the token stream every ``budget`` tokens;
     each doc reports its ``stream_offset`` and the ``seq_id`` (chunk) its
     first token lands in.  Token count = space-split field count,
-    matching DuckDB ``len(string_split(text, ' '))``.
+    matching DuckDB ``len(string_split(text, ' '))``.  With ``part_col``
+    the stream restarts per partition value (e.g. one token stream per
+    train/val/test split) — the SQL twin's ``PARTITION BY``.
 
     The global offset is a distributed prefix sum BY KEY (no global
     sort): coarse per-bucket (``id // bucket_size``) token totals via a
@@ -109,54 +123,70 @@ def pack_sequences(
     yields identical offsets."""
     from ray.data.aggregate import Sum
 
+    parts = [part_col] if part_col else []
+
     def counts(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(text_col).to_pandas()).fillna("")
         n = (s.str.count(" ") + 1).to_numpy(np.int64)  # len(split(" "))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                id_col: ids,
-                "n_tokens": n,
-                "bucket": ids // np.int64(bucket_size),
-            }
-        )
+        cols = {
+            id_col: ids,
+            "n_tokens": n,
+            "bucket": ids // np.int64(bucket_size),
+        }
+        for p in parts:
+            cols[p] = t.column(p)
+        return pa.table(cols)
 
     toks = docs.map_batches(
         counts, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # consumed twice: bucket totals + per-bucket cumsum
 
     btot = (
-        toks.groupby("bucket")
+        toks.groupby(parts + ["bucket"])
         .aggregate(Sum("n_tokens", alias_name="tot"))
         .to_pandas()
-        .sort_values("bucket")
+        .sort_values(parts + ["bucket"])
     )
-    base = dict(
-        zip(
-            btot["bucket"].to_numpy(),
-            np.concatenate(([0], np.cumsum(btot["tot"].to_numpy())[:-1])).astype(
-                np.int64
-            ),
+    # exclusive prefix over bucket totals, restarting per part value
+    # (transform keeps index alignment with btot's row order)
+    excl = (
+        btot.groupby(parts)["tot"].transform(
+            lambda s: s.cumsum().shift(fill_value=0)
         )
+        if parts
+        else btot["tot"].cumsum().shift(fill_value=0)
     )
+    keys = (
+        list(zip(*([btot[p] for p in parts] + [btot["bucket"]])))
+        if parts
+        else btot["bucket"].tolist()
+    )
+    base = dict(zip(keys, np.asarray(excl, dtype=np.int64)))
     base_ref = ray.put(base)
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
-        off0 = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        k = (
+            tuple(g[p].iloc[0] for p in parts) + (int(g["bucket"].iloc[0]),)
+            if parts
+            else int(g["bucket"].iloc[0])
+        )
+        off0 = ray.get(base_ref)[k]
         g = g.sort_values(id_col)
         n = g["n_tokens"].to_numpy(np.int64)
         start = off0 + np.cumsum(n) - n
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].to_numpy(np.int64),
-                "n_tokens": n,
-                "stream_offset": start,
-                "seq_id": start // np.int64(budget),
-            }
-        )
+        out = {
+            id_col: g[id_col].to_numpy(np.int64),
+            "n_tokens": n,
+            "stream_offset": start,
+            "seq_id": start // np.int64(budget),
+        }
+        for p in parts:
+            out[p] = g[p].to_numpy()
+        return pd.DataFrame(out)
 
     return (
-        toks.groupby("bucket")
+        toks.groupby(parts + ["bucket"])
         .map_groups(within, batch_format="pandas")
         .sort(id_col)
     )

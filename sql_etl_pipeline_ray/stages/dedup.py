@@ -339,6 +339,60 @@ def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     )
 
 
+def incremental_dedup(
+    new_docs: ray.data.Dataset,
+    existing_docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CDC-flavored INCREMENTAL exact dedup: admit only the rows of
+    ``new_docs`` whose content digest is absent from ``existing_docs``,
+    collapsing duplicate content *within* the new batch to the min id —
+    the dedup a continuously-ingesting corpus runs per increment instead
+    of re-deduping 100 TB from scratch.
+
+    Shape: digest both sides per batch (sha256 travels, never text is
+    compared), tag, union, ONE digest-keyed groupby — an anti-join with
+    no driver set and no broadcast of the existing corpus; the existing
+    side can also be a pre-digested manifest column, in which case the
+    whole left scan is a narrow one-column read."""
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "_h": [
+                        hashlib.sha256((t or "").encode()).hexdigest()
+                        for t in df[text_col]
+                    ],
+                    id_col: df[id_col].to_numpy(),
+                    "_side": np.int8(side),
+                }
+            )
+            if side == 1:
+                out[text_col] = df[text_col].to_numpy()
+            else:
+                out[text_col] = ""
+            return out
+
+        return f
+
+    both = existing_docs.select_columns([id_col, text_col]).map_batches(
+        tag(0), batch_format="pandas"
+    ).union(
+        new_docs.select_columns([id_col, text_col]).map_batches(
+            tag(1), batch_format="pandas"
+        )
+    )
+
+    def keep_new(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["_side"] == 0).any():
+            return g.iloc[0:0][[id_col, text_col]]
+        return g.nsmallest(1, id_col)[[id_col, text_col]]
+
+    return both.groupby("_h").map_groups(keep_new, batch_format="pandas")
+
+
 def duplicate_text_stats(docs: ray.data.Dataset, text_col: str = "text") -> pa.Table:
     """D2 duplicate *detection* report: how many digests appear >1 time."""
 

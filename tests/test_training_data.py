@@ -278,3 +278,38 @@ def test_pack_sequences_prefix_sum_invariants():
     assert (out["stream_offset"].to_numpy() == want_off).all()
     assert (out["seq_id"].to_numpy() == want_off // 512).all()
     assert out["seq_id"].is_monotonic_increasing
+
+
+def test_incremental_dedup_semantics():
+    import ray
+
+    from sql_etl_pipeline_ray.stages.dedup import incremental_dedup
+
+    existing = pd.DataFrame({"doc_id": [0, 2], "text": ["seen before", "also seen"]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 5, 7],
+            "text": ["seen before", "brand new", "brand new", "another new"],
+        }
+    )
+    out = (
+        incremental_dedup(ray.data.from_pandas(new), ray.data.from_pandas(existing))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 1 dropped (already ingested), 5 dropped (dup of 3 within increment)
+    assert list(out["doc_id"]) == [3, 7]
+
+
+def test_curation_pipeline_packs_within_each_split():
+    import __ray_entry__ as E
+
+    out = E.queries()["docs_curation_pipeline"]("/root/testdata/sf0.001").to_pandas()
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    for _, g in out.groupby("split"):
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        off = g["stream_offset"].to_numpy()
+        assert off[0] == 0 and (off[1:] == (off + n)[:-1]).all()
+        assert (g["seq_id"].to_numpy() == off // 2048).all()
