@@ -170,6 +170,10 @@ def run_bench() -> dict:
     timed("events_asof_enrich", TJ.events_asof_enrich)
     timed("orders_value_percentiles", A.orders_value_percentiles)
     timed("top_terms", T.top_terms)
+    # round-2 late additions: md5-rebased near-dup hashing + the composed
+    # curation flow (quality gate -> dedup -> split -> per-split packing)
+    timed("dedup_minhash_pairs", T.dedup_minhash_pairs)
+    timed("docs_curation_pipeline", T.docs_curation_pipeline)
 
     result = {
         "metric": "cdc_replay_wall_sec",

@@ -666,16 +666,18 @@ def per_order_allocation(sf_dir: str) -> ray.data.Dataset:
 def union_quality_report(sf_dir: str) -> pa.Table:
     """U1/A7/J6: UNION ALL of data-quality checks
     (sql/etl_transformations.sql:200-228), incl. an ANTI-JOIN orphan check
-    via a broadcast key set (at scale: a Bloom filter of o_orderkey)."""
+    via a broadcast key set (at scale: a Bloom filter of o_orderkey).
+
+    ONE pass over lineitem computes all three lineitem checks: the neg-qty
+    and orphan counters ride the duplicate-PK shuffle as extra (kind, key)
+    rows, so the table is scanned once and there is a single groupby
+    instead of three sequential pipelines; the final counts stream out as
+    per-batch partial sums (nothing group-sized reaches the driver)."""
     li = _t(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"]
     )
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = _t(sf_dir, "orders", ["o_orderdate"])
 
-    neg_qty = li.map_batches(
-        lambda t: t.filter(pc.less_equal(t.column("l_quantity"), pa.scalar(0.0))),
-        batch_format="pyarrow",
-    ).count()
     null_dates = orders.map_batches(
         lambda t: t.filter(pc.is_null(t.column("o_orderdate"))),
         batch_format="pyarrow",
@@ -691,30 +693,66 @@ def union_quality_report(sf_dir: str) -> pa.Table:
     )
     keys_ref = ray.put(order_keys)
 
-    class OrphanCount:
+    class LineitemChecks:
+        """kind 0 rows: (composite PK, within-batch count) partials for the
+        duplicate check; kind 1/2 rows: per-batch neg-qty / orphan counts."""
+
         def __init__(self):
             self.keys = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+            if len(ln) and ln.max() >= 256:
+                # the ok*256+ln composite bijection assumes linenumber < 256
+                # (TPC-H: 1..7); widen the multiplier if a source breaks it
+                raise ValueError("l_linenumber >= 256 breaks PK packing")
+            pk, counts = np.unique(
+                ok.astype(np.int64) * 256 + ln.astype(np.int64),
+                return_counts=True,
+            )
+            qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            neg = int((qty <= 0.0).sum())
             if len(self.keys):
-                idx = np.minimum(
-                    np.searchsorted(self.keys, ck), len(self.keys) - 1
-                )
-                missing = self.keys[idx] != ck
+                idx = np.minimum(np.searchsorted(self.keys, ok), len(self.keys) - 1)
+                orphan = int((self.keys[idx] != ok).sum())
             else:
-                missing = np.ones(len(ck), dtype=bool)
-            return pa.table({"n": pa.array([int(missing.sum())], pa.int64())})
+                orphan = len(ok)
+            return pa.table(
+                {
+                    "kind": np.concatenate(
+                        [np.zeros(len(pk), np.int8), np.array([1, 2], np.int8)]
+                    ),
+                    "key": np.concatenate([pk, np.zeros(2, np.int64)]),
+                    "n": np.concatenate(
+                        [counts.astype(np.int64), np.array([neg, orphan], np.int64)]
+                    ),
+                }
+            )
 
-    orphans = int(
-        li.map_batches(OrphanCount, batch_format="pyarrow", concurrency=2).sum("n")
+    agg = (
+        li.map_batches(LineitemChecks, batch_format="pyarrow", concurrency=2)
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
     )
-    dup_pk = (
-        li.groupby(["l_orderkey", "l_linenumber"])
-        .aggregate(Count(alias_name="n"))
-        .filter(expr="n > 1")
-        .count()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dup": pa.array([int(((kind == 0) & (n > 1)).sum())], pa.int64()),
+                "neg": pa.array([int(n[kind == 1].sum())], pa.int64()),
+                "orph": pa.array([int(n[kind == 2].sum())], pa.int64()),
+            }
+        )
+
+    totals = agg.map_batches(finalize, batch_format="pyarrow").sum(
+        ["dup", "neg", "orph"]
     )
+    dup_pk = int(totals["sum(dup)"])
+    neg_qty = int(totals["sum(neg)"])
+    orphans = int(totals["sum(orph)"])
     return pa.table(
         {
             "check_name": [
