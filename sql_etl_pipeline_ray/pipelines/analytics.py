@@ -206,7 +206,7 @@ def customer_order_metrics(sf_dir: str) -> ray.data.Dataset:
     joined = cust.join(
         agg,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -1095,7 +1095,7 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
     joined = cust.join(
         agg,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -1201,7 +1201,7 @@ def inventory_optimization(sf_dir: str) -> ray.data.Dataset:
         items.join(
             o_win,
             join_type="inner",
-            num_partitions=8,
+            num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )
@@ -1216,7 +1216,7 @@ def inventory_optimization(sf_dir: str) -> ray.data.Dataset:
     joined = parts.join(
         vel,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=_join_partitions(sf_dir, "part"),
         on=("p_partkey",),
         right_on=("l_partkey",),
     )
