@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cleanse": A.docs_cleanse,
         "string_agg_distinct_segments": A.string_agg_distinct_segments,
         "doc_stopword_stats": T.doc_stopword_stats,
+        "doc_repetition_stats": T.doc_repetition_stats,
         "docs_per_lang_stats": T.docs_per_lang_stats,
         # approximate by design, yet EXACTLY oracled (_HLL_SQL replays the
         # sketch); error bounds additionally pinned by tests/test_sketch.py
@@ -659,6 +660,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "doc_stopword_stats": _STOPWORD_STATS_SQL,
+        # repetition signals: token explode + grouped counts, 2-grams via
+        # the same list-comprehension UNNEST as the shingle oracles
+        "doc_repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            words AS (
+              SELECT doc_id, UNNEST(w) AS t FROM toks),
+            wc AS (
+              SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS n
+              FROM (SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY 1, 2)
+              GROUP BY doc_id),
+            g2 AS (
+              SELECT doc_id, COUNT(DISTINCT g) AS d2 FROM (
+                SELECT doc_id,
+                       UNNEST([w[i] || ' ' || w[i+1]
+                               FOR i IN generate_series(1, len(w) - 1)]) AS g
+                FROM toks WHERE len(w) >= 2)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+                   ROUND(CASE WHEN len(t.w) - 1 > 0
+                              THEN (len(t.w) - 1 - COALESCE(g2.d2, 0)) * 1.0
+                                   / (len(t.w) - 1)
+                              ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   ROUND(wc.maxc * 1.0 / wc.n, 6) AS max_word_ratio
+            FROM toks t
+            JOIN wc ON wc.doc_id = t.doc_id
+            LEFT JOIN g2 ON g2.doc_id = t.doc_id
+        """,
         "docs_per_lang_stats": r"""
             WITH s AS (
               SELECT lang, LENGTH(text) AS n_chars,

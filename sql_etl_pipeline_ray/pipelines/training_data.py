@@ -24,6 +24,7 @@ from ..stages.text import (
     Fingerprint,
     LangId,
     QualityScore,
+    RepetitionStats,
     StopwordStats,
     TokenStats,
 )
@@ -54,6 +55,15 @@ def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """Composite quality score + pass/fail gate (C4/Gopher-style rules)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         QualityScore(), batch_format="pandas", concurrency=2
+    )
+
+
+def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters: duplicate-2-gram fraction and max
+    single-word frequency share per doc (stages/text.py:RepetitionStats);
+    exactly SQL-oracled."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStats(), batch_format="pandas", concurrency=2
     )
 
 

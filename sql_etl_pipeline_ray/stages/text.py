@@ -125,6 +125,59 @@ class LangId:
         )
 
 
+class RepetitionStats:
+    """Gopher-style repetition signals per document: the fraction of word
+    2-grams that are repeats (1 − distinct/total) and the highest single-
+    word frequency share — the standard filters for loopy/boilerplate text.
+
+    Vectorized across the whole batch: one token explode (np.repeat index +
+    concatenated splits), pandas groupby counts — no per-document Python.
+    Tokenization is ``split(" ")`` and rounding half-away, matching the
+    DuckDB oracle expression for expression."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        splits = s.str.split(" ")
+        n = splits.str.len().to_numpy(np.int64)  # words per doc (>=1)
+        toks = np.concatenate(splits.to_numpy()) if len(df) else np.array([], object)
+        doc = np.repeat(np.arange(len(df), dtype=np.int64), n)
+
+        wf = pd.DataFrame({"d": doc, "t": toks})
+        per_word = wf.groupby(["d", "t"], sort=False).size()
+        maxc = per_word.groupby(level=0).max().reindex(
+            range(len(df)), fill_value=0
+        ).to_numpy(np.int64)
+
+        # 2-grams: adjacent token pairs within a doc (mask out boundaries)
+        same_doc = doc[:-1] == doc[1:] if len(doc) > 1 else np.array([], bool)
+        g = pd.DataFrame(
+            {
+                "d": doc[:-1][same_doc],
+                "g": pd.Series(toks[:-1][same_doc]) + " " + pd.Series(toks[1:][same_doc]),
+            }
+        )
+        d2 = (
+            g.groupby("d")["g"].nunique().reindex(range(len(df)), fill_value=0)
+            .to_numpy(np.int64)
+        )
+        total2 = np.maximum(n - 1, 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_frac = np.where(
+                total2 > 0, (total2 - d2) * 1.0 / total2, 0.0
+            )
+        rha6 = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "dup_2gram_frac": rha6(dup_frac),
+                "max_word_ratio": rha6(maxc * 1.0 / n),
+            }
+        )
+
+
 class StopwordStats:
     """Stopword count/ratio per document — the standard fluency signal in
     published text-quality filters (alongside TokenStats' symbol ratios).
