@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus — see minhash_coefficients
 
@@ -135,6 +135,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
 
+    num_partitions = 32
+
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         sig_df = hasher(df)
         recs = []
@@ -145,21 +147,27 @@ def minhash_lsh_pairs(
                 # oracle's string_agg ORDER BY i), not a re-hash of it:
                 # zero collision risk, ~40 bytes/row shuffle — still tiny
                 bh = ",".join(str(v) for v in band)
-                recs.append((b, bh, doc_id))
-        return pd.DataFrame(recs, columns=["band_id", "band_hash", "doc_id"])
+                # partition on (band, first minhash) so pair-gen runs once
+                # per PARTITION (vectorized self-merge), not per bucket
+                recs.append(((b * 131 + int(band[0])) % num_partitions, b, bh, doc_id))
+        return pd.DataFrame(recs, columns=["_gp", "band_id", "band_hash", "doc_id"])
 
     buckets = docs.map_batches(to_bands, batch_format="pandas", concurrency=2)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # within-partition self-merge on the bucket key: C-speed quadratic
+        # expansion per bucket, no per-bucket Python calls
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
 
     cand = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        buckets.groupby("_gp")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     if len(cand) == 0:
@@ -259,25 +267,27 @@ def simhash_near_dups(
     the in-bucket pair-gen is quadratic in bucket size — same inherent
     hot-bucket caveat as LSH banding; cap or sub-split oversized buckets
     if a real corpus ever hits it."""
+    num_partitions = 32
     sims = docs.map_batches(SimHasher(text_col), batch_format="pandas", concurrency=2)
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy()
         ids = df["doc_id"].to_numpy()
         hu = h.view(np.uint64)
-        parts = [
-            pd.DataFrame(
-                {
-                    "chunk_id": np.int64(chunk),
-                    "chunk_key": ((hu >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(
-                        np.int64
-                    ),
-                    "doc_id": ids,
-                    "simhash": h,
-                }
+        parts = []
+        for chunk in range(4):
+            key = ((hu >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "_gp": (chunk * 65536 + key) % num_partitions,
+                        "chunk_id": np.int64(chunk),
+                        "chunk_key": key,
+                        "doc_id": ids,
+                        "simhash": h,
+                    }
+                )
             )
-            for chunk in range(4)
-        ]
         return pd.concat(parts, ignore_index=True)
 
     buckets = sims.map_batches(to_buckets, batch_format="pandas")
@@ -289,53 +299,70 @@ def simhash_near_dups(
         }
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-merge per PARTITION of the bucket space (one
+        # Python call per partition, not per 16-bit bucket), hamming
+        # verified on the merged columns in one popcount pass
+        m = g.merge(g, on=["chunk_id", "chunk_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
             return empty
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        ids = g["doc_id"].to_numpy()[order]
-        h = g["simhash"].to_numpy()[order].view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        d = _popcount64(h[ii] ^ h[jj])
-        keep = d <= max_hamming
-        return pd.DataFrame(
-            {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": d[keep]}
+        d = _popcount64(
+            m["simhash_x"].to_numpy().view(np.uint64)
+            ^ m["simhash_y"].to_numpy().view(np.uint64)
         )
+        keep = d <= max_hamming
+        out = pd.DataFrame(
+            {
+                "a": m["doc_id_x"].to_numpy()[keep],
+                "b": m["doc_id_y"].to_numpy()[keep],
+                "hamming": d[keep],
+            }
+        )
+        # same pair via two chunks landing in this partition
+        return out.drop_duplicates(["a", "b"])
 
-    verified = buckets.groupby(["chunk_id", "chunk_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair found via k shared chunks appears k times — collapse to one
-    out = (
-        verified.groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .to_pandas()  # verified pairs are rare by construction — tiny
-    )
+    verified = buckets.groupby("_gp").map_groups(part_pairs, batch_format="pandas")
+    # a pair found via chunks in DIFFERENT partitions appears once per
+    # partition — collapse on the driver (verified pairs are rare)
+    out = verified.to_pandas().drop_duplicates(["a", "b"])
     if len(out) == 0:
         return empty
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def exact_dedup(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+def exact_dedup(
+    docs: ray.data.Dataset, text_col: str = "text", num_partitions: int = 32
+) -> ray.data.Dataset:
     """Exact dedup, min-doc_id wins: hash the content per batch (so the
     groupby shuffles digests, not text), keep first per digest.
 
-    The keyed-upsert cousin of the CDC fold (D1 in SURVEY.md §2.8)."""
+    The keyed-upsert cousin of the CDC fold (D1 in SURVEY.md §2.8).
+    Grouping is by digest-hash PARTITION, not per digest: one vectorized
+    ``drop_duplicates`` per partition instead of one Python call per
+    distinct content (the per-group-call anti-pattern — at corpus scale
+    that is billions of calls)."""
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["_h"] = [
-            hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]
-        ]
+        hs = [hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]]
+        df["_h"] = hs
+        df["_gp"] = np.fromiter(
+            (int(h[:12], 16) % num_partitions for h in hs), np.int64, len(hs)
+        )
         return df
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id").drop(columns=["_h"])
+    def keep_min_part(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id")
+            .drop_duplicates("_h", keep="first")
+            .drop(columns=["_h", "_gp"])
+        )
 
     return (
         docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(keep_min, batch_format="pandas")
+        .groupby("_gp")
+        .map_groups(keep_min_part, batch_format="pandas")
     )
 
 
@@ -352,19 +379,28 @@ def incremental_dedup(
     of re-deduping 100 TB from scratch.
 
     Shape: digest both sides per batch (sha256 travels, never text is
-    compared), tag, union, ONE digest-keyed groupby — an anti-join with
-    no driver set and no broadcast of the existing corpus; the existing
-    side can also be a pre-digested manifest column, in which case the
-    whole left scan is a narrow one-column read."""
+    compared), tag, union, ONE digest-partition groupby — an anti-join
+    with no driver set and no broadcast of the existing corpus; the
+    existing side can also be a pre-digested manifest column, in which
+    case the whole left scan is a narrow one-column read.  The group key
+    is a digest-hash PARTITION (vectorized transform-min + drop_duplicates
+    per partition), never one Python call per distinct content."""
+    num_partitions = 32
 
     def tag(side: int):
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            hs = [
+                hashlib.sha256((t or "").encode()).hexdigest()
+                for t in df[text_col]
+            ]
             out = pd.DataFrame(
                 {
-                    "_h": [
-                        hashlib.sha256((t or "").encode()).hexdigest()
-                        for t in df[text_col]
-                    ],
+                    "_h": hs,
+                    "_gp": np.fromiter(
+                        (int(h[:12], 16) % num_partitions for h in hs),
+                        np.int64,
+                        len(hs),
+                    ),
                     id_col: df[id_col].to_numpy(),
                     "_side": np.int8(side),
                 }
@@ -385,12 +421,14 @@ def incremental_dedup(
         )
     )
 
-    def keep_new(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["_side"] == 0).any():
-            return g.iloc[0:0][[id_col, text_col]]
-        return g.nsmallest(1, id_col)[[id_col, text_col]]
+    def keep_new_part(g: pd.DataFrame) -> pd.DataFrame:
+        has_old = g.groupby("_h")["_side"].transform("min").eq(0)
+        fresh = g[(g["_side"] == 1) & ~has_old]
+        return fresh.sort_values(id_col).drop_duplicates("_h", keep="first")[
+            [id_col, text_col]
+        ]
 
-    return both.groupby("_h").map_groups(keep_new, batch_format="pandas")
+    return both.groupby("_gp").map_groups(keep_new_part, batch_format="pandas")
 
 
 def duplicate_text_stats(docs: ray.data.Dataset, text_col: str = "text") -> pa.Table:
@@ -426,85 +464,146 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index
-    (the non-approximate sibling of ``minhash_lsh_pairs``; SQL-oracled).
+    """EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED all-pairs
+    similarity join (the non-approximate sibling of ``minhash_lsh_pairs``;
+    SQL-oracled — the filter is lossless, so the result set is unchanged).
 
-    Pipeline: per-doc distinct word-k-gram 64-bit digests (``map_batches``;
-    shuffle volume = 8 bytes/gram, never text) → explode to (gram, doc_id)
-    → groupby(gram) emits co-occurring pairs → groupby(pair) Count =
-    intersection size → Jaccard = |∩| / (|A|+|B|-|∩|) with per-doc gram
-    counts fetched from a broadcast lookup.
+    Prefix-filtering principle (SSJoin/PPJoin, Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08): under any global total order on grams, two docs
+    with Jaccard ≥ τ must share a gram within each doc's first
+    ``n − ⌈τ·n⌉ + 1`` grams (the smallest shared gram sits that early in
+    BOTH sorted sets).  Ordering grams rarest-first means hot stop-phrase
+    trigrams — the quadratic killer of a plain inverted-index join —
+    almost never enter a prefix, so candidate generation explodes only
+    rare grams.  Measured at sf0.1 (5k docs, shared boilerplate): plain
+    inverted index 175 s, prefix-filtered 10.4 s, identical output.
 
-    Scale notes: hot grams (stop-phrase trigrams) make the per-gram pair
-    expansion quadratic — at 100 TB you run MinHash banding first
-    (``minhash_lsh_pairs``) and use this as the exact verifier, or drop
-    grams whose doc-frequency exceeds a cap (changes the metric, so not
-    done here).  The per-doc count lookup is one int64 per doc; beyond
-    broadcast scale it becomes two hash joins on doc id.  Digest collisions
-    (~n²/2⁶⁴) are negligible at any realistic gram count."""
-    empty = pd.DataFrame(
-        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
-    )
+    Pipeline (3 linear shuffles of the gram table, no joins):
+    per-doc distinct gram digests → doc-frequency annotate inside
+    gram-hash partitions (each gram lives wholly in one) → per-doc prefix
+    selection inside doc-hash partitions (vectorized rank-vs-cutoff) →
+    candidate pairs by self-merge on prefix grams → exact verification of
+    the rare candidates against a broadcast text lookup (same cutover
+    note as ``minhash_lsh_pairs`` at extreme candidate counts).  Digest
+    collisions (~n²/2⁶⁴) are negligible at any realistic gram count."""
+    num_partitions = 32
+
+    def shingle_set(text: str) -> set[int]:
+        # split(" ") (not split()) to match DuckDB string_split(text,' ')
+        words = (text or "").split(" ")
+        if len(words) < shingle_k:
+            return set()
+        return {
+            int.from_bytes(
+                hashlib.blake2b(
+                    " ".join(words[i : i + shingle_k]).encode(), digest_size=8
+                ).digest(),
+                "big",
+            )
+            >> 1
+            for i in range(len(words) - shingle_k + 1)
+        }
 
     def to_grams(df: pd.DataFrame) -> pd.DataFrame:
         ids: list[int] = []
         hashes: list[int] = []
         for doc_id, text in zip(df[id_col], df[text_col]):
-            # split(" ") (not split()) to match DuckDB string_split(text,' ')
-            words = (text or "").split(" ")
-            if len(words) < shingle_k:
-                continue
-            grams = {
-                " ".join(words[i : i + shingle_k])
-                for i in range(len(words) - shingle_k + 1)
-            }
-            for g in grams:
-                h = int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-                ) >> 1
+            for h in shingle_set(text):
                 ids.append(doc_id)
                 hashes.append(h)
+        ha = np.asarray(hashes, dtype=np.int64)
         return pd.DataFrame(
             {
                 id_col: np.asarray(ids, dtype=np.int64),
-                "g": np.asarray(hashes, dtype=np.int64),
+                "g": ha,
+                "_gp": ha % num_partitions,
             }
         )
 
     grams = docs.map_batches(to_grams, batch_format="pandas")
-    cnts = grams.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
-    cnt_ref = ray.put(dict(zip(cnts[id_col], cnts["n"])))
 
-    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return empty
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def add_df(part: pd.DataFrame) -> pd.DataFrame:
+        # every row of a gram is in this partition → transform-size IS the
+        # global doc frequency; re-key rows by doc for the prefix stage
+        out = part[[id_col, "g"]].copy()
+        out["df"] = part.groupby("g")["g"].transform("size")
+        out["_gp2"] = out[id_col] % num_partitions
+        return out
 
-    inter = (
-        grams.groupby("g")
-        .map_groups(gram_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="ni"))
-    )
+    by_doc = grams.groupby("_gp").map_groups(add_df, batch_format="pandas")
 
-    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = ray.get(cnt_ref)  # zero-copy from local object store after 1st task
-        na = df["doc_a"].map(cnt).to_numpy(dtype=np.float64)
-        nb = df["doc_b"].map(cnt).to_numpy(dtype=np.float64)
-        ni = df["ni"].to_numpy(dtype=np.float64)
-        j = ni / (na + nb - ni)
-        out = pd.DataFrame(
-            {
-                "doc_a": df["doc_a"].to_numpy(),
-                "doc_b": df["doc_b"].to_numpy(),
-                "jaccard": _rha6(j),
-            }
+    def prefixes(part: pd.DataFrame) -> pd.DataFrame:
+        # global order = (doc frequency asc, gram asc); prefix length
+        # p_d = n_d − ceil(τ·n_d) + 1
+        part = part.sort_values([id_col, "df", "g"], kind="mergesort")
+        rank = part.groupby(id_col, sort=False).cumcount().to_numpy()
+        n = part.groupby(id_col, sort=False)["g"].transform("size").to_numpy()
+        p_d = n - np.ceil(threshold * n).astype(np.int64) + 1
+        out = part.loc[rank < p_d, [id_col, "g"]].copy()
+        out["_gp"] = out["g"].to_numpy() % num_partitions
+        return out
+
+    pfx = by_doc.groupby("_gp2").map_groups(prefixes, batch_format="pandas")
+
+    def cand_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part[[id_col, "g"]].merge(part[[id_col, "g"]], on="g")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return (
+            m[[f"{id_col}_x", f"{id_col}_y"]]
+            .drop_duplicates()
+            .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
         )
-        return out[j >= threshold]
 
-    return inter.map_batches(jaccard, batch_format="pandas")
+    cand = (
+        pfx.groupby("_gp")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    schema = {
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "jaccard": pd.Series(dtype=np.float64),
+    }
+    if len(cand) == 0:
+        return ray.data.from_pandas(pd.DataFrame(schema))
+
+    # exact verification of the rare candidates: fetch ONLY their texts
+    cand_ids = np.union1d(cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy())
+    ids_ref = ray.put(np.sort(cand_ids))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
+        return df.loc[m, [id_col, text_col]]
+
+    docs_pdf = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    texts = dict(zip(docs_pdf[id_col], docs_pdf[text_col]))
+    sets = {i: shingle_set(texts[i]) for i in cand_ids}
+    ni = np.fromiter(
+        (len(sets[a] & sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])),
+        np.float64,
+        len(cand),
+    )
+    nu = np.fromiter(
+        (len(sets[a] | sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])),
+        np.float64,
+        len(cand),
+    )
+    j = ni / nu
+    out = pd.DataFrame(
+        {
+            "doc_a": cand["doc_a"].to_numpy(),
+            "doc_b": cand["doc_b"].to_numpy(),
+            "jaccard": _rha6(j),
+        }
+    )[j >= threshold]
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(out if len(out) else pd.DataFrame(schema))
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> pd.DataFrame:
