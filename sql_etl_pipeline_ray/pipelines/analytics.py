@@ -841,22 +841,41 @@ def consecutive_day_customers(sf_dir: str) -> pa.Table:
 
 def product_affinity_pairs(sf_dir: str) -> pa.Table:
     """J8 (within-order cross join): part pairs co-occurring in an order,
-    top 20 by count — pair generation inside ``map_groups`` per order
-    (never a global cross join), then a grouped count over pair keys."""
+    top 20 by count — pair generation by vectorized self-merge inside
+    order-hash PARTITIONS (never a global cross join, never one Python
+    call per order), then a grouped sum over pair keys."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    num_partitions = _join_partitions(sf_dir, "lineitem")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.sort(g["l_partkey"].unique())
-        if len(parts) < 2:
-            return pd.DataFrame({"p1": pd.Series(dtype=np.int64), "p2": pd.Series(dtype=np.int64)})
-        i, j = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"p1": parts[i], "p2": parts[j]})
+    def add_gp(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_gp", pa.array(k % num_partitions))
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "p1": pd.Series(dtype=np.int64),
+                    "p2": pd.Series(dtype=np.int64),
+                    "n_part": pd.Series(dtype=np.int64),
+                }
+            )
+        c = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return c.rename(columns={"l_partkey_x": "p1", "l_partkey_y": "p2"})
 
     pair_counts = (
-        li.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pandas")
+        li.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(part_pairs, batch_format="pandas")
         .groupby(["p1", "p2"])
-        .aggregate(Count(alias_name="together"))
+        .aggregate(Sum("n_part", alias_name="together"))
         .to_pandas()
     )
     out = (
@@ -990,17 +1009,31 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         Count(alias_name="_n")
     )
 
-    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
-        months = np.sort(g["order_month"].unique())
+    # per-customer fold runs vectorized per customer-hash PARTITION (one
+    # transform-min per partition), not one Python call per customer
+    cohort_parts = 32
+
+    def add_gp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gp"] = df["o_custkey"].to_numpy(np.int64) % cohort_parts
+        return df
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby("o_custkey")["order_month"].transform("min").to_numpy(
+            np.int64
+        )
+        months = g["order_month"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "cohort_month": months[0],
-                "months_since": (months - months[0]).astype(np.int64),
+                "cohort_month": cohort,
+                "months_since": months - cohort,
             }
         )
 
-    pairs = distinct_cm.groupby("o_custkey").map_groups(
-        per_customer, batch_format="pandas"
+    pairs = (
+        distinct_cm.map_batches(add_gp, batch_format="pandas")
+        .groupby("_gp")
+        .map_groups(per_partition, batch_format="pandas")
     )
     out = (
         pairs.groupby(["cohort_month", "months_since"])

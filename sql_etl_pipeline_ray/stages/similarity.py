@@ -321,13 +321,23 @@ def embedding_near_dups_ivf(
             }
         )
 
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gp"] = (
+            df["vec_a"].to_numpy(np.int64) * 31 + df["vec_b"].to_numpy(np.int64)
+        ) % 32
+        return df
+
+    def dedupe_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized drop_duplicates per pair-hash PARTITION, not one
+        # Python call per duplicate pair
+        return g.drop_duplicates(["vec_a", "vec_b"]).drop(columns=["_gp"])
 
     return (
         emb.map_batches(AssignKeepVec, batch_format="pandas", concurrency=2)
         .groupby("cluster")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .map_groups(dedupe, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pandas")
+        .groupby("_gp")
+        .map_groups(dedupe_part, batch_format="pandas")
     )
