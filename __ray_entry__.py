@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_val_test_split": T.docs_train_val_test_split,
         "docs_shuffled": T.docs_shuffled,
         "docs_pack_sequences": T.docs_pack_sequences,
+        "docs_chunked": T.docs_chunked,
         "dedup_incremental": T.dedup_incremental,
         "docs_curation_pipeline": T.docs_curation_pipeline,
         # bounded-shuffle top-k sketch (exact result: candidates proven
@@ -801,6 +802,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, stream_offset,
                    stream_offset // 2048 AS seq_id, split
             FROM c ORDER BY doc_id
+        """,
+        # fixed-token-window chunking: chunk count is the closed-form
+        # integer 1 + GREATEST(0, (n - 256 + 223) // 224); DuckDB list
+        # slices are 1-based inclusive so tokens[s : s+256] (0-based py)
+        # = w[s+1 : s+256]
+        "docs_chunked": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, w, n,
+                     UNNEST(generate_series(
+                       0, GREATEST(0, (n - 256 + 223) // 224))) AS chunk_id
+              FROM toks)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(chunk_id * 224 AS BIGINT) AS start_tok,
+                   CAST(len(w[chunk_id * 224 + 1 : chunk_id * 224 + 256])
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     w[chunk_id * 224 + 1 : chunk_id * 224 + 256], ' ')
+                     AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "docs_pack_sequences": """
             WITH t AS (

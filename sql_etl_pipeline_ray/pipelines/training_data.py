@@ -433,6 +433,15 @@ def docs_shuffled(sf_dir: str) -> ray.data.Dataset:
     return CU.deterministic_shuffle(_docs(sf_dir, ["doc_id"]))
 
 
+def docs_chunked(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-token-window chunking with overlap (256/32,
+    stages/curation.py:chunk_documents) — exactly SQL-oracled row
+    expansion."""
+    from ..stages.curation import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def docs_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     """Concat-and-chunk token packing into 2048-token sequences via a
     distributed by-key prefix sum (stages/curation.py) — exactly

@@ -99,6 +99,45 @@ def deterministic_shuffle(
     ).sort("shuffle_key")
 
 
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Split long documents into fixed-token windows with overlap — the
+    row-EXPANDING (flat-map) curation op: context-window chunking before
+    embedding or packing.  Chunk count is the closed form
+    ``1 + max(0, (n − C + stride − 1) // stride)`` with ``stride = C −
+    overlap`` (pure integer arithmetic, floor division — identical in
+    numpy and DuckDB), so the expansion is exactly SQL-replayable via a
+    ``generate_series`` list comprehension.  Per-doc token slicing is
+    inherent to the op (same cost class as shingling); everything else is
+    batch-vectorized."""
+    stride = chunk_tokens - overlap
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            nch = 1 + max(0, (n - chunk_tokens + stride - 1) // stride)
+            for i in range(nch):
+                s = i * stride
+                ct = toks[s : s + chunk_tokens]
+                recs.append((doc_id, i, s, len(ct), " ".join(ct)))
+        return pd.DataFrame(
+            recs,
+            columns=[id_col, "chunk_id", "start_tok", "n_tokens", "chunk_text"],
+        ).astype(
+            {id_col: np.int64, "chunk_id": np.int64, "start_tok": np.int64,
+             "n_tokens": np.int64}
+        )
+
+    return docs.map_batches(chunks, batch_format="pandas", concurrency=2)
+
+
 def pack_sequences(
     docs: ray.data.Dataset,
     budget: int = 2048,

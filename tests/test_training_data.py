@@ -313,3 +313,35 @@ def test_curation_pipeline_packs_within_each_split():
         off = g["stream_offset"].to_numpy()
         assert off[0] == 0 and (off[1:] == (off + n)[:-1]).all()
         assert (g["seq_id"].to_numpy() == off // 2048).all()
+
+
+def test_chunk_documents_coverage_and_overlap():
+    import ray
+
+    from sql_etl_pipeline_ray.stages.curation import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(700)),  # 3 chunks (448+256 >= 700)
+        1: " ".join(f"t{i}" for i in range(256)),  # exactly one
+        2: "short doc",                             # one small chunk
+        3: "",                                      # [''] -> one chunk
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = (
+        chunk_documents(ray.data.from_pandas(df), chunk_tokens=256, overlap=32)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    assert list(out[out["doc_id"] == 1]["chunk_id"]) == [0]
+    g0 = out[out["doc_id"] == 0]
+    assert list(g0["start_tok"]) == [0, 224, 448]
+    toks = texts[0].split(" ")
+    for _, r in g0.iterrows():
+        # every chunk is the exact slice; consecutive chunks overlap by 32
+        assert r["chunk_text"] == " ".join(toks[r["start_tok"]:r["start_tok"] + 256])
+    # full coverage: union of [start, start+n) is [0, 700)
+    covered = set()
+    for _, r in g0.iterrows():
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(700))
+    assert len(out[out["doc_id"] == 3]) == 1  # empty text -> one '' chunk
