@@ -345,3 +345,38 @@ def test_chunk_documents_coverage_and_overlap():
         covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
     assert covered == set(range(700))
     assert len(out[out["doc_id"] == 3]) == 1  # empty text -> one '' chunk
+
+
+def test_connected_components_distributed_random_graphs():
+    """Property test: on arbitrary random edge lists the distributed
+    min-label propagation must equal the driver union-find exactly."""
+    import pandas as pd
+    import ray
+    from hypothesis import given, settings, strategies as st
+
+    from sql_etl_pipeline_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(edges):
+        pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        want = connected_components(pairs)
+        got = (
+            connected_components_distributed(
+                ray.data.from_pandas(pairs), num_partitions=2
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
