@@ -539,15 +539,21 @@ def ngram_jaccard_pairs(
         rank = part.groupby(id_col, sort=False).cumcount().to_numpy()
         n = part.groupby(id_col, sort=False)["g"].transform("size").to_numpy()
         p_d = n - np.ceil(threshold * n).astype(np.int64) + 1
-        out = part.loc[rank < p_d, [id_col, "g"]].copy()
+        keep = rank < p_d
+        out = part.loc[keep, [id_col, "g"]].copy()
+        out["n"] = n[keep]  # carry set size for the length filter
         out["_gp"] = out["g"].to_numpy() % num_partitions
         return out
 
     pfx = by_doc.groupby("_gp2").map_groups(prefixes, batch_format="pandas")
 
     def cand_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part[[id_col, "g"]].merge(part[[id_col, "g"]], on="g")
+        m = part[[id_col, "g", "n"]].merge(part[[id_col, "g", "n"]], on="g")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        # length filter (also lossless): J <= min(n)/max(n), so a size
+        # ratio below tau can never reach the threshold
+        nx, ny = m["n_x"].to_numpy(), m["n_y"].to_numpy()
+        m = m[np.minimum(nx, ny) >= threshold * np.maximum(nx, ny)]
         return (
             m[[f"{id_col}_x", f"{id_col}_y"]]
             .drop_duplicates()
