@@ -83,7 +83,10 @@ def deterministic_shuffle(
     multiplier is odd), with a ``shard`` = top byte of the key for
     resumable per-shard output.  Unlike ``Dataset.random_shuffle`` the
     permutation is a pure function of the ids — reruns, retries and the
-    SQL oracle all agree on the exact order."""
+    SQL oracle all agree on the exact order.  ``num_shards`` must be a
+    power of two (the shard is a bit-slice of the key)."""
+    if num_shards & (num_shards - 1) or num_shards <= 0:
+        raise ValueError("num_shards must be a power of two")
     shard_shift = np.int64(64 - int(num_shards).bit_length() + 1)
 
     def key(t: pa.Table) -> pa.Table:
@@ -159,7 +162,9 @@ def pack_sequences(
     tiny groupby, exclusive prefix over the bucket totals on the driver
     (|buckets| integers), then a per-bucket vectorized cumsum in
     ``map_groups``.  Exact int64 arithmetic throughout — any partitioning
-    yields identical offsets."""
+    yields identical offsets.  Size ``bucket_size`` so |buckets| =
+    |docs| / bucket_size stays driver-sized (~10^6): at 10^11 docs use
+    bucket_size ~10^5; the result is invariant to the choice."""
     from ray.data.aggregate import Sum
 
     parts = [part_col] if part_col else []

@@ -334,14 +334,18 @@ def simhash_near_dups(
 def exact_dedup(
     docs: ray.data.Dataset, text_col: str = "text", num_partitions: int = 32
 ) -> ray.data.Dataset:
-    """Exact dedup, min-doc_id wins: hash the content per batch (so the
-    groupby shuffles digests, not text), keep first per digest.
+    """Exact dedup, min-doc_id wins: digest the content per batch, ONE
+    row shuffle keyed on the digest partition, keep first per digest.
 
     The keyed-upsert cousin of the CDC fold (D1 in SURVEY.md §2.8).
     Grouping is by digest-hash PARTITION, not per digest: one vectorized
     ``drop_duplicates`` per partition instead of one Python call per
     distinct content (the per-group-call anti-pattern — at corpus scale
-    that is billions of calls)."""
+    that is billions of calls).  The full row (text included) crosses the
+    shuffle once — unavoidable when the output is the surviving rows and
+    winners are corpus-sized (too big to broadcast back); when only the
+    winner IDS are needed, use ``duplicate_text_stats``-style digest-only
+    rows (40 bytes/row) instead."""
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
