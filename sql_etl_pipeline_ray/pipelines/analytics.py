@@ -40,6 +40,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..scale import autoscale_pool
+
 # DuckDB ROUND() rounds half away from zero; match it exactly.
 _ROUND = {"round_mode": "half_towards_infinity"}
 
@@ -126,28 +128,32 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def _latest_per_user(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _latest_per_user(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     """Latest event per user_id ordered by event_id — the pick-latest window
     (``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ... DESC) = 1``,
-    sql/complex_queries.sql:27) as partial fold + grouped fold.
+    sql/complex_queries.sql:27) as partial fold + key-partitioned fold.
 
     The map_batches pre-fold is the combiner (shrinks the shuffle); the
-    groupby.map_groups applies the same fold per key partition."""
+    final fold runs once per key-hash PARTITION via ``_by_key_partitions``
+    (one vectorized sort + drop_duplicates per partition — NOT one Python
+    ``map_groups`` call per user, the per-group anti-pattern)."""
 
     def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df.groupby("user_id")["event_id"].idxmax()]
 
-    return (
-        ds.map_batches(batch_latest, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(batch_latest, batch_format="pandas")
-    )
+    def part_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["user_id", "event_id"], kind="mergesort").drop_duplicates(
+            "user_id", keep="last"
+        )
+
+    pre = ds.map_batches(batch_latest, batch_format="pandas")
+    return _by_key_partitions(pre, "user_id", part_latest, num_partitions)
 
 
 def cdc_lww_latest_event(sf_dir: str) -> ray.data.Dataset:
     """Last-writer-wins current state of the events stream keyed by user."""
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    return _latest_per_user(ds)
+    return _latest_per_user(ds, _join_partitions(sf_dir, "events"))
 
 
 def cdc_lww_with_deletes(sf_dir: str) -> ray.data.Dataset:
@@ -164,7 +170,7 @@ def cdc_incremental_highwater(sf_dir: str) -> ray.data.Dataset:
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
     watermark = ds.max("event_id") // 2
     inc = ds.filter(expr=f"event_id > {watermark}")
-    return _latest_per_user(inc)
+    return _latest_per_user(inc, _join_partitions(sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +419,9 @@ def product_performance(sf_dir: str) -> pa.Table:
                 df[c] = hit[c].values
             return df
 
-    out = agg.map_batches(AttachPart, batch_format="pandas", concurrency=2)
+    out = agg.map_batches(
+        AttachPart, batch_format="pandas", concurrency=autoscale_pool()
+    )
     df = (
         out.sort(["rev_u", "l_partkey"], descending=[True, False])
         .limit(100)
@@ -483,7 +491,9 @@ def region_revenue_rollup(sf_dir: str) -> pa.Table:
             )
 
     agg = (
-        joined.map_batches(ToRegion, batch_format="pandas", concurrency=2)
+        joined.map_batches(
+            ToRegion, batch_format="pandas", concurrency=autoscale_pool()
+        )
         .groupby("r_name")
         .aggregate(
             Sum("n_orders", alias_name="orders_count"),
@@ -499,30 +509,46 @@ def region_revenue_rollup(sf_dir: str) -> pa.Table:
 def category_share(sf_dir: str) -> pa.Table:
     """A6/J4: revenue share-of-total per brand — global total computed once
     and applied to the (tiny) grouped result (`SUM(COUNT(*)) OVER ()`
-    share idiom, docs/TECHNICAL_GUIDE.md:393)."""
+    share idiom, docs/TECHNICAL_GUIDE.md:393).
+
+    part is 1/5th of lineitem's key space in TPC-H — at 100× a
+    part→brand dict is multi-GB per worker, so nothing is broadcast:
+    lineitem pre-aggregates per l_partkey (the combiner — one row per
+    part leaves the shuffle), ``Dataset.join`` attaches p_brand, and the
+    per-brand rollup is a second tiny groupby (the same rework
+    ``region_revenue_rollup`` got in round 2)."""
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    part_tbl = _small(sf_dir, "part", ["p_partkey", "p_brand"])
-    brand_ref = ray.put(
-        dict(zip(part_tbl.column("p_partkey").to_pylist(), part_tbl.column("p_brand").to_pylist()))
+
+    def to_units(t: pa.Table) -> pa.Table:
+        # 1e-4-dollar integer units: order-independent Sum (see _cents)
+        cents = _cents(t.column("l_extendedprice"))
+        disc_h = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "rev_u": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc_h)
+                ),
+            }
+        )
+
+    per_part = (
+        li.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
     )
-
-    class ToBrand:
-        def __init__(self):
-            self.map = ray.get(brand_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            # 1e-4-dollar integer units: order-independent Sum (see _cents)
-            cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
-            disc_h = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "p_brand": df["l_partkey"].map(self.map),
-                    "rev_u": cents * (100 - disc_h),
-                }
-            )
-
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
     per_brand = (
-        li.map_batches(ToBrand, batch_format="pandas", concurrency=2)
+        per_part.join(
+            part,
+            join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "lineitem", "part"),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
         .groupby("p_brand")
         .aggregate(Sum("rev_u", alias_name="rev_u"))
         .to_pandas()
@@ -731,7 +757,9 @@ def union_quality_report(sf_dir: str) -> pa.Table:
             )
 
     agg = (
-        li.map_batches(LineitemChecks, batch_format="pyarrow", concurrency=2)
+        li.map_batches(
+            LineitemChecks, batch_format="pyarrow", concurrency=autoscale_pool()
+        )
         .groupby(["kind", "key"])
         .aggregate(Sum("n", alias_name="n"))
     )

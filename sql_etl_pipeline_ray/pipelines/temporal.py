@@ -187,10 +187,14 @@ def range_join_count(
             )
             n = np.zeros(len(L), np.int64)
             first = np.full(len(L), np.datetime64("NaT", "us"))
-            pos = {ix: i for i, ix in enumerate(L.index)}
-            for ix, row in agg.iterrows():
-                n[pos[ix]] = row["n_in_window"]
-                first[pos[ix]] = np.datetime64(row["first_in_window"], "us")
+            if len(agg):
+                # vectorized scatter: agg is indexed by L's original row
+                # labels, so get_indexer maps each agg row to its L slot
+                pos = pd.Index(L.index).get_indexer(agg.index)
+                n[pos] = agg["n_in_window"].to_numpy(np.int64)
+                first[pos] = (
+                    agg["first_in_window"].to_numpy().astype("datetime64[us]")
+                )
         out = L.copy()
         out["n_in_window"] = n
         out["first_in_window"] = pd.Series(first, index=L.index)

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from ..scale import autoscale_pool, partitions_for_bytes, table_bytes
 from ..stages import curation as CU
 from ..stages import dedup as D
 from ..stages import multimodal as MM
@@ -28,6 +29,14 @@ from ..stages.text import (
     StopwordStats,
     TokenStats,
 )
+
+
+def _doc_partitions(sf_dir: str, table: str = "documents") -> int:
+    """Input-scaled shuffle width for the dedup family (VERDICT r2 #2):
+    ~64 MiB of on-disk bytes per hash partition, floor 2x cluster CPUs —
+    each materialized ``map_groups`` group stays worker-heap-sized at any
+    corpus scale instead of growing as corpus/32."""
+    return partitions_for_bytes(table_bytes(sf_dir, table))
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -47,14 +56,14 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     """Token counting + surface statistics (vectorized pandas str kernels
     in an actor pool — regexes compiled once per actor)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        TokenStats(), batch_format="pandas", concurrency=2
+        TokenStats, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 
 def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """Composite quality score + pass/fail gate (C4/Gopher-style rules)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScore(), batch_format="pandas", concurrency=2
+        QualityScore, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 
@@ -63,7 +72,7 @@ def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     single-word frequency share per doc (stages/text.py:RepetitionStats);
     exactly SQL-oracled."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        RepetitionStats(), batch_format="pandas", concurrency=2
+        RepetitionStats, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 
@@ -71,7 +80,7 @@ def doc_stopword_stats(sf_dir: str) -> ray.data.Dataset:
     """Stopword count/ratio per document (whole-word matches of the
     English stopword table — one vectorized regex pass per batch)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        StopwordStats(), batch_format="pandas", concurrency=2
+        StopwordStats, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 
@@ -99,7 +108,7 @@ def docs_per_lang_stats(sf_dir: str) -> pa.Table:
             )
 
     agg = (
-        docs.map_batches(WithTokens, batch_format="pandas", concurrency=2)
+        docs.map_batches(WithTokens, batch_format="pandas", concurrency=autoscale_pool())
         .groupby("lang")
         .aggregate(
             Count(alias_name="docs"),
@@ -159,7 +168,7 @@ def monthly_uniques_hll(sf_dir: str) -> pa.Table:
         )
 
     out = (
-        orders.map_batches(partials, batch_format="pandas", concurrency=2)
+        orders.map_batches(partials, batch_format="pandas")
         .groupby("ym")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
@@ -173,7 +182,7 @@ def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Stopword-marker language ID (heuristic — rows-only check; the
     deterministic behavior is pinned by unit tests instead of SQL)."""
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        LangId(), batch_format="pandas", concurrency=2
+        LangId, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 
@@ -181,7 +190,7 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """sha256/md5 content fingerprints (DuckDB-oracled)."""
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(Fingerprint(), batch_format="pandas", concurrency=2)
+        .map_batches(Fingerprint, batch_format="pandas", concurrency=autoscale_pool())
         .drop_columns(["rolling_hash"])
     )
 
@@ -191,7 +200,7 @@ def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
     rows-only driver check; determinism pinned in tests)."""
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(Fingerprint(), batch_format="pandas", concurrency=2)
+        .map_batches(Fingerprint, batch_format="pandas", concurrency=autoscale_pool())
         .select_columns(["doc_id", "rolling_hash"])
     )
 
@@ -201,7 +210,7 @@ def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup by content, min doc_id wins (digest shuffle, not text)."""
-    return D.exact_dedup(_docs(sf_dir))
+    return D.exact_dedup(_docs(sf_dir), num_partitions=_doc_partitions(sf_dir))
 
 
 def dedup_stats(sf_dir: str) -> pa.Table:
@@ -218,7 +227,9 @@ def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     recall properties additionally pinned by ``tests/test_training_data``
     against a brute-force all-pairs reference."""
     return D.minhash_lsh_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]),
+        jaccard_threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
     )
 
 
@@ -228,7 +239,9 @@ def dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     Approximate algorithm, EXACT oracle (``_SIMHASH_SQL``) — the 64-bit
     signature is a pure function of md5_number_lower over distinct words,
     replayed bit-for-bit in SQL."""
-    return D.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    return D.simhash_near_dups(
+        _docs(sf_dir, ["doc_id", "text"]), num_partitions=_doc_partitions(sf_dir)
+    )
 
 
 # ---- similarity search ----
@@ -269,7 +282,7 @@ def embedding_norms(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return _emb(sf_dir).map_batches(norms, batch_format="pandas", concurrency=2)
+    return _emb(sf_dir).map_batches(norms, batch_format="pandas")
 
 
 # ---- multimodal ----
@@ -303,7 +316,10 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     """Exact word-trigram Jaccard near-dup pairs (inverted-index plan,
     DuckDB-oracled gram-for-gram — the exact sibling of the MinHash path)."""
     return D.ngram_jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]),
+        shingle_k=3,
+        threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
     )
 
 
@@ -342,14 +358,21 @@ def dedup_embedding_cosine_ivf(sf_dir: str) -> ray.data.Dataset:
     exact kernel after a broadcast-codebook assignment).  Approximate, so
     rows-only for the driver; recall vs the brute-force pairs is asserted
     in tests."""
-    return SIM.embedding_near_dups_ivf(_emb(sf_dir), threshold=0.3)
+    return SIM.embedding_near_dups_ivf(
+        _emb(sf_dir),
+        threshold=0.3,
+        num_partitions=_doc_partitions(sf_dir, "embeddings"),
+    )
 
 
 def dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTERS: exact n-gram-Jaccard pairs → connected components
     (min-label union-find over the verified edge list)."""
     pairs = D.ngram_jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]),
+        shingle_k=3,
+        threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
     ).to_pandas()
     return D.connected_components(pairs)
 
@@ -361,7 +384,10 @@ def dedup_clusters_distributed(sf_dir: str) -> ray.data.Dataset:
     when the verified edge list no longer fits the driver.  Shares
     ``dedup_clusters``'s recursive-CTE oracle."""
     pairs = D.ngram_jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), shingle_k=3, threshold=0.5
+        _docs(sf_dir, ["doc_id", "text"]),
+        shingle_k=3,
+        threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
     )
     return D.connected_components_distributed(pairs)
 
@@ -386,7 +412,9 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
         parity(False), batch_format="pyarrow", zero_copy_batch=True
     )
     new = docs.map_batches(parity(True), batch_format="pyarrow", zero_copy_batch=True)
-    return D.incremental_dedup(new, existing)
+    return D.incremental_dedup(
+        new, existing, num_partitions=_doc_partitions(sf_dir)
+    )
 
 
 def docs_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
@@ -414,7 +442,8 @@ def docs_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
         D.exact_dedup(
             _docs(sf_dir, ["doc_id", "text"]).map_batches(
                 keep_quality, batch_format="pandas"
-            )
+            ),
+            num_partitions=_doc_partitions(sf_dir),
         )
         .map_batches(add_split, batch_format="pandas")
     )

@@ -138,7 +138,7 @@ def chunk_documents(
              "n_tokens": np.int64}
         )
 
-    return docs.map_batches(chunks, batch_format="pandas", concurrency=2)
+    return docs.map_batches(chunks, batch_format="pandas")
 
 
 def pack_sequences(

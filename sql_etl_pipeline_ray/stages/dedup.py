@@ -28,7 +28,101 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..scale import partitions_for_bytes
+
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus — see minhash_coefficients
+
+# Candidate-pair count above which verification switches from the
+# broadcast-text kernel to the distributed hash-join path (see
+# _join_verify_pairs).  Candidates are rare on healthy corpora; a skewed
+# corpus (shared boilerplate) can push them to corpus scale, where a
+# driver-side text dict would OOM.
+VERIFY_BROADCAST_MAX = 200_000
+
+
+def _pair_dedupe(
+    ds: ray.data.Dataset, a_col: str, b_col: str, num_partitions: int
+) -> ray.data.Dataset:
+    """Distributed drop_duplicates on a pair Dataset: one vectorized
+    ``drop_duplicates`` per pair-hash PARTITION (never one Python call per
+    duplicate pair, never a driver-side collect)."""
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pp"] = (
+            df[a_col].to_numpy(np.int64) * 1_000_003 + df[b_col].to_numpy(np.int64)
+        ) % num_partitions
+        return df
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([a_col, b_col]).drop(columns=["_pp"])
+
+    return (
+        ds.map_batches(add_pk, batch_format="pandas")
+        .groupby("_pp")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
+def _join_verify_pairs(
+    cand: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+    jac_fn,
+    threshold: float,
+    num_partitions: int,
+    out_col: str = "jaccard",
+) -> ray.data.Dataset:
+    """Distributed candidate verification — the scale path when the
+    candidate set is too large to broadcast as a driver text dict.
+
+    Two hash joins attach each side's text to the pair rows (the anti-join
+    shape of the reference's orphan check, sql/etl_transformations.sql:
+    200-210), then the SAME exact-Jaccard kernel the broadcast path uses
+    runs per batch.  Shuffle volume = candidate pairs x text — heavy, but
+    distributed and streaming; the driver never holds texts or pairs."""
+
+    def renamer(mapping: dict[str, str]):
+        # Dataset.rename_columns requires Arrow blocks; a zero-copy Arrow
+        # map_batches rename works for pandas-backed inputs too
+        def r(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+        return r
+
+    ta = docs.select_columns([id_col, text_col]).map_batches(
+        renamer({id_col: a_col, text_col: "_ta"}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tb = docs.select_columns([id_col, text_col]).map_batches(
+        renamer({id_col: b_col, text_col: "_tb"}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = cand.join(
+        ta, join_type="inner", num_partitions=num_partitions, on=(a_col,)
+    ).join(tb, join_type="inner", num_partitions=num_partitions, on=(b_col,))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.fromiter(
+            (jac_fn(x, y) for x, y in zip(df["_ta"], df["_tb"])),
+            np.float64,
+            len(df),
+        )
+        out = pd.DataFrame(
+            {
+                a_col: df[a_col].to_numpy(np.int64),
+                b_col: df[b_col].to_numpy(np.int64),
+                out_col: _rha6(vals),
+            }
+        )
+        return out[vals >= threshold]  # filter on the unrounded value
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 def minhash_coefficients(num_hashes: int = 64, seed: int = 42):
@@ -125,17 +219,23 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
+    num_partitions: int | None = None,
+    verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Pipeline: signatures (actor pool) → explode to (band_id, band_hash,
     doc_id) rows → groupby buckets → candidate pairs → verify with exact
-    shingle Jaccard (re-computed for candidates only, fetched via a
-    broadcast text lookup — candidates are rare, so this stays tiny)."""
+    shingle Jaccard.  Candidates ≤ ``verify_broadcast_max`` verify against
+    a broadcast text lookup (candidates are rare on healthy corpora);
+    above it the distributed ``_join_verify_pairs`` hash-join path runs —
+    the driver never materializes pairs or texts.  ``num_partitions``
+    defaults to input-scaled (callers with on-disk bytes pass
+    ``partitions_for_bytes``; the fallback floor is 2x cluster CPUs)."""
     rows_per_band = num_hashes // bands
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
 
-    num_partitions = 32
+    num_partitions = num_partitions or partitions_for_bytes(None)
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         sig_df = hasher(df)
@@ -152,7 +252,7 @@ def minhash_lsh_pairs(
                 recs.append(((b * 131 + int(band[0])) % num_partitions, b, bh, doc_id))
         return pd.DataFrame(recs, columns=["_gp", "band_id", "band_hash", "doc_id"])
 
-    buckets = docs.map_batches(to_bands, batch_format="pandas", concurrency=2)
+    buckets = docs.map_batches(to_bands, batch_format="pandas")
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # within-partition self-merge on the bucket key: C-speed quadratic
@@ -165,20 +265,35 @@ def minhash_lsh_pairs(
             .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
         )
 
-    cand = (
-        buckets.groupby("_gp")
-        .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(cand) == 0:
+    # distributed cross-partition pair dedupe (a pair can surface via
+    # several bands), then a metadata-cheap count picks the verify path
+    cand_ds = _pair_dedupe(
+        buckets.groupby("_gp").map_groups(part_pairs, batch_format="pandas"),
+        "a",
+        "b",
+        num_partitions,
+    ).materialize()
+    n_cand = cand_ds.count()
+    if n_cand == 0:
         return pd.DataFrame(columns=["a", "b", "jaccard"])
-    cand = cand.drop_duplicates().reset_index(drop=True)
 
+    def jaccard(a: str, b: str) -> float:
+        # candidates always have ≥1 shingle (short docs never band)
+        sa, sb = set(hasher.shingles(a).tolist()), set(hasher.shingles(b).tolist())
+        return len(sa & sb) / len(sa | sb)
+
+    if n_cand > verify_broadcast_max:
+        # skewed corpus — corpus-scale candidates: distributed verify
+        out = _join_verify_pairs(
+            cand_ds, docs, "doc_id", text_col, "a", "b",
+            jaccard, jaccard_threshold, num_partitions,
+        ).to_pandas()  # verified pairs are rare — driver-safe
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    cand = cand_ds.to_pandas().reset_index(drop=True)
     # verify candidates with exact shingle Jaccard — fetch ONLY the
     # candidate docs' texts (broadcast candidate-id set, distributed
-    # filter): the driver never holds the corpus, just the rare
-    # candidates.  At extreme candidate counts this becomes a hash join
-    # of pair ids against the docs table; same shape, no broadcast.
+    # filter): the driver never holds the corpus, just the rare candidates
     cand_ids = np.union1d(cand["a"].to_numpy(), cand["b"].to_numpy())
     ids_ref = ray.put(np.sort(cand_ids))
 
@@ -193,11 +308,6 @@ def minhash_lsh_pairs(
         .to_pandas()
     )
     texts = dict(zip(docs_pdf["doc_id"], docs_pdf[text_col]))
-
-    def jaccard(a: str, b: str) -> float:
-        # candidates always have ≥1 shingle (short docs never band)
-        sa, sb = set(hasher.shingles(a).tolist()), set(hasher.shingles(b).tolist())
-        return len(sa & sb) / len(sa | sb)
 
     j = np.array(
         [jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
@@ -252,7 +362,10 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dups(
-    docs: ray.data.Dataset, max_hamming: int = 3, text_col: str = "text"
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash, fully distributed: a pair within hamming
     distance d ≤ 3 shares at least one of the hash's 4 16-bit chunks
@@ -267,8 +380,8 @@ def simhash_near_dups(
     the in-bucket pair-gen is quadratic in bucket size — same inherent
     hot-bucket caveat as LSH banding; cap or sub-split oversized buckets
     if a real corpus ever hits it."""
-    num_partitions = 32
-    sims = docs.map_batches(SimHasher(text_col), batch_format="pandas", concurrency=2)
+    num_partitions = num_partitions or partitions_for_bytes(None)
+    sims = docs.map_batches(SimHasher(text_col), batch_format="pandas")
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy()
@@ -280,7 +393,10 @@ def simhash_near_dups(
             parts.append(
                 pd.DataFrame(
                     {
-                        "_gp": (chunk * 65536 + key) % num_partitions,
+                        # multiplier coprime to any realistic partition
+                        # count (65536 would vanish mod powers of two,
+                        # collapsing the intended (chunk, key) spreading)
+                        "_gp": (chunk * 131 + key) % num_partitions,
                         "chunk_id": np.int64(chunk),
                         "chunk_key": key,
                         "doc_id": ids,
@@ -332,7 +448,7 @@ def simhash_near_dups(
 
 
 def exact_dedup(
-    docs: ray.data.Dataset, text_col: str = "text", num_partitions: int = 32
+    docs: ray.data.Dataset, text_col: str = "text", num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Exact dedup, min-doc_id wins: digest the content per batch, ONE
     row shuffle keyed on the digest partition, keep first per digest.
@@ -345,7 +461,10 @@ def exact_dedup(
     shuffle once — unavoidable when the output is the surviving rows and
     winners are corpus-sized (too big to broadcast back); when only the
     winner IDS are needed, use ``duplicate_text_stats``-style digest-only
-    rows (40 bytes/row) instead."""
+    rows (40 bytes/row) instead.  ``num_partitions`` bounds each
+    materialized group at ~corpus/partitions — callers at scale pass an
+    input-scaled count (``scale.partitions_for_bytes``)."""
+    num_partitions = num_partitions or partitions_for_bytes(None)
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -375,6 +494,7 @@ def incremental_dedup(
     existing_docs: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """CDC-flavored INCREMENTAL exact dedup: admit only the rows of
     ``new_docs`` whose content digest is absent from ``existing_docs``,
@@ -389,7 +509,7 @@ def incremental_dedup(
     case the whole left scan is a narrow one-column read.  The group key
     is a digest-hash PARTITION (vectorized transform-min + drop_duplicates
     per partition), never one Python call per distinct content."""
-    num_partitions = 32
+    num_partitions = num_partitions or partitions_for_bytes(None)
 
     def tag(side: int):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -467,6 +587,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED all-pairs
     similarity join (the non-approximate sibling of ``minhash_lsh_pairs``;
@@ -487,10 +609,11 @@ def ngram_jaccard_pairs(
     gram-hash partitions (each gram lives wholly in one) → per-doc prefix
     selection inside doc-hash partitions (vectorized rank-vs-cutoff) →
     candidate pairs by self-merge on prefix grams → exact verification of
-    the rare candidates against a broadcast text lookup (same cutover
-    note as ``minhash_lsh_pairs`` at extreme candidate counts).  Digest
+    the rare candidates against a broadcast text lookup, or — above
+    ``verify_broadcast_max`` candidates — the distributed
+    ``_join_verify_pairs`` hash-join path (no driver text dict).  Digest
     collisions (~n²/2⁶⁴) are negligible at any realistic gram count."""
-    num_partitions = 32
+    num_partitions = num_partitions or partitions_for_bytes(None)
 
     def shingle_set(text: str) -> set[int]:
         # split(" ") (not split()) to match DuckDB string_split(text,' ')
@@ -538,11 +661,16 @@ def ngram_jaccard_pairs(
 
     def prefixes(part: pd.DataFrame) -> pd.DataFrame:
         # global order = (doc frequency asc, gram asc); prefix length
-        # p_d = n_d − ceil(τ·n_d) + 1
+        # p_d = n_d − ⌈τ·n_d⌉ + 1.  The ceiling is biased DOWN by an
+        # epsilon before np.ceil: float τ·n can land an ulp above the
+        # exact rational value (τ=0.55, n=100 → 55.00000000000001,
+        # ceil 56 instead of 55), which would SHORTEN the prefix and
+        # silently drop true pairs.  A longer prefix is always lossless
+        # (more candidates, verified exactly); a shorter one is not.
         part = part.sort_values([id_col, "df", "g"], kind="mergesort")
         rank = part.groupby(id_col, sort=False).cumcount().to_numpy()
         n = part.groupby(id_col, sort=False)["g"].transform("size").to_numpy()
-        p_d = n - np.ceil(threshold * n).astype(np.int64) + 1
+        p_d = n - np.ceil(threshold * n - 1e-9).astype(np.int64) + 1
         keep = rank < p_d
         out = part.loc[keep, [id_col, "g"]].copy()
         out["n"] = n[keep]  # carry set size for the length filter
@@ -555,30 +683,52 @@ def ngram_jaccard_pairs(
         m = part[[id_col, "g", "n"]].merge(part[[id_col, "g", "n"]], on="g")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         # length filter (also lossless): J <= min(n)/max(n), so a size
-        # ratio below tau can never reach the threshold
+        # ratio below tau can never reach the threshold.  Epsilon-biased
+        # toward KEEPING, for the same float-rounding hazard as the
+        # prefix cutoff (τ·max can exceed the exact rational product).
         nx, ny = m["n_x"].to_numpy(), m["n_y"].to_numpy()
-        m = m[np.minimum(nx, ny) >= threshold * np.maximum(nx, ny)]
+        m = m[np.minimum(nx, ny) >= threshold * np.maximum(nx, ny) - 1e-9]
         return (
             m[[f"{id_col}_x", f"{id_col}_y"]]
             .drop_duplicates()
             .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
         )
 
-    cand = (
-        pfx.groupby("_gp")
-        .map_groups(cand_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
+    cand_ds = _pair_dedupe(
+        pfx.groupby("_gp").map_groups(cand_pairs, batch_format="pandas"),
+        "doc_a",
+        "doc_b",
+        num_partitions,
+    ).materialize()
+    n_cand = cand_ds.count()
+    # empty results go through from_arrow: an empty from_pandas Dataset
+    # drops its column schema on the to_pandas round-trip
+    empty_tbl = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
-    schema = {
-        "doc_a": pd.Series(dtype=np.int64),
-        "doc_b": pd.Series(dtype=np.int64),
-        "jaccard": pd.Series(dtype=np.float64),
-    }
-    if len(cand) == 0:
-        return ray.data.from_pandas(pd.DataFrame(schema))
+    if n_cand == 0:
+        return ray.data.from_arrow(empty_tbl)
 
+    if n_cand > verify_broadcast_max:
+        # skewed corpus — corpus-scale candidates: distributed verify
+        def jacc(x: str, y: str) -> float:
+            sx, sy = shingle_set(x), shingle_set(y)
+            return len(sx & sy) / len(sx | sy)
+
+        out = _join_verify_pairs(
+            cand_ds, docs, id_col, text_col, "doc_a", "doc_b",
+            jacc, threshold, num_partitions,
+        ).to_pandas()  # verified pairs are rare — driver-safe
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        if not len(out):
+            return ray.data.from_arrow(empty_tbl)
+        return ray.data.from_pandas(out)
+
+    cand = cand_ds.to_pandas().reset_index(drop=True)
     # exact verification of the rare candidates: fetch ONLY their texts
     cand_ids = np.union1d(cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy())
     ids_ref = ray.put(np.sort(cand_ids))
@@ -613,7 +763,9 @@ def ngram_jaccard_pairs(
         }
     )[j >= threshold]
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return ray.data.from_pandas(out if len(out) else pd.DataFrame(schema))
+    if not len(out):
+        return ray.data.from_arrow(empty_tbl)
+    return ray.data.from_pandas(out)
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> pd.DataFrame:
@@ -749,6 +901,7 @@ def connected_components_distributed(
         .materialize()
     )
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         msgs = sym.join(
             labels,
@@ -770,8 +923,19 @@ def connected_components_distributed(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # exhausting max_iters means the labels are NOT a fixed point —
+        # returning them silently would hand back wrong clusters (e.g. a
+        # duplicate chain with diameter > max_iters).  Fail loudly; the
+        # caller can rerun with a higher budget.
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"max_iters={max_iters} rounds (graph diameter exceeds the "
+            f"iteration budget); rerun with a larger max_iters"
+        )
     return labels.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("node"), "cluster_id": t.column("label")}

@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..scale import autoscale_pool
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64(), nullable=False),
@@ -112,6 +114,6 @@ def multimodal_features(media: ray.data.Dataset) -> ray.data.Dataset:
         DecodeAndFeaturize,
         batch_format="pyarrow",
         batch_size=256,  # wide binary rows → small batches
-        concurrency=2,
+        concurrency=autoscale_pool(),
         num_cpus=1,
     )

@@ -16,9 +16,77 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..scale import autoscale_pool, partitions_for_bytes
+
 
 def _to_matrix(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _ivf_cluster_count(
+    emb: ray.data.Dataset, n_clusters: int | None, floor: int
+) -> int:
+    """IVF codebook size, ~√n when not given explicitly.
+
+    A fixed cluster count makes bucket size n/k grow linearly with data —
+    each bucket materializes in ONE ``map_groups`` task and its pairwise
+    kernel is O(|bucket|²), so k must scale with n.  k ≈ √n balances the
+    two IVF cost terms (assignment O(n·k·d) vs per-bucket O((n/k)²·d)).
+    ``count()`` is metadata-only for fresh parquet reads and materialized
+    datasets (the callers here); the floor keeps small/test corpora on
+    their round-2 behavior."""
+    if n_clusters is not None:
+        return n_clusters
+    try:
+        n = emb.count()
+    except Exception:
+        n = None
+    if not n:
+        return floor
+    return int(min(65_536, max(floor, round(np.sqrt(n)))))
+
+
+def _tiled_cosine_pairs(
+    ids: np.ndarray,
+    mn: np.ndarray,
+    threshold: float,
+    tile_rows: int = 4096,
+) -> pd.DataFrame:
+    """Exact within-bucket cosine pair generation with BOUNDED memory: the
+    similarity matrix is computed in ``tile_rows``-square blocks (≤128 MB
+    of float64 at the default) instead of one |bucket|² allocation, so an
+    oversized/skewed IVF bucket degrades to more iterations — never to an
+    OOM.  Output is identical to the single-matmul version: each unordered
+    pair is visited in exactly one (i-tile ≤ j-tile) block and emitted
+    min-id-first."""
+    starts = list(range(0, len(ids), tile_rows))
+    out_a, out_b, out_c = [], [], []
+    for ti, i0 in enumerate(starts):
+        mi = mn[i0 : i0 + tile_rows]
+        for j0 in starts[ti:]:
+            s = mi @ mn[j0 : j0 + tile_rows].T
+            ii, jj = np.nonzero(s >= threshold)
+            va, vb = ids[i0 + ii], ids[j0 + jj]
+            c = s[ii, jj]
+            if i0 == j0:
+                keep = va < vb
+                a, b, c = va[keep], vb[keep], c[keep]
+            else:
+                keep = va != vb  # duplicate ids never pair (matches dense kernel)
+                va, vb, c = va[keep], vb[keep], c[keep]
+                a, b = np.minimum(va, vb), np.maximum(va, vb)
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(c)
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a) if out_a else np.zeros(0, np.int64),
+            "vec_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
+            "cosine": np.round(
+                np.concatenate(out_c) if out_c else np.zeros(0, np.float64), 6
+            ),
+        }
+    )
 
 
 def _codebook_sample(
@@ -86,7 +154,7 @@ def brute_force_topk(
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
     qref = ray.put(qn)
     partials = embeddings.map_batches(
-        CosineTopK, batch_format="pandas", concurrency=2,
+        CosineTopK, batch_format="pandas", concurrency=autoscale_pool(),
         fn_constructor_args=(qref, k),
     ).to_pandas()
     out = (
@@ -141,7 +209,7 @@ def ivf_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
     k: int = 10,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     nprobe: int = 4,
     sample_fraction: float = 0.25,
     max_sample_rows: int = 65_536,
@@ -156,7 +224,10 @@ def ivf_topk(
     merge, so the embeddings dataset is never materialized.  Recall is
     tested against the brute-force baseline; at 100 TB the bucket
     assignment is a persisted column and each query touches
-    nprobe/n_clusters of the data."""
+    nprobe/n_clusters of the data.  ``n_clusters=None`` derives ~√n from
+    a metadata-cheap count (floor 16) so bucket size stays sublinear in
+    the corpus instead of growing as n/16."""
+    n_clusters = _ivf_cluster_count(embeddings, n_clusters, floor=16)
     sample = _codebook_sample(
         embeddings, "embedding", sample_fraction, max_sample_rows, seed
     )
@@ -198,7 +269,7 @@ def ivf_topk(
             return pd.concat(parts, ignore_index=True)
 
     partial = embeddings.map_batches(
-        ProbeScore, batch_format="pandas", concurrency=2
+        ProbeScore, batch_format="pandas", concurrency=autoscale_pool()
     ).to_pandas()  # <= queries x k x num_batches rows — tiny by construction
     out = []
     for qi in range(len(qn)):
@@ -266,12 +337,14 @@ def embedding_near_dups(
 def embedding_near_dups_ivf(
     emb: ray.data.Dataset,
     threshold: float = 0.3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     sample_fraction: float = 0.5,
     max_sample_rows: int = 65_536,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_rows: int = 4096,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs, IVF-blocked — the SCALE path for
     ``embedding_near_dups``.
@@ -283,8 +356,13 @@ def embedding_near_dups_ivf(
     shared buckets) are collapsed by a final pair-key groupby — compute
     drops from O(n²) to Σ O(|bucket|²) at 2× storage.  Still approximate:
     a pair sharing NO bucket is missed (recall vs the brute-force baseline
-    asserted in tests; tune n_clusters/probes for the recall-cost
-    trade)."""
+    asserted in tests; tune n_clusters/probes for the recall-cost trade).
+    ``n_clusters=None`` derives ~√n (floor 8 — test-scale corpora keep
+    their round-2 buckets) so bucket size stays √n-ish instead of n/8;
+    inside a bucket the pairwise kernel is TILED (``_tiled_cosine_pairs``)
+    so a skewed bucket costs iterations, never an OOM."""
+    n_clusters = _ivf_cluster_count(emb, n_clusters, floor=8)
+    num_partitions = num_partitions or partitions_for_bytes(None)
     sample = _codebook_sample(emb, vec_col, sample_fraction, max_sample_rows, seed)
     cents_ref = ray.put(kmeans_lite(sample, n_clusters, seed=seed))
 
@@ -309,23 +387,15 @@ def embedding_near_dups_ivf(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = _to_matrix(g[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
-        s = m @ m.T
-        ids = g[id_col].to_numpy()
-        ii, jj = np.nonzero(s >= threshold)
-        keep = ids[ii] < ids[jj]
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ii][keep],
-                "vec_b": ids[jj][keep],
-                "cosine": np.round(s[ii, jj][keep], 6),
-            }
+        return _tiled_cosine_pairs(
+            g[id_col].to_numpy(), m, threshold, tile_rows=tile_rows
         )
 
     def add_pk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_gp"] = (
             df["vec_a"].to_numpy(np.int64) * 31 + df["vec_b"].to_numpy(np.int64)
-        ) % 32
+        ) % num_partitions
         return df
 
     def dedupe_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +404,9 @@ def embedding_near_dups_ivf(
         return g.drop_duplicates(["vec_a", "vec_b"]).drop(columns=["_gp"])
 
     return (
-        emb.map_batches(AssignKeepVec, batch_format="pandas", concurrency=2)
+        emb.map_batches(
+            AssignKeepVec, batch_format="pandas", concurrency=autoscale_pool()
+        )
         .groupby("cluster")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(add_pk, batch_format="pandas")
