@@ -182,7 +182,7 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 "orphan_events_applied": 0, "orphan_deletes": 0,
                 "max_lsn": -1, "min_lsn": -1, "live_rows": 0,
             },
-            "winner_lsns": np.zeros(0, np.int64),
+            "winners_ref": ray.put(np.zeros(0, np.int64)),
         }
     kh = tbl.column(KEY_HASH_COL).to_numpy(zero_copy_only=False)
     lsn_arr = tbl.column("lsn").to_numpy(zero_copy_only=False)
@@ -239,7 +239,10 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         "min_lsn": int(pc.min(tbl.column("lsn")).as_py()),
         "live_rows": int(len(win_lsn)),
     }
-    return {"part": part, "stats": stats, "winner_lsns": np.sort(win_lsn)}
+    # winners stay in the OBJECT STORE (ray.put from this actor): the
+    # driver receives only the ref, never an O(live rows) array — at
+    # 5x10^8 live keys the old driver-side concat was a ~4 GB allocation
+    return {"part": part, "stats": stats, "winners_ref": ray.put(np.sort(win_lsn))}
 
 
 def _commit_extracted_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
@@ -394,6 +397,39 @@ def make_winner_filter(winners: np.ndarray):
 
         return ("bloom", Int64Bloom(winners), winners)
     return ("sorted", winners)
+
+
+def make_winner_filter_multi(arrays: list[np.ndarray]):
+    """Merged winner filter from PER-PARTITION sorted winner arrays.
+
+    The bitmap path ORs each partition's offsets into one shared bit
+    array — peak memory = bitmap + the largest single partition, never
+    the concatenated whole; only the (rare) sparse-LSN bloom/sorted path
+    pays a full concat+sort, and that runs in a worker task
+    (``_build_winner_filter_task``), not on the driver."""
+    arrays = [a for a in arrays if len(a)]
+    if not arrays:
+        return ("sorted", np.zeros(0, np.int64))
+    lo = min(int(a[0]) for a in arrays)
+    hi = max(int(a[-1]) for a in arrays)
+    if (hi - lo) // 8 < _MAX_BITMAP_BYTES:
+        bits = np.zeros(((hi - lo) >> 3) + 1, dtype=np.uint8)
+        for a in arrays:
+            off = a - lo
+            np.bitwise_or.at(bits, off >> 3, (1 << (off & 7)).astype(np.uint8))
+        return ("bitmap", lo, bits)
+    return make_winner_filter(np.sort(np.concatenate(arrays)))
+
+
+@ray.remote
+def _build_winner_filter_task(*winner_arrays):
+    """Off-driver winner-filter build: phase-1 actors ``ray.put`` their
+    per-partition winner arrays and the driver passes only the REFS here
+    (Ray resolves them as args), so the one O(live-rows) allocation on
+    the replay hot path happens in a worker, and the driver's peak RSS
+    stays flat in the number of live keys.  The task's return ref is
+    handed straight to the phase-2 feed tasks."""
+    return make_winner_filter_multi(list(winner_arrays))
 
 
 def winner_membership(payload, lsn: np.ndarray) -> np.ndarray:
@@ -753,9 +789,9 @@ def _replay_late(
         for rows in ray.get([a.finalize.remote(fn_ser, {}) for a in actors])
         for r in rows
     ]
-    for a in actors:
-        ray.kill(a)
     if not phase1:
+        for a in actors:
+            ray.kill(a)
         return []
     # Resume no-op skip: a partition whose phase-1 input was ONLY prior
     # state (zero new events) is untouched — keep its manifest as-is.
@@ -768,10 +804,19 @@ def _replay_late(
         )
     ]
     if not phase1:
+        for a in actors:
+            ray.kill(a)
         return []
     stats_per_part = {r["part"]: r["stats"] for r in phase1}
-    all_winners = np.sort(np.concatenate([r["winner_lsns"] for r in phase1]))
-    winners_ref = ray.put(make_winner_filter(all_winners))
+    # Build the merged winner filter OFF the driver: per-partition winner
+    # arrays were ray.put by the phase-1 actors (which OWN those objects),
+    # so the merge task must complete before the actors are killed.
+    winners_ref = _build_winner_filter_task.remote(
+        *[r["winners_ref"] for r in phase1]
+    )
+    ray.wait([winners_ref], num_returns=1)
+    for a in actors:
+        ray.kill(a)
     phase_times["phase1_finalize_s"] = round(time.time() - _t0, 3)
     _t0 = time.time()
 

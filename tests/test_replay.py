@@ -325,3 +325,41 @@ def test_winner_filter_null_lsn_rows():
     want = np.array([True, False, True, False, False])
     assert np.array_equal(winner_membership(make_winner_filter(winners), lsn), want)
     assert np.array_equal(winner_membership(("sorted", winners), lsn), want)
+
+
+def test_winner_filter_multi_matches_single():
+    """The off-driver merged filter (per-partition sorted arrays OR'd into
+    one bitmap, or concat+sorted for wide spans) must be membership-
+    equivalent to the single-array build on the union of the parts."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.pipelines.replay import (
+        make_winner_filter,
+        make_winner_filter_multi,
+        winner_membership,
+    )
+
+    rng = np.random.default_rng(9)
+    winners = np.sort(rng.choice(800_000, size=6_000, replace=False).astype(np.int64))
+    # split into uneven per-partition slices by hash (overlapping spans)
+    parts = [np.sort(winners[winners % 5 == k]) for k in range(5)]
+    parts.append(np.zeros(0, np.int64))  # an empty partition is fine
+    probe = np.concatenate([winners[::11], rng.integers(-5, 900_000, 30_000)])
+    truth = winner_membership(make_winner_filter(winners), probe)
+
+    merged = make_winner_filter_multi(parts)
+    assert merged[0] == "bitmap"
+    assert np.array_equal(winner_membership(merged, probe), truth)
+
+    # wide span -> bloom path via concat+sort, still exact
+    wide_parts = [p * 10_000_000_000 for p in parts]
+    merged_w = make_winner_filter_multi(wide_parts)
+    assert merged_w[0] == "bloom"
+    probe_w = probe * 10_000_000_000
+    assert np.array_equal(
+        winner_membership(merged_w, probe_w),
+        winner_membership(make_winner_filter(winners * 10_000_000_000), probe_w),
+    )
+
+    # all-empty input
+    assert not winner_membership(make_winner_filter_multi([]), probe).any()
