@@ -656,37 +656,33 @@ def per_order_allocation(sf_dir: str) -> ray.data.Dataset:
         zero_copy_batch=True,
     )
     # Group-count is huge (one per order), so per-group Python calls would
-    # dominate; instead: grouped partial+final aggregate, hash-join the
-    # totals back, and compute the shares vectorized per batch.
-    totals = li.groupby("l_orderkey").aggregate(
-        Sum("cents", alias_name="total_cents"),
-        Count(alias_name="n_lines"),
-    )
-    joined = li.join(
-        totals,
-        join_type="inner",
-        num_partitions=_join_partitions(sf_dir, "lineitem"),
-        on=("l_orderkey",),
-    )
-
-    def shares(t: pa.Table) -> pa.Table:
-        cents_f = pc.cast(t.column("cents"), pa.float64())
-        total_f = pc.cast(t.column("total_cents"), pa.float64())
-        share = pc.multiply(pc.divide(cents_f, total_f), pa.scalar(100.0))
-        split = pc.divide(
-            total_f,
-            pc.multiply(pc.cast(t.column("n_lines"), pa.float64()), pa.scalar(100.0)),
-        )
-        return pa.table(
+    # dominate.  ONE shuffle total: hash-partition lines by order key
+    # (``_by_key_partitions``), then per PARTITION a vectorized pandas
+    # transform computes each order's total/count and the shares in C —
+    # the previous groupby-aggregate + hash-join-back design moved
+    # lineitem through TWO all-to-alls for the same result.  Float ops
+    # keep the exact sequence of the old arrow kernel ((cents/total)*100,
+    # total/(n*100.0), arrow round-half-away) so the oracle hash is
+    # unchanged.
+    def part_alloc(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_orderkey", sort=False)["cents"]
+        tot = grp.transform("sum").to_numpy(np.float64)
+        n = grp.transform("size").to_numpy(np.float64)
+        cents = g["cents"].to_numpy(np.float64)
+        share = pc.round(pa.array(cents / tot * 100.0), 4, **_ROUND)
+        split = pc.round(pa.array(tot / (n * 100.0)), 4, **_ROUND)
+        return pd.DataFrame(
             {
-                "l_orderkey": t.column("l_orderkey"),
-                "l_linenumber": t.column("l_linenumber"),
-                "line_share_pct": pc.round(share, 4, **_ROUND),
-                "equal_split": pc.round(split, 4, **_ROUND),
+                "l_orderkey": g["l_orderkey"].to_numpy(),
+                "l_linenumber": g["l_linenumber"].to_numpy(),
+                "line_share_pct": share.to_numpy(),
+                "equal_split": split.to_numpy(),
             }
         )
 
-    return joined.map_batches(shares, batch_format="pyarrow", zero_copy_batch=True)
+    return _by_key_partitions(
+        li, "l_orderkey", part_alloc, _join_partitions(sf_dir, "lineitem")
+    )
 
 
 def union_quality_report(sf_dir: str) -> pa.Table:
@@ -756,27 +752,41 @@ def union_quality_report(sf_dir: str) -> pa.Table:
                 }
             )
 
-    agg = (
-        li.map_batches(
-            LineitemChecks, batch_format="pyarrow", concurrency=autoscale_pool()
-        )
-        .groupby(["kind", "key"])
-        .aggregate(Sum("n", alias_name="n"))
+    # The dup check needs a GLOBAL count per composite PK.  A
+    # groupby(kind,key).aggregate over ~|lineitem| distinct keys is a
+    # sort-based all-to-all; instead hash-partition the (kind,key,n)
+    # partials by key (``_gp = key % P``) and let each partition finalize
+    # vectorized (np.unique + add.at) — same single exchange of the same
+    # partial rows, no global sort, P output rows.
+    partials = li.map_batches(
+        LineitemChecks, batch_format="pyarrow", concurrency=autoscale_pool()
     )
+    num_gp = _join_partitions(sf_dir, "lineitem")
 
-    def finalize(t: pa.Table) -> pa.Table:
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        return pa.table(
+    def add_gp(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        return t.append_column("_gp", pa.array(k % num_gp))
+
+    def finalize_part(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        n = g["n"].to_numpy()
+        k0 = kind == 0
+        uniq, inv = np.unique(g["key"].to_numpy()[k0], return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n[k0])
+        return pd.DataFrame(
             {
-                "dup": pa.array([int(((kind == 0) & (n > 1)).sum())], pa.int64()),
-                "neg": pa.array([int(n[kind == 1].sum())], pa.int64()),
-                "orph": pa.array([int(n[kind == 2].sum())], pa.int64()),
+                "dup": [int((tot > 1).sum())],
+                "neg": [int(n[kind == 1].sum())],
+                "orph": [int(n[kind == 2].sum())],
             }
         )
 
-    totals = agg.map_batches(finalize, batch_format="pyarrow").sum(
-        ["dup", "neg", "orph"]
+    totals = (
+        partials.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(finalize_part, batch_format="pandas")
+        .sum(["dup", "neg", "orph"])
     )
     dup_pk = int(totals["sum(dup)"])
     neg_qty = int(totals["sum(neg)"])
