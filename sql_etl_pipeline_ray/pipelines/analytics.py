@@ -102,6 +102,47 @@ def _by_key_partitions(
     )
 
 
+def _hash_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    num_partitions: int,
+    part_key: str | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned exact aggregation.
+
+    Ray's ``groupby(key).aggregate(...)`` sort-shuffles every row by the
+    full key (measured 4.1 s vs 2.0 s for this helper on the sf0.1
+    lineitem-per-partkey rollup; the 2.49 HASH_SHUFFLE strategy's
+    aggregator actors were slower still, 14 s).  Here rows exchange ONCE
+    on ``int(key) % num_partitions`` and each partition aggregates with a
+    pandas named-agg groupby (C hash agg, no global sort).  Exactness
+    contract as elsewhere: money flows as int64 cents and counts are
+    ints, so per-partition accumulation order cannot change results.
+    ``num_partitions`` scales with input via ``_join_partitions``;
+    ``part_key`` picks the partition column (default ``keys[0]``) — any
+    key column works since grouping happens inside the partition."""
+    pk = part_key or keys[0]
+
+    def add_gp(t: pa.Table) -> pa.Table:
+        k = t.column(pk).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_gp", pa.array(k % num_partitions))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop(columns=["_gp"])
+            .groupby(keys, sort=False)
+            .agg(**agg_spec)
+        )
+        return out.reset_index()
+
+    return (
+        ds.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def _round2(tbl: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
         i = tbl.schema.get_field_index(c)
@@ -198,15 +239,16 @@ def customer_order_metrics(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(
-            Count(alias_name="total_orders"),
-            Sum("tp_cents", alias_name="lv_cents"),
-            Min("o_orderdate", alias_name="first_order_date"),
-            Max("o_orderdate", alias_name="last_order_date"),
-        )
+    agg = _hash_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        {
+            "total_orders": ("tp_cents", "size"),
+            "lv_cents": ("tp_cents", "sum"),
+            "first_order_date": ("o_orderdate", "min"),
+            "last_order_date": ("o_orderdate", "max"),
+        },
+        _join_partitions(sf_dir, "orders"),
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     joined = cust.join(
@@ -324,17 +366,40 @@ def monthly_sales_trends(sf_dir: str) -> pa.Table:
         )
 
     with_month = orders.map_batches(add_month, batch_format="pyarrow")
-    # level 1: per (year, month, customer) — collapses duplicates
-    per_cust = with_month.groupby(["o_year", "o_month", "o_custkey"]).aggregate(
-        Count(alias_name="orders_count"), Sum("rev_cents", alias_name="rev_cents")
+
+    # Both COUNT(DISTINCT) levels in ONE exchange: partition by customer,
+    # so a customer's (year, month) duplicates are fully local — each
+    # partition emits exact per-month partials (its distinct-customer
+    # count, order count, cents), and the cross-partition fold is a tiny
+    # P × |months| frame (P scales ~input/128 MiB, months ~10²: driver-
+    # side sum is bounded and exact int64).
+    def month_partials(g: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = g.groupby(["o_year", "o_month", "o_custkey"], sort=False).agg(
+            orders_count=("rev_cents", "size"), rev_cents=("rev_cents", "sum")
+        )
+        lvl2 = (
+            lvl1.reset_index()
+            .groupby(["o_year", "o_month"], sort=False)
+            .agg(
+                unique_customers=("o_custkey", "size"),
+                orders_count=("orders_count", "sum"),
+                rev_cents=("rev_cents", "sum"),
+            )
+        )
+        return lvl2.reset_index()
+
+    partials = _by_key_partitions(
+        with_month, "o_custkey", month_partials, _join_partitions(sf_dir, "orders")
     )
-    # level 2: per (year, month)
-    monthly = per_cust.groupby(["o_year", "o_month"]).aggregate(
-        Count(alias_name="unique_customers"),
-        Sum("orders_count", alias_name="orders_count"),
-        Sum("rev_cents", alias_name="rev_cents"),
+    df = (
+        partials.to_pandas()
+        .groupby(["o_year", "o_month"], as_index=False)[
+            ["unique_customers", "orders_count", "rev_cents"]
+        ]
+        .sum()
+        .sort_values(["o_year", "o_month"])
+        .reset_index(drop=True)
     )
-    df = monthly.to_pandas().sort_values(["o_year", "o_month"]).reset_index(drop=True)
     cents = df["rev_cents"].to_numpy(dtype=np.int64)
     rev_d = cents / 100.0  # same op as the oracle's rev_cents / 100.0
     df["revenue"] = _rha(rev_d, 2)
@@ -363,13 +428,17 @@ def monthly_sales_trends(sf_dir: str) -> pa.Table:
 
 
 def product_performance(sf_dir: str) -> pa.Table:
-    """J2/J3 + O1: lineitem revenue per part with part attributes attached
-    via a BROADCAST small-side join (`ray.put` once, lookup per batch — no
-    shuffle for the dimension; sql/etl_transformations.sql:151-152 dim-key
-    lookup idiom).  Top 100 by revenue.
+    """J2/J3 + O1: lineitem revenue per part, top 100 by revenue, with
+    part attributes attached (sql/etl_transformations.sql:151-152 dim-key
+    lookup idiom; reference query src/sql_query_executor.py:152-232).
 
-    Scale: `part` at 100 TB would be ~GBs → broadcast still fine on 64 GiB
-    workers; beyond that switch to Dataset.join (documented cutover)."""
+    The sort keys (rev_u, l_partkey) come straight out of the aggregate,
+    so the dimension attach happens AFTER the limit: sort+limit runs on
+    the bare (partkey, qty, rev, lines) rollup and only the 100 winning
+    part keys are read back with a parquet predicate-pushdown filter —
+    no broadcast of `part`, no actor pool, O(k) attach work at ANY corpus
+    scale (the round-2 design attached attributes to every part row
+    before sorting)."""
     li = _t(
         sf_dir,
         "lineitem",
@@ -384,49 +453,41 @@ def product_performance(sf_dir: str) -> pa.Table:
             _cents(t.column("l_extendedprice")),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
         )
-        return t.append_column("rev_u", rev_u)
-
-    agg = (
-        li.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_partkey")
-        .aggregate(
-            Sum("l_quantity", alias_name="total_qty"),
-            Sum("rev_u", alias_name="rev_u"),
-            Count(alias_name="num_lines"),
+        # prune to the exchange columns: price/discount never shuffle
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_quantity": t.column("l_quantity"),
+                "rev_u": rev_u,
+            }
         )
-    )
-    part_tbl = _small(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
-    part_ref = ray.put(part_tbl)
 
-    class AttachPart:
-        """Actor-pool stage: the broadcast lookup index is built ONCE per
-        actor in __init__, not per batch."""
-
-        def __init__(self):
-            t = ray.get(part_ref)
-            self.idx = pd.DataFrame(
-                {
-                    "p_name": t.column("p_name").to_pandas().values,
-                    "p_brand": t.column("p_brand").to_pandas().values,
-                    "p_retailprice": t.column("p_retailprice").to_pandas().values,
-                },
-                index=t.column("p_partkey").to_pandas().values,
-            )
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            hit = self.idx.reindex(df["l_partkey"].values)
-            for c in self.idx.columns:
-                df[c] = hit[c].values
-            return df
-
-    out = agg.map_batches(
-        AttachPart, batch_format="pandas", concurrency=autoscale_pool()
+    agg = _hash_agg(
+        li.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"],
+        {
+            "total_qty": ("l_quantity", "sum"),
+            "rev_u": ("rev_u", "sum"),
+            "num_lines": ("rev_u", "size"),
+        },
+        _join_partitions(sf_dir, "lineitem"),
     )
     df = (
-        out.sort(["rev_u", "l_partkey"], descending=[True, False])
+        agg.sort(["rev_u", "l_partkey"], descending=[True, False])
         .limit(100)
         .to_pandas()
     )
+    # Attach part attributes to the 100 winners only: row-group-pruned
+    # driver read of exactly those keys (the winner set is O(k), so this
+    # stays a driver-side lookup at any scale).
+    part_hit = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"],
+        filters=pc.field("p_partkey").isin(df["l_partkey"].to_numpy()),
+    ).to_pandas()
+    idx = part_hit.set_index("p_partkey").reindex(df["l_partkey"].values)
+    for c in ("p_name", "p_brand", "p_retailprice"):
+        df[c] = idx[c].values
     # single division mirrors the oracle's ROUND(SUM(u)/10000.0, 2)
     df["revenue"] = _rha(df.pop("rev_u").to_numpy(dtype=np.int64) / 10000.0, 2)
     df["total_qty"] = df["total_qty"].round(2)
@@ -450,8 +511,11 @@ def region_revenue_rollup(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Count(alias_name="n_orders"), Sum("cents", alias_name="cents")
+    per_cust = _hash_agg(
+        orders,
+        ["o_custkey"],
+        {"n_orders": ("cents", "size"), "cents": ("cents", "sum")},
+        _join_partitions(sf_dir, "orders"),
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = per_cust.join(
@@ -535,10 +599,11 @@ def category_share(sf_dir: str) -> pa.Table:
             }
         )
 
-    per_part = (
-        li.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_partkey")
-        .aggregate(Sum("rev_u", alias_name="rev_u"))
+    per_part = _hash_agg(
+        li.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"],
+        {"rev_u": ("rev_u", "sum")},
+        _join_partitions(sf_dir, "lineitem"),
     )
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
     per_brand = (
@@ -1039,44 +1104,38 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         return t.append_column("order_month", m)
 
     with_month = orders.map_batches(add_month, batch_format="pyarrow", zero_copy_batch=True)
-    # ONE key drives everything: distinct (customer, month) via a grouped
-    # count, then per-customer month lists fold to (cohort, months_since)
-    # pairs inside map_groups — no per-customer broadcast dict (which would
-    # be the whole customer dimension at scale), no third shuffle.
-    distinct_cm = with_month.groupby(["o_custkey", "order_month"]).aggregate(
-        Count(alias_name="_n")
-    )
 
-    # per-customer fold runs vectorized per customer-hash PARTITION (one
-    # transform-min per partition), not one Python call per customer
-    cohort_parts = 32
-
-    def add_gp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_gp"] = df["o_custkey"].to_numpy(np.int64) % cohort_parts
-        return df
-
+    # ONE exchange on the customer key does everything: a customer's rows
+    # are partition-local, so the (customer, month) DISTINCT, the
+    # cohort=min(month) fold and the (cohort, months_since) counting all
+    # run vectorized inside the partition — no separate sort-aggregate
+    # for the distinct, no per-customer broadcast dict.  Each partition
+    # emits ≤ |months|² partial-count rows; the cross-partition fold is a
+    # tiny P × |cells| driver sum (exact ints), like monthly_sales_trends.
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["o_custkey", "order_month"]].drop_duplicates()
         cohort = g.groupby("o_custkey")["order_month"].transform("min").to_numpy(
             np.int64
         )
         months = g["order_month"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "cohort_month": cohort,
-                "months_since": months - cohort,
-            }
+        cells = (
+            pd.DataFrame(
+                {"cohort_month": cohort, "months_since": months - cohort}
+            )
+            .value_counts()
+            .rename("active_customers")
         )
+        return cells.reset_index()
 
-    pairs = (
-        distinct_cm.map_batches(add_gp, batch_format="pandas")
-        .groupby("_gp")
-        .map_groups(per_partition, batch_format="pandas")
+    pairs = _by_key_partitions(
+        with_month, "o_custkey", per_partition, _join_partitions(sf_dir, "orders")
     )
     out = (
-        pairs.groupby(["cohort_month", "months_since"])
-        .aggregate(Count(alias_name="active_customers"))
-        .to_pandas()
+        pairs.to_pandas()
+        .groupby(["cohort_month", "months_since"], as_index=False)[
+            "active_customers"
+        ]
+        .sum()
         .sort_values(["cohort_month", "months_since"])
         .reset_index(drop=True)
     )
@@ -1152,15 +1211,19 @@ def rfm_segmentation(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        orders.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("valid", alias_name="frequency"),
-            Sum("tp_cents", alias_name="monetary_cents"),
-            Max("od", alias_name="last_order_date"),
-            Min("od", alias_name="first_order_date"),
-        )
+    # pandas null conventions downstream: all-null cents sums to 0 (Ray:
+    # null) and all-null od maxes to NaN — finish() coalesces both the
+    # same way, and money stays exact (int cents < 2^53 in float64).
+    agg = _hash_agg(
+        orders.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        {
+            "frequency": ("valid", "sum"),
+            "monetary_cents": ("tp_cents", "sum"),
+            "last_order_date": ("od", "max"),
+            "first_order_date": ("od", "min"),
+        },
+        _join_partitions(sf_dir, "orders"),
     )
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     joined = cust.join(
@@ -1268,20 +1331,22 @@ def inventory_optimization(sf_dir: str) -> ray.data.Dataset:
 
     o_win = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     items = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
-    vel = (
+    vel = _hash_agg(
         items.join(
             o_win,
             join_type="inner",
             num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
             on=("l_orderkey",),
             right_on=("o_orderkey",),
-        )
-        .groupby("l_partkey")
-        .aggregate(
-            Count(alias_name="order_frequency"),
-            Sum("l_quantity", alias_name="total_sold_90days"),
-            Max("o_orderdate", alias_name="last_sale_date"),
-        )
+        ),
+        ["l_partkey"],
+        {
+            # l_quantity is integer-valued → float sums exact in any order
+            "order_frequency": ("l_quantity", "size"),
+            "total_sold_90days": ("l_quantity", "sum"),
+            "last_sale_date": ("o_orderdate", "max"),
+        },
+        _join_partitions(sf_dir, "lineitem", "orders"),
     )
     parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
     joined = parts.join(
