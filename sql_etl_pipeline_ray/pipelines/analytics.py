@@ -41,6 +41,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..scale import autoscale_pool
+from ..stages.hashagg import hash_agg
 
 # DuckDB ROUND() rounds half away from zero; match it exactly.
 _ROUND = {"round_mode": "half_towards_infinity"}
@@ -102,45 +103,10 @@ def _by_key_partitions(
     )
 
 
-def _hash_agg(
-    ds: ray.data.Dataset,
-    keys: list[str],
-    agg_spec: dict[str, tuple[str, str]],
-    num_partitions: int,
-    part_key: str | None = None,
-) -> ray.data.Dataset:
-    """Hash-partitioned exact aggregation.
-
-    Ray's ``groupby(key).aggregate(...)`` sort-shuffles every row by the
-    full key (measured 4.1 s vs 2.0 s for this helper on the sf0.1
-    lineitem-per-partkey rollup; the 2.49 HASH_SHUFFLE strategy's
-    aggregator actors were slower still, 14 s).  Here rows exchange ONCE
-    on ``int(key) % num_partitions`` and each partition aggregates with a
-    pandas named-agg groupby (C hash agg, no global sort).  Exactness
-    contract as elsewhere: money flows as int64 cents and counts are
-    ints, so per-partition accumulation order cannot change results.
-    ``num_partitions`` scales with input via ``_join_partitions``;
-    ``part_key`` picks the partition column (default ``keys[0]``) — any
-    key column works since grouping happens inside the partition."""
-    pk = part_key or keys[0]
-
-    def add_gp(t: pa.Table) -> pa.Table:
-        k = t.column(pk).to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("_gp", pa.array(k % num_partitions))
-
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.drop(columns=["_gp"])
-            .groupby(keys, sort=False)
-            .agg(**agg_spec)
-        )
-        return out.reset_index()
-
-    return (
-        ds.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_gp")
-        .map_groups(run, batch_format="pandas")
-    )
+# Hash-partitioned exact aggregation — one exchange on key % P plus a
+# per-partition pandas hash groupby, instead of Ray's global sort per
+# aggregate.  Shared implementation + rationale: ``stages/hashagg.py``.
+_hash_agg = hash_agg
 
 
 def _round2(tbl: pa.Table, cols: list[str]) -> pa.Table:

@@ -17,6 +17,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..scale import autoscale_pool, partitions_for_bytes, table_bytes
+from ..stages.hashagg import hash_agg
 from ..stages import curation as CU
 from ..stages import dedup as D
 from ..stages import multimodal as MM
@@ -480,15 +481,14 @@ def docs_pack_sequences(sf_dir: str) -> ray.data.Dataset:
 
 def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
     """Exact corpus-wide top-k frequent terms: per-batch tokenize +
-    partial count (one vectorized pandas pass), ``groupby(term).sum`` to
-    merge counts, then per-block top-k and a driver merge of
-    blocks × k candidate rows — NO global sort.  After the count-merge
-    groupby each term lives in exactly one block, so block-local top-k
+    partial count (one vectorized pandas pass), a hash-partitioned
+    count-merge (``hash_agg`` — one exchange on hash(term) % P, pandas
+    hash groupby per partition, no global sort), then per-block top-k and
+    a driver merge of blocks × k candidate rows.  After the count-merge
+    each term lives in exactly one partition, so partition-local top-k
     followed by a top-k over the winners is exact, and the driver-side
-    frame is O(blocks × k) no matter the term cardinality.  Tie-break
+    frame is O(partitions × k) no matter the term cardinality.  Tie-break
     (cnt DESC, term ASC) is total, so the cut is deterministic."""
-    from ray.data.aggregate import Sum
-
     docs = _docs(sf_dir, ["text"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -509,9 +509,12 @@ def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
         ).head(k)
 
     candidates = (
-        docs.map_batches(partial_counts, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        hash_agg(
+            docs.map_batches(partial_counts, batch_format="pandas"),
+            ["term"],
+            {"cnt": ("cnt", "sum")},
+            _doc_partitions(sf_dir),
+        )
         .map_batches(topk_block, batch_format="pandas")
         .to_pandas()
     )
@@ -604,8 +607,6 @@ def top_terms_bounded(sf_dir: str, k: int = 50, summary_k: int = 1024) -> pd.Dat
     same as ``top_terms`` and its SQL oracle — while the shuffle carries
     O(blocks × summary_k + |candidates|) rows at ANY vocabulary size.
     """
-    from ray.data.aggregate import Sum
-
     docs = _docs(sf_dir, ["text"])
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
@@ -650,12 +651,12 @@ def top_terms_bounded(sf_dir: str, k: int = 50, summary_k: int = 1024) -> pd.Dat
             {"term": vc.index.astype(str), "cnt": vc.to_numpy(np.int64)}
         )
 
-    exact = (
-        docs.map_batches(recount, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
+    exact = hash_agg(
+        docs.map_batches(recount, batch_format="pandas"),
+        ["term"],
+        {"cnt": ("cnt", "sum")},
+        _doc_partitions(sf_dir),
+    ).to_pandas()
     exact["cnt"] = exact["cnt"].astype(np.int64)
     top = (
         exact.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")

@@ -26,18 +26,25 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
 
-from ..scale import partitions_for_bytes
+from ..scale import autoscale_pool, partitions_for_bytes
+from .hashagg import hash_agg
 
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus — see minhash_coefficients
 
-# Candidate-pair count above which verification switches from the
-# broadcast-text kernel to the distributed hash-join path (see
-# _join_verify_pairs).  Candidates are rare on healthy corpora; a skewed
-# corpus (shared boilerplate) can push them to corpus scale, where a
-# driver-side text dict would OOM.
+# Verification tiers (minhash + ngram share them):
+#   1. pairs ≤ VERIFY_BROADCAST_MAX      → driver kernel (tiny candidate
+#      sets; no task overhead).
+#   2. more pairs, but the candidate DOCS' texts fit a broadcast
+#      (≤ VERIFY_TEXTS_MAX_BYTES)        → texts ray.put once, pairs
+#      verified DISTRIBUTED by an actor pool (_broadcast_verify_pairs).
+#      The pair count does NOT bound the broadcast — only the distinct
+#      candidate ids do — so boilerplate-heavy corpora with millions of
+#      candidate pairs over thousands of docs stay on this path.
+#   3. candidate texts too big to broadcast → distributed hash-join
+#      (_join_verify_pairs), the true corpus-scale fallback.
 VERIFY_BROADCAST_MAX = 200_000
+VERIFY_TEXTS_MAX_BYTES = 256 << 20
 
 
 def _pair_dedupe(
@@ -62,6 +69,100 @@ def _pair_dedupe(
         .groupby("_pp")
         .map_groups(dd, batch_format="pandas")
     )
+
+
+def _candidate_ids(cand: ray.data.Dataset, a_col: str, b_col: str) -> np.ndarray:
+    """Distinct doc ids participating in candidate pairs, computed with a
+    per-batch unique (driver receives only the bounded id partials, never
+    the pair rows)."""
+
+    def batch_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "i": np.unique(
+                    np.concatenate(
+                        [df[a_col].to_numpy(np.int64), df[b_col].to_numpy(np.int64)]
+                    )
+                )
+            }
+        )
+
+    parts = cand.map_batches(batch_ids, batch_format="pandas").to_pandas()
+    return np.unique(parts["i"].to_numpy(np.int64))
+
+
+def _candidate_text_bytes(
+    docs: ray.data.Dataset, ids_ref, id_col: str, text_col: str
+) -> int:
+    """Total text bytes of the candidate docs — the broadcast payload —
+    measured in one streaming pass (no text leaves the workers)."""
+
+    def b(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
+        return pd.DataFrame(
+            {"nb": [int(df.loc[m, text_col].str.len().sum()) if m.any() else 0]}
+        )
+
+    tot = docs.select_columns([id_col, text_col]).map_batches(
+        b, batch_format="pandas"
+    ).sum("nb")
+    return int(tot or 0)
+
+
+def _broadcast_verify_pairs(
+    cand: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    ids_ref,
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+    set_fn,
+    threshold: float,
+    out_col: str = "jaccard",
+) -> ray.data.Dataset:
+    """Tier-2 verify: candidate texts broadcast ONCE (`ray.put`, one
+    object shared by every actor), candidate PAIRS verified distributed —
+    each actor builds the shingle sets once in ``__init__`` and scores its
+    pair batches with the same exact set-intersection kernel the driver
+    tier uses, so all three tiers return identical rows."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
+        return df.loc[m, [id_col, text_col]]
+
+    docs_pdf = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    texts_ref = ray.put(dict(zip(docs_pdf[id_col], docs_pdf[text_col])))
+
+    class Verify:
+        def __init__(self):
+            texts = ray.get(texts_ref)
+            self.sets = {i: set_fn(t) for i, t in texts.items()}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            a = df[a_col].to_numpy(np.int64)
+            b = df[b_col].to_numpy(np.int64)
+            n = len(df)
+            ni = np.fromiter(
+                (len(self.sets[x] & self.sets[y]) for x, y in zip(a, b)),
+                np.float64,
+                n,
+            )
+            nu = np.fromiter(
+                (len(self.sets[x] | self.sets[y]) for x, y in zip(a, b)),
+                np.float64,
+                n,
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = np.where(nu > 0, ni / nu, 0.0)
+            out = pd.DataFrame({a_col: a, b_col: b, out_col: _rha6(j)})
+            return out[j >= threshold]  # filter on the unrounded value
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=autoscale_pool())
 
 
 def _join_verify_pairs(
@@ -221,17 +322,17 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_partitions: int | None = None,
     verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
+    verify_texts_max_bytes: int = VERIFY_TEXTS_MAX_BYTES,
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Pipeline: signatures (actor pool) → explode to (band_id, band_hash,
     doc_id) rows → groupby buckets → candidate pairs → verify with exact
-    shingle Jaccard.  Candidates ≤ ``verify_broadcast_max`` verify against
-    a broadcast text lookup (candidates are rare on healthy corpora);
-    above it the distributed ``_join_verify_pairs`` hash-join path runs —
-    the driver never materializes pairs or texts.  ``num_partitions``
-    defaults to input-scaled (callers with on-disk bytes pass
-    ``partitions_for_bytes``; the fallback floor is 2x cluster CPUs)."""
+    shingle Jaccard via the three-tier scheme at the top of this module
+    (driver kernel / broadcast-texts distributed / hash-join).
+    ``num_partitions`` defaults to input-scaled (callers with on-disk
+    bytes pass ``partitions_for_bytes``; the fallback floor is 2x cluster
+    CPUs)."""
     rows_per_band = num_hashes // bands
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
 
@@ -283,11 +384,23 @@ def minhash_lsh_pairs(
         return len(sa & sb) / len(sa | sb)
 
     if n_cand > verify_broadcast_max:
-        # skewed corpus — corpus-scale candidates: distributed verify
-        out = _join_verify_pairs(
-            cand_ds, docs, "doc_id", text_col, "a", "b",
-            jaccard, jaccard_threshold, num_partitions,
-        ).to_pandas()  # verified pairs are rare — driver-safe
+        # too many pairs for the driver kernel — distribute the verify
+        ids_ref = ray.put(_candidate_ids(cand_ds, "a", "b"))
+        if (
+            _candidate_text_bytes(docs, ids_ref, "doc_id", text_col)
+            <= verify_texts_max_bytes
+        ):
+            out = _broadcast_verify_pairs(
+                cand_ds, docs, ids_ref, "doc_id", text_col, "a", "b",
+                lambda t: set(hasher.shingles(t).tolist()),
+                jaccard_threshold,
+            ).to_pandas()  # verified pairs are rare — driver-safe
+        else:
+            # candidate texts outgrow a broadcast: hash-join fallback
+            out = _join_verify_pairs(
+                cand_ds, docs, "doc_id", text_col, "a", "b",
+                jaccard, jaccard_threshold, num_partitions,
+            ).to_pandas()
         return out.sort_values(["a", "b"]).reset_index(drop=True)
 
     cand = cand_ds.to_pandas().reset_index(drop=True)
@@ -555,28 +668,54 @@ def incremental_dedup(
     return both.groupby("_gp").map_groups(keep_new_part, batch_format="pandas")
 
 
-def duplicate_text_stats(docs: ray.data.Dataset, text_col: str = "text") -> pa.Table:
-    """D2 duplicate *detection* report: how many digests appear >1 time."""
+def duplicate_text_stats(
+    docs: ray.data.Dataset, text_col: str = "text", num_partitions: int | None = None
+) -> pa.Table:
+    """D2 duplicate *detection* report: how many digests appear >1 time.
+
+    A digest lives in exactly one hash partition, so each partition's
+    (distinct, duplicated, extra-row) triple is exact and the driver sums
+    only P rows — the earlier design sort-aggregated per digest AND
+    pulled every distinct digest to the driver (corpus-scale at 100 TB)."""
+    num_partitions = num_partitions or partitions_for_bytes(None)
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]]
         return pd.DataFrame(
-            {"_h": [hashlib.sha256((t or "").encode()).hexdigest() for t in df[text_col]]}
+            {
+                "_h": hs,
+                "_gp": np.fromiter(
+                    (int(h[:12], 16) % num_partitions for h in hs),
+                    np.int64,
+                    len(hs),
+                ),
+            }
         )
 
-    counts = (
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["_h"].value_counts()
+        dup = vc[vc > 1]
+        return pd.DataFrame(
+            {
+                "distinct_texts": [len(vc)],
+                "duplicated_texts": [len(dup)],
+                "duplicate_rows": [int(dup.sum() - len(dup)) if len(dup) else 0],
+            }
+        )
+
+    totals = (
         docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
+        .groupby("_gp")
+        .map_groups(part_stats, batch_format="pandas")
+        .sum(["distinct_texts", "duplicated_texts", "duplicate_rows"])
     )
-    dup = counts[counts["n"] > 1]
     return pa.table(
         {
-            "distinct_texts": pa.array([len(counts)], pa.int64()),
-            "duplicated_texts": pa.array([len(dup)], pa.int64()),
-            "duplicate_rows": pa.array(
-                [int(dup["n"].sum() - len(dup)) if len(dup) else 0], pa.int64()
+            "distinct_texts": pa.array([int(totals["sum(distinct_texts)"])], pa.int64()),
+            "duplicated_texts": pa.array(
+                [int(totals["sum(duplicated_texts)"])], pa.int64()
             ),
+            "duplicate_rows": pa.array([int(totals["sum(duplicate_rows)"])], pa.int64()),
         }
     )
 
@@ -589,6 +728,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
+    verify_texts_max_bytes: int = VERIFY_TEXTS_MAX_BYTES,
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED all-pairs
     similarity join (the non-approximate sibling of ``minhash_lsh_pairs``;
@@ -714,15 +854,26 @@ def ngram_jaccard_pairs(
         return ray.data.from_arrow(empty_tbl)
 
     if n_cand > verify_broadcast_max:
-        # skewed corpus — corpus-scale candidates: distributed verify
-        def jacc(x: str, y: str) -> float:
-            sx, sy = shingle_set(x), shingle_set(y)
-            return len(sx & sy) / len(sx | sy)
+        # too many pairs for the driver kernel — distribute the verify
+        ids_ref = ray.put(_candidate_ids(cand_ds, "doc_a", "doc_b"))
+        if (
+            _candidate_text_bytes(docs, ids_ref, id_col, text_col)
+            <= verify_texts_max_bytes
+        ):
+            out = _broadcast_verify_pairs(
+                cand_ds, docs, ids_ref, id_col, text_col, "doc_a", "doc_b",
+                shingle_set, threshold,
+            ).to_pandas()
+        else:
+            # candidate texts outgrow a broadcast: hash-join fallback
+            def jacc(x: str, y: str) -> float:
+                sx, sy = shingle_set(x), shingle_set(y)
+                return len(sx & sy) / len(sx | sy)
 
-        out = _join_verify_pairs(
-            cand_ds, docs, id_col, text_col, "doc_a", "doc_b",
-            jacc, threshold, num_partitions,
-        ).to_pandas()  # verified pairs are rare — driver-safe
+            out = _join_verify_pairs(
+                cand_ds, docs, id_col, text_col, "doc_a", "doc_b",
+                jacc, threshold, num_partitions,
+            ).to_pandas()  # verified pairs are rare — driver-safe
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         if not len(out):
             return ray.data.from_arrow(empty_tbl)
@@ -813,52 +964,32 @@ def connected_components_distributed(
     by ``connected_components``'s docstring, for when the verified-pair
     edge list itself no longer fits one machine.
 
-    Iterative distributed min-label propagation: each round every node
-    takes the min of its own label and its neighbors' labels (one hash
-    join edges⋈labels + one grouped min — both all-to-all over the edge
-    set only, never the corpus).  Labels are min-monotone, so the global
-    label SUM strictly decreases until the fixed point; the convergence
-    check is therefore one cheap scalar aggregate per round, no
-    old-vs-new join.  Rounds = graph diameter, which for near-dup
-    clusters (chains of mutual rewrites) stays small; ``max_iters``
-    guards pathological chains.  Labels are materialized per round —
-    required state for any iterative algorithm, and O(nodes-in-pairs),
-    tiny relative to the corpus.
+    Pregel-style iterative min-label propagation on RAW RAY TASKS (the
+    documented case for dropping below the Dataset API: an iterative
+    algorithm with per-round partitioned state).  Edges are hash-routed
+    ONCE by ``src % P`` — both directions are emitted, so a node's whole
+    neighborhood is local to its partition — and labels stay co-partitioned
+    in the object store.  Each round is then P local merge-joins (pandas,
+    in-task) + one P×P message exchange of (dst, label) frames + P local
+    min-merges; no per-round Dataset.join (whose hash-shuffle actor pool
+    re-spins EVERY round — the previous design spent seconds per round on
+    operator spin-up alone) and no per-round full-table sort.
+
+    Labels are min-monotone, so the global label SUM strictly decreases
+    until the fixed point; the convergence check is one int64 sum per
+    round.  Rounds = graph diameter; ``max_iters`` guards pathological
+    chains (raises rather than returning unconverged labels).  Driver
+    holds only object refs: O(blocks × P + P²) per round, never edge or
+    label payloads.
 
     Returns a Dataset of (doc_id, cluster_id := min id reachable), equal
     to ``connected_components`` on the same pairs."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
 
-    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-
-    def norm_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "node" not in t.schema.names:
-            return label_schema.empty_table()
-        return pa.table(
-            {
-                "node": pc.cast(t.column("node"), pa.int64()),
-                "label": pc.cast(t.column("label"), pa.int64()),
-            }
-        )
-
-    def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
-        # Aggregate emits one block per hash partition; EMPTY partitions
-        # surface as zero-row blocks with an EMPTY schema, and map_batches
-        # short-circuits zero-row inputs so no transform can repair them.
-        # A schema-less block on the build side of a Dataset.join makes
-        # Acero fail with "No match ... FieldRef.Name(node)" — rebuild the
-        # materialized labels from non-empty blocks only (metadata-only
-        # num_rows check; no block is fetched to the driver).
-        refs = [
-            ref
-            for bundle in ds.iter_internal_ref_bundles()
-            for ref, meta in bundle.blocks
-            if meta.num_rows
-        ]
-        if not refs:
-            return ray.data.from_arrow(label_schema.empty_table())
-        return ray.data.from_arrow_refs(refs)
+    # P² message objects fly per round — cap the fan-out; the verified
+    # edge list is a tiny fraction of the corpus, so 64 partitions bound
+    # per-partition state long past the driver-overflow point.
+    P = max(1, min(int(num_partitions), 64))
 
     def to_sym(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column(a_col), pa.int64()).combine_chunks()
@@ -870,58 +1001,45 @@ def connected_components_distributed(
             }
         )
 
-    sym = edges.map_batches(
-        to_sym, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    if sym.count() == 0:
+    sym = edges.map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True)
+    block_refs = [
+        ref
+        for bundle in sym.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not block_refs:
         return ray.data.from_arrow(
             pa.table(
                 {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
             )
         )
 
-    # round 0 folded in: label(u) = min(u, min neighbor)
-    def seed_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "src" not in t.schema.names:
-            return label_schema.empty_table()
-        return pa.table(
-            {
-                "node": pc.cast(t.column("src"), pa.int64()),
-                "label": pc.cast(
-                    pc.min_element_wise(t.column("src"), t.column("label")),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    labels = drop_empty_blocks(
-        sym.groupby("src")
-        .aggregate(Min("dst", alias_name="label"))
-        .map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()
-    )
-    prev_sum = labels.sum("label")
+    splits = [_cc_split.options(num_returns=P).remote(r, P) for r in block_refs]
+    if P == 1:
+        splits = [[s] for s in splits]
+    edges_p = [_cc_concat.remote(*[s[i] for s in splits]) for i in range(P)]
+    seeded = [
+        _cc_seed.options(num_returns=2).remote(e) for e in edges_p
+    ]
+    labels_p = [s[0] for s in seeded]
+    prev_sum = sum(ray.get([s[1] for s in seeded]))
     converged = False
     for _ in range(max_iters):
-        msgs = sym.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        labels = drop_empty_blocks(
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(norm_labels, batch_format="pyarrow", zero_copy_batch=True)
-            .materialize()
-        )
-        cur_sum = labels.sum("label")
+        outs = [
+            _cc_msgs.options(num_returns=P).remote(edges_p[i], labels_p[i], P)
+            for i in range(P)
+        ]
+        if P == 1:
+            outs = [[o] for o in outs]
+        merged = [
+            _cc_merge.options(num_returns=2).remote(
+                labels_p[j], *[outs[i][j] for i in range(P)]
+            )
+            for j in range(P)
+        ]
+        labels_p = [m[0] for m in merged]
+        cur_sum = sum(ray.get([m[1] for m in merged]))
         if cur_sum == prev_sum:
             converged = True
             break
@@ -936,10 +1054,96 @@ def connected_components_distributed(
             f"max_iters={max_iters} rounds (graph diameter exceeds the "
             f"iteration budget); rerun with a larger max_iters"
         )
-    return labels.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return ray.data.from_arrow_refs(
+        [_cc_out.remote(l) for l in labels_p]
     ).sort(["cluster_id", "doc_id"])  # label table is O(nodes-in-pairs), sort is cheap
+
+
+_CC_EMPTY = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+@ray.remote
+def _cc_split(block, P: int):
+    """Route one symmetric edge block into P (src % P) sub-tables."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    gp = src % P
+    order = np.argsort(gp, kind="stable")
+    sorted_t = t.take(order)
+    bounds = np.searchsorted(gp[order], np.arange(P + 1))
+    out = tuple(
+        sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
+    )
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _cc_concat(*tables):
+    ts = [t for t in tables if t.num_rows]
+    if not ts:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    return pa.concat_tables(ts).combine_chunks()
+
+
+@ray.remote
+def _cc_seed(edges_tbl: pa.Table):
+    """Round 0 folded in: label(u) = min(u, min neighbor) — u's whole
+    neighborhood is local (both edge directions were emitted)."""
+    if not edges_tbl.num_rows:
+        return _CC_EMPTY.empty_table(), 0
+    df = edges_tbl.to_pandas()
+    lab = df.groupby("src", sort=False)["dst"].min()
+    node = lab.index.to_numpy(np.int64)
+    label = np.minimum(node, lab.to_numpy(np.int64))
+    return pa.table({"node": node, "label": label}), int(label.sum())
+
+
+@ray.remote
+def _cc_msgs(edges_tbl: pa.Table, labels_tbl: pa.Table, P: int):
+    """One round's outgoing messages: for each local edge (src, dst) send
+    label(src) to dst's partition, pre-grouped to per-target min."""
+    if not edges_tbl.num_rows or not labels_tbl.num_rows:
+        empties = tuple(_CC_EMPTY.empty_table() for _ in range(P))
+        return empties if P > 1 else empties[0]
+    e = edges_tbl.to_pandas()
+    l = labels_tbl.to_pandas()
+    m = e.merge(l, left_on="src", right_on="node", how="inner")
+    # combine to per-dst min BEFORE shipping (message combiner)
+    g = m.groupby("dst", sort=False)["label"].min()
+    dst = g.index.to_numpy(np.int64)
+    lb = g.to_numpy(np.int64)
+    gp = dst % P
+    order = np.argsort(gp, kind="stable")
+    bounds = np.searchsorted(gp[order], np.arange(P + 1))
+    dst, lb = dst[order], lb[order]
+    out = tuple(
+        pa.table(
+            {
+                "node": dst[bounds[i] : bounds[i + 1]],
+                "label": lb[bounds[i] : bounds[i + 1]],
+            }
+        )
+        for i in range(P)
+    )
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _cc_merge(labels_tbl: pa.Table, *msg_tbls):
+    """Fold incoming min-labels into the partition's label table."""
+    frames = [labels_tbl.to_pandas()] + [
+        t.to_pandas() for t in msg_tbls if t.num_rows
+    ]
+    allm = pd.concat(frames, ignore_index=True)
+    g = allm.groupby("node", sort=False)["label"].min()
+    node = g.index.to_numpy(np.int64)
+    label = g.to_numpy(np.int64)
+    return pa.table({"node": node, "label": label}), int(label.sum())
+
+
+@ray.remote
+def _cc_out(labels_tbl: pa.Table) -> pa.Table:
+    return pa.table(
+        {"doc_id": labels_tbl.column("node"), "cluster_id": labels_tbl.column("label")}
+    )
+

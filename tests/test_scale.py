@@ -141,7 +141,16 @@ def test_minhash_join_verify_matches_broadcast():
     df = _near_dup_docs()
     ds = ray.data.from_pandas(df)
     broad = D.minhash_lsh_pairs(ds, jaccard_threshold=0.5)
-    joined = D.minhash_lsh_pairs(ds, jaccard_threshold=0.5, verify_broadcast_max=0)
+    # tier 2: pair count over the driver cap, texts still broadcastable
+    tier2 = D.minhash_lsh_pairs(ds, jaccard_threshold=0.5, verify_broadcast_max=0)
+    # tier 3: texts "too big" to broadcast → hash-join fallback
+    joined = D.minhash_lsh_pairs(
+        ds, jaccard_threshold=0.5, verify_broadcast_max=0,
+        verify_texts_max_bytes=0,
+    )
+    pd.testing.assert_frame_equal(
+        broad.reset_index(drop=True), tier2.reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(
         broad.reset_index(drop=True), joined.reset_index(drop=True)
     )
@@ -152,9 +161,15 @@ def test_ngram_join_verify_matches_broadcast():
     df = _near_dup_docs()
     ds = ray.data.from_pandas(df)
     broad = D.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
-    joined = D.ngram_jaccard_pairs(
+    tier2 = D.ngram_jaccard_pairs(
         ds, threshold=0.5, verify_broadcast_max=0
     ).to_pandas()
+    joined = D.ngram_jaccard_pairs(
+        ds, threshold=0.5, verify_broadcast_max=0, verify_texts_max_bytes=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        broad.reset_index(drop=True), tier2.reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(
         broad.reset_index(drop=True), joined.reset_index(drop=True)
     )
