@@ -939,12 +939,26 @@ def product_affinity_pairs(sf_dir: str) -> pa.Table:
         )
         return c.rename(columns={"l_partkey_x": "p1", "l_partkey_y": "p2"})
 
+    # Pair-count merge + top-20: a (p1, p2) pair lives in exactly one
+    # p1-hash partition after ``_hash_agg``, so a partition-local top-20
+    # (same total order) followed by a driver top-20 over P × 20 winner
+    # rows is exact — the sweep caught Ray's sort-aggregate stalling >120 s
+    # on the ~1.2M distinct pair keys this produces at sf0.1.
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["together", "p1", "p2"], ascending=[False, True, True]
+        ).head(20)
+
     pair_counts = (
-        li.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_gp")
-        .map_groups(part_pairs, batch_format="pandas")
-        .groupby(["p1", "p2"])
-        .aggregate(Sum("n_part", alias_name="together"))
+        _hash_agg(
+            li.map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_gp")
+            .map_groups(part_pairs, batch_format="pandas"),
+            ["p1", "p2"],
+            {"together": ("n_part", "sum")},
+            num_partitions,
+        )
+        .map_batches(topk_part, batch_format="pandas")
         .to_pandas()
     )
     out = (
