@@ -196,3 +196,52 @@ def test_connected_components_distributed_converges_on_chain():
         .to_pandas()
     )
     assert (out["cluster_id"] == 0).all() and len(out) == 12
+
+
+# ---- hash_agg (shared one-exchange aggregation helper) ---------------------
+
+
+def test_hash_agg_matches_pandas_groupby_int_and_string_keys():
+    import numpy as np
+
+    from sql_etl_pipeline_ray.stages.hashagg import hash_agg
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, 5_000),
+            "s": rng.choice(["alpha", "beta", "gamma", "delta"], 5_000),
+            "v": rng.integers(-50, 50, 5_000),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+
+    # int partition key, multi-key grouping
+    got = (
+        hash_agg(ds, ["k", "s"], {"total": ("v", "sum"), "n": ("v", "size")}, 7)
+        .to_pandas()
+        .sort_values(["k", "s"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k", "s"], as_index=False)
+        .agg(total=("v", "sum"), n=("v", "size"))
+        .sort_values(["k", "s"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # string partition key (pd.util.hash_array path)
+    got_s = (
+        hash_agg(ds, ["s"], {"total": ("v", "sum")}, 5)
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    want_s = (
+        df.groupby("s", as_index=False)
+        .agg(total=("v", "sum"))
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
