@@ -814,13 +814,16 @@ def ngram_jaccard_pairs(
         keep = rank < p_d
         out = part.loc[keep, [id_col, "g"]].copy()
         out["n"] = n[keep]  # carry set size for the length filter
+        out["r"] = rank[keep]  # gram's position — the positional filter
         out["_gp"] = out["g"].to_numpy() % num_partitions
         return out
 
     pfx = by_doc.groupby("_gp2").map_groups(prefixes, batch_format="pandas")
 
     def cand_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part[[id_col, "g", "n"]].merge(part[[id_col, "g", "n"]], on="g")
+        m = part[[id_col, "g", "n", "r"]].merge(
+            part[[id_col, "g", "n", "r"]], on="g"
+        )
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         # length filter (also lossless): J <= min(n)/max(n), so a size
         # ratio below tau can never reach the threshold.  Epsilon-biased
@@ -828,6 +831,21 @@ def ngram_jaccard_pairs(
         # prefix cutoff (τ·max can exceed the exact rational product).
         nx, ny = m["n_x"].to_numpy(), m["n_y"].to_numpy()
         m = m[np.minimum(nx, ny) >= threshold * np.maximum(nx, ny) - 1e-9]
+        # positional filter (PPJoin, Xiao et al. WWW'08 — also lossless):
+        # a match at sorted positions (i, j) bounds the overlap by
+        # min(i, j) + 1 + min(nx−i−1, ny−j−1), and J ≥ τ needs overlap
+        # ≥ ⌈τ·(nx+ny)/(1+τ)⌉.  The bound holds for EVERY match row of a
+        # true pair (it upper-bounds the true overlap), so filtering each
+        # row and deduping keeps exactly the pairs a full verify would.
+        # At low τ the prefixes are long and the bound rarely kills
+        # (sf0.1/τ=0.5: 310k → 309k candidates); it earns its keep at the
+        # high-τ settings where prefixes are a few grams and a late match
+        # cannot reach the overlap requirement.
+        nx, ny = m["n_x"].to_numpy(), m["n_y"].to_numpy()
+        rx, ry = m["r_x"].to_numpy(), m["r_y"].to_numpy()
+        alpha = np.ceil(threshold * (nx + ny) / (1.0 + threshold) - 1e-9)
+        ubound = np.minimum(rx, ry) + 1 + np.minimum(nx - rx - 1, ny - ry - 1)
+        m = m[ubound >= alpha]
         return (
             m[[f"{id_col}_x", f"{id_col}_y"]]
             .drop_duplicates()
