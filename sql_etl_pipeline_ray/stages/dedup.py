@@ -32,19 +32,30 @@ from .hashagg import hash_agg
 
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus — see minhash_coefficients
 
-# Verification tiers (minhash + ngram share them):
+# Verification tiers (minhash + ngram share them via _verify_candidates):
 #   1. pairs ≤ VERIFY_BROADCAST_MAX      → driver kernel (tiny candidate
 #      sets; no task overhead).
 #   2. more pairs, but the candidate DOCS' texts fit a broadcast
 #      (≤ VERIFY_TEXTS_MAX_BYTES)        → texts ray.put once, pairs
-#      verified DISTRIBUTED by an actor pool (_broadcast_verify_pairs).
+#      verified DISTRIBUTED (_broadcast_verify_pairs: plain tasks below
+#      VERIFY_TASK_MAX_PAIRS, an actor pool above — the pool amortizes the
+#      per-worker shingle-set build across many pair blocks, but costs
+#      spin-up latency a small verify never earns back).
 #      The pair count does NOT bound the broadcast — only the distinct
 #      candidate ids do — so boilerplate-heavy corpora with millions of
 #      candidate pairs over thousands of docs stay on this path.
 #   3. candidate texts too big to broadcast → distributed hash-join
 #      (_join_verify_pairs), the true corpus-scale fallback.
+#
+# Candidate pairs reach the tiers RAW (per-partition-deduped only): a pair
+# surfacing via several bands/partitions duplicates a few percent of rows
+# (measured 5.6% at sf0.1), so tiers 1-2 just verify the dups and collapse
+# the rare survivors — cheaper than the full pair-shuffle _pair_dedupe
+# previously spent before every verify.  Tier 3 still pre-dedupes: its
+# cost is two hash joins proportional to the pair count.
 VERIFY_BROADCAST_MAX = 200_000
 VERIFY_TEXTS_MAX_BYTES = 256 << 20
+VERIFY_TASK_MAX_PAIRS = 2_000_000
 
 
 def _pair_dedupe(
@@ -91,52 +102,77 @@ def _candidate_ids(cand: ray.data.Dataset, a_col: str, b_col: str) -> np.ndarray
     return np.unique(parts["i"].to_numpy(np.int64))
 
 
-def _candidate_text_bytes(
+def _picked_texts(
     docs: ray.data.Dataset, ids_ref, id_col: str, text_col: str
-) -> int:
-    """Total text bytes of the candidate docs — the broadcast payload —
-    measured in one streaming pass (no text leaves the workers)."""
+) -> tuple[ray.data.Dataset, int]:
+    """ONE docs scan → the candidate docs' ``(id, text)`` rows, kept
+    distributed (materialized on the workers, never the driver), plus
+    their total text chars — the would-be broadcast payload — from a
+    per-block sum over the (small) picked set.  Replaces the former two
+    full corpus scans (a bytes probe, then a separate pick pass)."""
 
-    def b(df: pd.DataFrame) -> pd.DataFrame:
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
         m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
+        return df.loc[m, [id_col, text_col]]
+
+    picked = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pick, batch_format="pandas")
+        .materialize()
+    )
+
+    def nb(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"nb": [int(df.loc[m, text_col].str.len().sum()) if m.any() else 0]}
+            {"nb": [int(df[text_col].str.len().sum()) if len(df) else 0]}
         )
 
-    tot = docs.select_columns([id_col, text_col]).map_batches(
-        b, batch_format="pandas"
-    ).sum("nb")
-    return int(tot or 0)
+    nbytes = int(picked.map_batches(nb, batch_format="pandas").sum("nb") or 0)
+    return picked, nbytes
 
 
 def _broadcast_verify_pairs(
     cand: ray.data.Dataset,
-    docs: ray.data.Dataset,
-    ids_ref,
-    id_col: str,
-    text_col: str,
+    n_cand: int,
+    texts_ref,
     a_col: str,
     b_col: str,
     set_fn,
     threshold: float,
     out_col: str = "jaccard",
 ) -> ray.data.Dataset:
-    """Tier-2 verify: candidate texts broadcast ONCE (`ray.put`, one
-    object shared by every actor), candidate PAIRS verified distributed —
-    each actor builds the shingle sets once in ``__init__`` and scores its
-    pair batches with the same exact set-intersection kernel the driver
-    tier uses, so all three tiers return identical rows."""
+    """Tier-2 verify: candidate texts broadcast ONCE (``ray.put``, one
+    plasma object shared by every worker on a node), candidate PAIRS
+    verified distributed with the same exact set-intersection kernel the
+    driver tier uses, so all tiers return identical rows.
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
-        return df.loc[m, [id_col, text_col]]
+    Scoring runs as plain TASKS below ``VERIFY_TASK_MAX_PAIRS`` — each
+    task re-derives the shingle sets from the broadcast (sub-second at
+    any broadcastable size) and pays no pool spin-up, measured 1.65 s vs
+    2.29 s for the pool on a 300k-pair verify.  Above the cutoff an actor
+    pool amortizes the set build across the many pair blocks."""
 
-    docs_pdf = (
-        docs.select_columns([id_col, text_col])
-        .map_batches(pick, batch_format="pandas")
-        .to_pandas()
-    )
-    texts_ref = ray.put(dict(zip(docs_pdf[id_col], docs_pdf[text_col])))
+    def score(sets: dict, df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(np.int64)
+        b = df[b_col].to_numpy(np.int64)
+        n = len(df)
+        ni = np.fromiter(
+            (len(sets[x] & sets[y]) for x, y in zip(a, b)), np.float64, n
+        )
+        nu = np.fromiter(
+            (len(sets[x] | sets[y]) for x, y in zip(a, b)), np.float64, n
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(nu > 0, ni / nu, 0.0)
+        out = pd.DataFrame({a_col: a, b_col: b, out_col: _rha6(j)})
+        return out[j >= threshold]  # filter on the unrounded value
+
+    if n_cand <= VERIFY_TASK_MAX_PAIRS:
+
+        def verify_task(df: pd.DataFrame) -> pd.DataFrame:
+            texts = ray.get(texts_ref)
+            return score({i: set_fn(t) for i, t in texts.items()}, df)
+
+        return cand.map_batches(verify_task, batch_format="pandas")
 
     class Verify:
         def __init__(self):
@@ -144,25 +180,88 @@ def _broadcast_verify_pairs(
             self.sets = {i: set_fn(t) for i, t in texts.items()}
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            a = df[a_col].to_numpy(np.int64)
-            b = df[b_col].to_numpy(np.int64)
-            n = len(df)
+            return score(self.sets, df)
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=autoscale_pool())
+
+
+def _verify_candidates(
+    cand_ds: ray.data.Dataset,
+    n_cand: int,
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+    set_fn,
+    threshold: float,
+    num_partitions: int,
+    broadcast_max: int,
+    texts_max_bytes: int,
+    out_col: str = "jaccard",
+) -> pd.DataFrame:
+    """Shared three-tier exact verification (module-header comment) of a
+    RAW candidate-pair Dataset against the docs' shingle sets.  Returns
+    the verified pairs as a driver frame — verified near-dups are rare by
+    construction, so the result is driver-safe at any corpus size the
+    candidates themselves survived."""
+    ids_ref = ray.put(_candidate_ids(cand_ds, a_col, b_col))
+    picked, nbytes = _picked_texts(docs, ids_ref, id_col, text_col)
+
+    if nbytes > texts_max_bytes:
+        # tier 3: texts outgrow a broadcast → hash-join fallback; join
+        # volume is proportional to the pair count, so pre-dedupe pays here
+        def jac(x: str, y: str) -> float:
+            sx, sy = set_fn(x), set_fn(y)
+            return len(sx & sy) / len(sx | sy)
+
+        out = _join_verify_pairs(
+            _pair_dedupe(cand_ds, a_col, b_col, num_partitions),
+            docs, id_col, text_col, a_col, b_col,
+            jac, threshold, num_partitions, out_col,
+        ).to_pandas()  # verified pairs are rare — driver-safe
+    else:
+        docs_pdf = picked.to_pandas()  # bounded by texts_max_bytes
+        if n_cand <= broadcast_max:
+            # tier 1: driver kernel over the (deduped) candidate frame
+            cand = (
+                cand_ds.to_pandas()
+                .drop_duplicates([a_col, b_col])
+                .reset_index(drop=True)
+            )
+            sets = {
+                i: set_fn(t)
+                for i, t in zip(docs_pdf[id_col], docs_pdf[text_col])
+            }
+            a = cand[a_col].to_numpy(np.int64)
+            b = cand[b_col].to_numpy(np.int64)
             ni = np.fromiter(
-                (len(self.sets[x] & self.sets[y]) for x, y in zip(a, b)),
+                (len(sets[x] & sets[y]) for x, y in zip(a, b)),
                 np.float64,
-                n,
+                len(cand),
             )
             nu = np.fromiter(
-                (len(self.sets[x] | self.sets[y]) for x, y in zip(a, b)),
+                (len(sets[x] | sets[y]) for x, y in zip(a, b)),
                 np.float64,
-                n,
+                len(cand),
             )
             with np.errstate(invalid="ignore", divide="ignore"):
                 j = np.where(nu > 0, ni / nu, 0.0)
-            out = pd.DataFrame({a_col: a, b_col: b, out_col: _rha6(j)})
-            return out[j >= threshold]  # filter on the unrounded value
-
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=autoscale_pool())
+            out = pd.DataFrame({a_col: a, b_col: b, out_col: _rha6(j)})[
+                j >= threshold
+            ]
+        else:
+            # tier 2: broadcast texts, distributed scoring; the few-percent
+            # duplicated candidates are scored twice and collapsed below
+            texts_ref = ray.put(
+                dict(zip(docs_pdf[id_col], docs_pdf[text_col]))
+            )
+            out = _broadcast_verify_pairs(
+                cand_ds, n_cand, texts_ref, a_col, b_col,
+                set_fn, threshold, out_col,
+            ).to_pandas()  # verified pairs are rare — driver-safe
+            out = out.drop_duplicates([a_col, b_col])
+    return out.sort_values([a_col, b_col]).reset_index(drop=True)
 
 
 def _join_verify_pairs(
@@ -366,68 +465,22 @@ def minhash_lsh_pairs(
             .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
         )
 
-    # distributed cross-partition pair dedupe (a pair can surface via
-    # several bands), then a metadata-cheap count picks the verify path
-    cand_ds = _pair_dedupe(
-        buckets.groupby("_gp").map_groups(part_pairs, batch_format="pandas"),
-        "a",
-        "b",
-        num_partitions,
+    # RAW candidates (within-partition deduped by part_pairs; a pair can
+    # still surface via bands in different partitions — the shared verify
+    # collapses those, see the tier comment at the top of the module)
+    cand_ds = (
+        buckets.groupby("_gp").map_groups(part_pairs, batch_format="pandas")
     ).materialize()
     n_cand = cand_ds.count()
     if n_cand == 0:
         return pd.DataFrame(columns=["a", "b", "jaccard"])
 
-    def jaccard(a: str, b: str) -> float:
-        # candidates always have ≥1 shingle (short docs never band)
-        sa, sb = set(hasher.shingles(a).tolist()), set(hasher.shingles(b).tolist())
-        return len(sa & sb) / len(sa | sb)
-
-    if n_cand > verify_broadcast_max:
-        # too many pairs for the driver kernel — distribute the verify
-        ids_ref = ray.put(_candidate_ids(cand_ds, "a", "b"))
-        if (
-            _candidate_text_bytes(docs, ids_ref, "doc_id", text_col)
-            <= verify_texts_max_bytes
-        ):
-            out = _broadcast_verify_pairs(
-                cand_ds, docs, ids_ref, "doc_id", text_col, "a", "b",
-                lambda t: set(hasher.shingles(t).tolist()),
-                jaccard_threshold,
-            ).to_pandas()  # verified pairs are rare — driver-safe
-        else:
-            # candidate texts outgrow a broadcast: hash-join fallback
-            out = _join_verify_pairs(
-                cand_ds, docs, "doc_id", text_col, "a", "b",
-                jaccard, jaccard_threshold, num_partitions,
-            ).to_pandas()
-        return out.sort_values(["a", "b"]).reset_index(drop=True)
-
-    cand = cand_ds.to_pandas().reset_index(drop=True)
-    # verify candidates with exact shingle Jaccard — fetch ONLY the
-    # candidate docs' texts (broadcast candidate-id set, distributed
-    # filter): the driver never holds the corpus, just the rare candidates
-    cand_ids = np.union1d(cand["a"].to_numpy(), cand["b"].to_numpy())
-    ids_ref = ray.put(np.sort(cand_ids))
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(ids_ref)
-        m = np.isin(df["doc_id"].to_numpy(), wanted)
-        return df.loc[m, ["doc_id", text_col]]
-
-    docs_pdf = (
-        docs.select_columns(["doc_id", text_col])
-        .map_batches(pick, batch_format="pandas")
-        .to_pandas()
+    return _verify_candidates(
+        cand_ds, n_cand, docs, "doc_id", text_col, "a", "b",
+        lambda t: set(hasher.shingles(t).tolist()),
+        jaccard_threshold, num_partitions,
+        verify_broadcast_max, verify_texts_max_bytes,
     )
-    texts = dict(zip(docs_pdf["doc_id"], docs_pdf[text_col]))
-
-    j = np.array(
-        [jaccard(texts[a], texts[b]) for a, b in zip(cand["a"], cand["b"])]
-    )
-    cand["jaccard"] = _rha6(j)  # filter on the unrounded value,
-    out = cand[j >= jaccard_threshold].reset_index(drop=True)  # like ngram
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 class SimHasher:
@@ -852,11 +905,11 @@ def ngram_jaccard_pairs(
             .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
         )
 
-    cand_ds = _pair_dedupe(
-        pfx.groupby("_gp").map_groups(cand_pairs, batch_format="pandas"),
-        "doc_a",
-        "doc_b",
-        num_partitions,
+    # RAW candidates (deduped within each gram partition by cand_pairs; a
+    # pair sharing prefix grams in different partitions duplicates — the
+    # shared verify collapses those, see the module-header tier comment)
+    cand_ds = (
+        pfx.groupby("_gp").map_groups(cand_pairs, batch_format="pandas")
     ).materialize()
     n_cand = cand_ds.count()
     # empty results go through from_arrow: an empty from_pandas Dataset
@@ -871,67 +924,11 @@ def ngram_jaccard_pairs(
     if n_cand == 0:
         return ray.data.from_arrow(empty_tbl)
 
-    if n_cand > verify_broadcast_max:
-        # too many pairs for the driver kernel — distribute the verify
-        ids_ref = ray.put(_candidate_ids(cand_ds, "doc_a", "doc_b"))
-        if (
-            _candidate_text_bytes(docs, ids_ref, id_col, text_col)
-            <= verify_texts_max_bytes
-        ):
-            out = _broadcast_verify_pairs(
-                cand_ds, docs, ids_ref, id_col, text_col, "doc_a", "doc_b",
-                shingle_set, threshold,
-            ).to_pandas()
-        else:
-            # candidate texts outgrow a broadcast: hash-join fallback
-            def jacc(x: str, y: str) -> float:
-                sx, sy = shingle_set(x), shingle_set(y)
-                return len(sx & sy) / len(sx | sy)
-
-            out = _join_verify_pairs(
-                cand_ds, docs, id_col, text_col, "doc_a", "doc_b",
-                jacc, threshold, num_partitions,
-            ).to_pandas()  # verified pairs are rare — driver-safe
-        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-        if not len(out):
-            return ray.data.from_arrow(empty_tbl)
-        return ray.data.from_pandas(out)
-
-    cand = cand_ds.to_pandas().reset_index(drop=True)
-    # exact verification of the rare candidates: fetch ONLY their texts
-    cand_ids = np.union1d(cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy())
-    ids_ref = ray.put(np.sort(cand_ids))
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.isin(df[id_col].to_numpy(), ray.get(ids_ref))
-        return df.loc[m, [id_col, text_col]]
-
-    docs_pdf = (
-        docs.select_columns([id_col, text_col])
-        .map_batches(pick, batch_format="pandas")
-        .to_pandas()
+    out = _verify_candidates(
+        cand_ds, n_cand, docs, id_col, text_col, "doc_a", "doc_b",
+        shingle_set, threshold, num_partitions,
+        verify_broadcast_max, verify_texts_max_bytes,
     )
-    texts = dict(zip(docs_pdf[id_col], docs_pdf[text_col]))
-    sets = {i: shingle_set(texts[i]) for i in cand_ids}
-    ni = np.fromiter(
-        (len(sets[a] & sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])),
-        np.float64,
-        len(cand),
-    )
-    nu = np.fromiter(
-        (len(sets[a] | sets[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])),
-        np.float64,
-        len(cand),
-    )
-    j = ni / nu
-    out = pd.DataFrame(
-        {
-            "doc_a": cand["doc_a"].to_numpy(),
-            "doc_b": cand["doc_b"].to_numpy(),
-            "jaccard": _rha6(j),
-        }
-    )[j >= threshold]
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if not len(out):
         return ray.data.from_arrow(empty_tbl)
     return ray.data.from_pandas(out)
