@@ -494,11 +494,14 @@ class SimHasher:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._shifts = np.arange(64, dtype=np.uint64)
+        self._cache: dict[str, int] = {}  # word → md5_lower64, per worker
 
     def simhash(self, text: str) -> int:
-        """64-bit simhash as a SIGNED python int (int64-storable)."""
+        """64-bit simhash as a SIGNED python int (int64-storable).
+        Single-doc reference kernel; the batch path below must agree."""
         acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = self._shifts
         # split(" ") (not split()) to match DuckDB string_split(text,' ')
         for w in set((text or "").split(" ")):
             h = np.uint64(_md5_lower64(w))
@@ -508,15 +511,44 @@ class SimHasher:
         return v - (1 << 64) if v >= (1 << 63) else v
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # batch-vectorized: md5 once per DISTINCT word in the batch (word
+        # reuse across docs is the norm — boilerplate, stopwords), cached
+        # across batches within the worker; per-doc ±1 bit accumulation is
+        # one segmented reduce over an (n_words × 64) sign matrix instead
+        # of a Python loop per word per doc.
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "simhash": pd.Series(dtype=np.int64),
+                }
+            )
+        doc_words = [
+            sorted(set((t or "").split(" "))) for t in df[self.text_col]
+        ]
+        counts = np.fromiter((len(w) for w in doc_words), np.int64, len(doc_words))
+        flat = np.array([w for ws in doc_words for w in ws], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        cache = self._cache
+        h = np.fromiter(
+            (
+                cache[w] if w in cache else cache.setdefault(w, _md5_lower64(w))
+                for w in uniq
+            ),
+            np.uint64,
+            len(uniq),
+        )
+        word_h = h[inv]
+        bits = ((word_h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
+            np.int8
+        )
+        contrib = (bits * 2 - 1).astype(np.int32)  # bit set → +1, clear → −1
+        # ''.split(' ') == [''] so every doc has ≥1 word — reduceat-safe
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        acc = np.add.reduceat(contrib, starts, axis=0)
+        sig = ((acc > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": np.fromiter(
-                    (self.simhash(t) for t in df[self.text_col]),
-                    dtype=np.int64,
-                    count=len(df),
-                ),
-            }
+            {"doc_id": df["doc_id"], "simhash": sig.view(np.int64)}
         )
 
 
