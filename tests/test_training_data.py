@@ -380,3 +380,31 @@ def test_connected_components_distributed_random_graphs():
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     check()
+
+
+def test_simhash_batch_path_matches_single_doc_kernel():
+    """Property test: the vectorized batch path (segmented reduceat over a
+    cached distinct-word hash table) must be bit-identical to the per-doc
+    reference kernel — including empty / whitespace-only texts, where
+    ``''.split(' ') == ['']`` contributes the hash of the empty string."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="ab xyz", min_size=0, max_size=8)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=30))
+    def check(texts):
+        h = D.SimHasher()
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = h(df)["simhash"].to_numpy()
+        want = np.array([h.simhash(t) for t in texts], dtype=np.int64)
+        assert (got == want).all()
+        assert got.dtype == np.int64
+
+    check()
+    # empty batch keeps the declared schema
+    empty = D.SimHasher()(pd.DataFrame({"doc_id": [], "text": []}))
+    assert list(empty.columns) == ["doc_id", "simhash"]
+    assert empty["simhash"].dtype == np.int64
