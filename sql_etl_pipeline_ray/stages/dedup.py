@@ -1004,7 +1004,7 @@ def connected_components_distributed(
     edges: ray.data.Dataset,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_iters: int = 50,
 ) -> ray.data.Dataset:
     """Connected components over an edge DATASET — the scale path promised
@@ -1033,11 +1033,6 @@ def connected_components_distributed(
     to ``connected_components`` on the same pairs."""
     import pyarrow.compute as pc
 
-    # P² message objects fly per round — cap the fan-out; the verified
-    # edge list is a tiny fraction of the corpus, so 64 partitions bound
-    # per-partition state long past the driver-overflow point.
-    P = max(1, min(int(num_partitions), 64))
-
     def to_sym(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column(a_col), pa.int64()).combine_chunks()
         b = pc.cast(t.column(b_col), pa.int64()).combine_chunks()
@@ -1049,12 +1044,26 @@ def connected_components_distributed(
         )
 
     sym = edges.map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True)
-    block_refs = [
-        ref
+    blocks = [
+        (ref, meta.num_rows)
         for bundle in sym.iter_internal_ref_bundles()
         for ref, meta in bundle.blocks
         if meta.num_rows
     ]
+    block_refs = [r for r, _ in blocks]
+    if num_partitions is None:
+        # Scale the partition count with EDGE VOLUME (known for free from
+        # block metadata): ~2M symmetric edge rows (~32 MB of int64 pairs)
+        # per partition per round.  Tiny verified edge lists — the normal
+        # case, near-dups are a sliver of the corpus — then run at P=1,
+        # skipping the P×P exchange fan-out entirely, while huge edge
+        # lists still spread state.
+        total_sym_rows = sum(n for _, n in blocks)
+        num_partitions = -(-total_sym_rows // 2_000_000)
+    # P² message objects fly per round — cap the fan-out; the verified
+    # edge list is a tiny fraction of the corpus, so 64 partitions bound
+    # per-partition state long past the driver-overflow point.
+    P = max(1, min(int(num_partitions), 64))
     if not block_refs:
         return ray.data.from_arrow(
             pa.table(
