@@ -156,16 +156,33 @@ class ExchangeActor:
     def finalize(self, fn_ser: bytes, args: dict[str, Any]) -> list[Any]:
         """Run ``fn(part, concatenated_table, args)`` for each owned
         partition; returns the list of results (buffer is released)."""
+        import time
+
         import ray.cloudpickle as pickle
 
         fn = pickle.loads(fn_ser)
         out = []
+        self.timings = {}
         for part in sorted(self.buffers):
+            t0 = time.monotonic()
             tbl = pa.concat_tables(self.buffers[part], promote_options="permissive")
+            t1 = time.monotonic()
             out.append(fn(part, tbl, args))
+            self.timings[part] = {
+                "concat_s": round(t1 - t0, 3),
+                "fn_s": round(time.monotonic() - t1, 3),
+                "rows": len(tbl),
+                "chunks": len(self.buffers[part]),
+            }
         self.buffers.clear()
         self.buffered_rows.clear()
         return out
+
+    def finalize_timings(self) -> dict[int, dict]:
+        """Per-partition wall breakdown of the last finalize — the
+        observability hook for diagnosing straggler partitions (skew) and
+        host contention without re-running under a profiler."""
+        return getattr(self, "timings", {})
 
 
 def make_feeder(process_fn, actors: list, num_partitions: int):

@@ -68,18 +68,20 @@ def _segment_last_mask(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _fold_latest_fast(tbl: pa.Table, keep_tombstones: bool) -> pa.Table | None:
-    """Int-only fold: ``np.lexsort((lsn, key_hash))`` + one ``take`` of the
-    winner rows — never sorts or moves the string columns of loser rows.
+    """Int-only fold: one ``np.argsort(key_hash)`` + a segmented max-LSN
+    winner pick + one ``take`` of the winner rows — never sorts or moves
+    the string columns of loser rows.
 
     Exactness: within an equal-hash run, hash equality is promoted to key
     equality by comparing the (repo, path) strings of ADJACENT sorted rows
     only — any second distinct key inside a run manifests at some adjacent
-    pair (the same trick ``_winners_fn`` in replay.py uses; profiled ~4×
-    cheaper than the full multi-column sort this replaces: 545 → ~150 ms
-    per 1M-row combiner fold).  Equal-(key, lsn) ties are impossible by
-    contract (globally unique LSN); both a detected collision and a
-    detected tie return ``None`` → caller falls back to the exact
-    string-sorted path with its 'op' tiebreak.
+    pair under any within-run ordering (the same trick ``_winners_fn`` in
+    replay.py uses; profiled ~4× cheaper than the full multi-column sort
+    this replaces: 545 → ~150 ms per 1M-row combiner fold).  Equal-(key,
+    lsn) ties at the group max are impossible by contract (globally unique
+    LSN); both a detected collision and a detected max-tie return ``None``
+    → caller falls back to the exact string-sorted path with its 'op'
+    tiebreak.
 
     Output is bit-identical to the slow path: winners taken in ascending
     key-hash order, which is the slow path's sort order when every hash
@@ -89,13 +91,16 @@ def _fold_latest_fast(tbl: pa.Table, keep_tombstones: bool) -> pa.Table | None:
     lsn = tbl.column("lsn").to_numpy(zero_copy_only=False)
     if lsn.dtype.kind not in "iu" or kh.dtype.kind not in "iu":
         return None  # nulls surfaced as float NaN — exact path handles them
-    order = np.lexsort((lsn, kh))
+    # Unstable single-key argsort: grouping only needs equal hashes
+    # contiguous, the winner is located by VALUE (the group's max LSN),
+    # and collision detection is order-independent (a run holding two
+    # distinct keys exposes a differing adjacent pair under any ordering)
+    # — so the former np.lexsort((lsn, kh)) second sort pass is pure
+    # overhead (measured 2-6x slower than argsort on 1-2M-row folds).
+    order = np.argsort(kh)
     khs = kh[order]
     same_kh = khs[1:] == khs[:-1]
     if same_kh.any():
-        lsns = lsn[order]
-        if np.any(same_kh & (lsns[1:] == lsns[:-1])):
-            return None  # same-key LSN tie (or colliding tie) — exact path
         pair_lo = np.flatnonzero(same_kh)
         comb = pc.binary_join_element_wise(
             tbl.column("repo"), tbl.column("path"), "\x00"
@@ -110,8 +115,17 @@ def _fold_latest_fast(tbl: pa.Table, keep_tombstones: bool) -> pa.Table | None:
         if all_eq is not True:  # None (nulls) or False (hash collision)
             return None
     new_grp = np.concatenate(([True], ~same_kh))
-    last = np.concatenate((new_grp[1:], [True]))
-    win_idx = order[last]
+    starts = np.flatnonzero(new_grp)
+    lsns = lsn[order]
+    gmax = np.maximum.reduceat(lsns, starts)
+    counts = np.diff(np.append(starts, len(lsns)))
+    win_idx = order[lsns == np.repeat(gmax, counts)]
+    if len(win_idx) != len(starts):
+        # max-LSN tie within a key (or colliding tie) — the exact path's
+        # 'op' tiebreak decides.  (Ties BELOW the max no longer divert to
+        # the exact path as the old adjacent-LSN check did; they cannot
+        # change the winner, the event count, or the had-insert flag.)
+        return None
     seg = np.cumsum(new_grp) - 1
     ev = tbl.column(EVENTS_COL).to_numpy(zero_copy_only=False)
     events = np.bincount(seg, weights=ev[order]).astype(np.int64)
