@@ -764,6 +764,9 @@ def _collect_finalize_timings(actors, phase_times: dict, tag: str) -> None:
     phase_times[f"{tag}_fn_s_max"] = round(max(fn_s), 3)
     phase_times[f"{tag}_concat_s_sum"] = round(sum(concat_s), 3)
     phase_times[f"{tag}_concat_s_max"] = round(max(concat_s), 3)
+    slowest = max(per_part, key=lambda p: per_part[p]["fn_s"])
+    phase_times[f"{tag}_fn_max_part"] = int(slowest)
+    phase_times[f"{tag}_fn_max_rows"] = int(per_part[slowest]["rows"])
 
 
 def _replay_late(
