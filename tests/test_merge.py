@@ -106,3 +106,46 @@ def test_multi_key_fold_vectorized_boundaries():
     assert stats["deleted_keys"] == 1
     # lsn column reflects winning event
     assert pc.max(final.column("lsn")).as_py() == 4
+
+
+def test_fold_latest_max_lsn_tie_uses_exact_tiebreak():
+    """A duplicate LSN at a key's max violates the unique-LSN contract; the
+    fast path must step aside and the exact sorted path's 'op' tiebreak
+    must decide deterministically (SORT_KEYS ends with op ASCENDING and
+    last-row-wins, so 'U' > 'I' > 'D' at an equal (key, lsn)) — pinned so
+    the argsort fast path never silently picks an arbitrary winner on
+    corrupt input."""
+    tbl = events([(1, "I", "a", "x"), (5, "U", "a", "x"), (5, "D", "a", "x")])
+    out = fold_latest(tbl, keep_tombstones=True)
+    assert len(out) == 1
+    assert out.column("lsn")[0].as_py() == 5
+    assert out.column("op")[0].as_py() == "U"
+
+
+def test_fold_latest_below_max_tie_stays_fast_and_exact():
+    """Ties BELOW the group max can't change the winner — the fold must
+    return the unique max-LSN row whichever internal path runs."""
+    tbl = events([(2, "U", "a", "x"), (2, "I", "a", "x"), (9, "U", "a", "x")])
+    out = fold_latest(tbl, keep_tombstones=True)
+    assert len(out) == 1
+    assert out.column("lsn")[0].as_py() == 9
+    assert out.column("op")[0].as_py() == "U"
+
+
+def test_winners_fn_raises_on_max_lsn_tie():
+    import numpy as np
+    import pytest
+
+    from sql_etl_pipeline_ray.pipelines.replay import _winners_fn
+    from sql_etl_pipeline_ray.stages.merge import (
+        EVENTS_COL,
+        HAD_INSERT_COL,
+        KEY_HASH_COL,
+    )
+
+    tbl = events([(3, "U", "a", "x"), (3, "U", "a", "x")])
+    tbl = tbl.append_column(KEY_HASH_COL, pa.array(np.array([7, 7], np.int64)))
+    tbl = tbl.append_column(EVENTS_COL, pa.array([1, 1], pa.int64()))
+    tbl = tbl.append_column(HAD_INSERT_COL, pa.array([True, True]))
+    with pytest.raises(ValueError, match="duplicate max LSN"):
+        _winners_fn(0, tbl, {})
