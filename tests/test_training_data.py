@@ -408,3 +408,35 @@ def test_simhash_batch_path_matches_single_doc_kernel():
     empty = D.SimHasher()(pd.DataFrame({"doc_id": [], "text": []}))
     assert list(empty.columns) == ["doc_id", "simhash"]
     assert empty["simhash"].dtype == np.int64
+
+
+def test_simhash_banding_complete_for_hamming_3():
+    """Completeness pin for the Manku C(6,3) banding: the distributed pair
+    set must equal the brute-force all-pairs hamming filter at d<=3 —
+    a pair with <=3 differing bits always has one clean block triple."""
+    df = _corpus_with_near_dups()
+    # add adversarial docs: signatures differing from doc 0's text by a
+    # few words (small hamming), plus unrelated ones
+    extra = []
+    base = df.loc[df.doc_id == 0, "text"].iloc[0]
+    for k, repl in enumerate(["rain", "fox", "dog"]):
+        extra.append((1000 + k, base.replace(repl, f"W{k}")))
+    df = pd.concat(
+        [df, pd.DataFrame(extra, columns=["doc_id", "text"])], ignore_index=True
+    )
+    h = D.SimHasher()
+    sig = {r.doc_id: h.simhash(r.text) for r in df.itertuples(index=False)}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(sig)
+    want = sorted(
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    )
+    got = D.simhash_near_dups(ray.data.from_pandas(df), max_hamming=3)
+    got_t = sorted(zip(got["a"], got["b"], got["hamming"]))
+    assert got_t == want, (got_t, want)
