@@ -585,7 +585,12 @@ def simhash_near_dups(
     Residual skew note: docs with IDENTICAL simhashes (exact dups or
     boilerplate) still co-bucket in every table — inherent to any
     signature scheme; run ``exact_dedup`` first if exact-dup mass is
-    large."""
+    large.  Banding also presumes near-uniform signature BITS: a
+    low-entropy corpus (measured: a 60-word vocabulary) biases the
+    per-bit votes so hard that even 32-bit band keys collapse into
+    mega-buckets (1.9B candidates at 400k docs) — if the vocabulary is
+    tiny relative to the corpus, near-dup semantics by simhash are
+    ill-posed and an exact or Jaccard method should be used."""
     num_partitions = num_partitions or partitions_for_bytes(None)
     sims = docs.map_batches(SimHasher(text_col), batch_format="pandas")
 
