@@ -274,7 +274,9 @@ def embedding_norms(sf_dir: str) -> ray.data.Dataset:
     """Per-vector L2 norm (DuckDB-oracled via list_transform/list_sum)."""
 
     def norms(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        from ..stages.similarity import _to_matrix
+
+        m = _to_matrix(df["embedding"])
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"],
