@@ -186,6 +186,22 @@ def pack_sequences(
         counts, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # consumed twice: bucket totals + per-bucket cumsum
 
+    if toks.count() == 0:
+        # a fully-filtered corpus is legal (e.g. a strict quality gate):
+        # return the declared schema, not a KeyError from a column-less
+        # empty aggregate frame
+        schema = toks.schema()
+        fields = [
+            (id_col, pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("stream_offset", pa.int64()),
+            ("seq_id", pa.int64()),
+        ] + [
+            (p, schema.field(p).type if schema and p in schema.names else pa.string())
+            for p in parts
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+
     btot = (
         toks.groupby(parts + ["bucket"])
         .aggregate(Sum("n_tokens", alias_name="tot"))

@@ -440,3 +440,26 @@ def test_simhash_banding_complete_for_hamming_3():
     got = D.simhash_near_dups(ray.data.from_pandas(df), max_hamming=3)
     got_t = sorted(zip(got["a"], got["b"], got["hamming"]))
     assert got_t == want, (got_t, want)
+
+
+def test_pack_sequences_empty_input_keeps_schema():
+    """A fully-filtered corpus (e.g. a strict quality gate rejecting every
+    doc) must yield an EMPTY packed dataset with the declared schema, not
+    a KeyError from a column-less aggregate frame — found by running
+    docs_curation_pipeline on a synthetic corpus with no stopwords."""
+    from sql_etl_pipeline_ray.stages.curation import pack_sequences
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "split": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = pack_sequences(empty, part_col="split")
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "doc_id", "n_tokens", "stream_offset", "seq_id", "split",
+    }
