@@ -36,9 +36,18 @@ def test_autoscale_pool_range():
 def test_ivf_cluster_count_scales_with_rows():
     small = ray.data.range(49)
     big = ray.data.range(250_000)
-    assert SIM._ivf_cluster_count(small, None, floor=8) == 8  # floor holds
-    assert SIM._ivf_cluster_count(big, None, floor=8) == 500  # ~sqrt(n)
-    assert SIM._ivf_cluster_count(big, 16, floor=8) == 16  # explicit wins
+    assert SIM._ivf_cluster_count(small, None, floor=8) == (8, 49)  # floor
+    assert SIM._ivf_cluster_count(big, None, floor=8) == (500, 250_000)
+    assert SIM._ivf_cluster_count(big, 16, floor=8) == (16, 250_000)
+
+
+def test_ivf_probe_count_scales_with_corpus():
+    # tiny corpus: probe every cell (IVF degenerates to the exact scan)
+    assert SIM._ivf_probe_count(22, 500) == 22
+    # big corpus: scan-volume target, not a fixed 4
+    assert SIM._ivf_probe_count(1000, 1_000_000) == 15
+    # unknown row count: conservative fallback
+    assert SIM._ivf_probe_count(1000, None) == max(4, 1000 // 64)
 
 
 # ---- tiled bucket kernel (memory-bounded oversized IVF buckets) -----------
