@@ -402,6 +402,13 @@ class ShingleMinHash:
         return hv.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # Deliberately PER-DOC: the (num_hashes × ~70) per-doc hash matrix
+        # is L2-resident, so the whole universal-hash fold runs out of
+        # cache; a slice-vectorized variant (one big matrix + segmented
+        # min per 2048-doc slice) was measured SLOWER on a 400k-doc corpus
+        # (20-24.5 s vs 14.7-14.9 s interleaved) — its hundreds of MB of
+        # temporaries stream through RAM, and unlike SimHasher's word
+        # cache there is no cross-doc shingle reuse to amortize.
         rows = [
             (doc_id, sig)
             for doc_id, t in zip(df["doc_id"], df[self.text_col])
@@ -436,28 +443,49 @@ def minhash_lsh_pairs(
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
 
     num_partitions = num_partitions or partitions_for_bytes(None)
+    # The bucket key is the band's literal value tuple packed LOSSLESSLY
+    # into int64 pairs (every minhash < 2^31, so k = v[2i]*2^31 + v[2i+1]
+    # is exact — the same candidate set as the SQL oracle's string_agg
+    # tuple, zero collision risk) — int keys keep the explode, the bucket
+    # sort and the self-merge fully vectorized where the old per-doc
+    # per-band string join built millions of Python tuples.
+    n_keys = (rows_per_band + 1) // 2
+    key_cols = [f"bk{i}" for i in range(n_keys)]
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
         sig_df = hasher(df)
-        recs = []
-        for doc_id, sig in zip(sig_df["doc_id"], sig_df["sig"]):
-            for b in range(bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                # the bucket key is the literal value tuple (as the SQL
-                # oracle's string_agg ORDER BY i), not a re-hash of it:
-                # zero collision risk, ~40 bytes/row shuffle — still tiny
-                bh = ",".join(str(v) for v in band)
-                # partition on (band, first minhash) so pair-gen runs once
-                # per PARTITION (vectorized self-merge), not per bucket
-                recs.append(((b * 131 + int(band[0])) % num_partitions, b, bh, doc_id))
-        return pd.DataFrame(recs, columns=["_gp", "band_id", "band_hash", "doc_id"])
+        n = len(sig_df)
+        if n == 0:
+            cols = {"_gp": [], "band_id": [], "doc_id": []}
+            cols.update({kc: [] for kc in key_cols})
+            return pd.DataFrame(cols).astype(np.int64)
+        S = np.stack(sig_df["sig"].to_numpy())  # (n, num_hashes) int64
+        B = S.reshape(n, bands, rows_per_band)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        out = {
+            "_gp": (
+                (np.arange(bands, dtype=np.int64)[None, :] * 131 + B[:, :, 0])
+                % num_partitions
+            ).reshape(-1),
+            "band_id": band_id,
+            "doc_id": np.repeat(sig_df["doc_id"].to_numpy(np.int64), bands),
+        }
+        for i, kc in enumerate(key_cols):
+            lo = B[:, :, 2 * i]
+            hi = (
+                B[:, :, 2 * i + 1]
+                if 2 * i + 1 < rows_per_band
+                else np.zeros_like(lo)
+            )
+            out[kc] = (lo * np.int64(1 << 31) + hi).reshape(-1)
+        return pd.DataFrame(out)
 
     buckets = docs.map_batches(to_bands, batch_format="pandas")
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # within-partition self-merge on the bucket key: C-speed quadratic
         # expansion per bucket, no per-bucket Python calls
-        m = g.merge(g, on=["band_id", "band_hash"])
+        m = g.merge(g, on=["band_id"] + key_cols)
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return (
             m[["doc_id_x", "doc_id_y"]]
@@ -510,11 +538,16 @@ class SimHasher:
         v = int(np.sum((acc > 0).astype(np.uint64) << shifts, dtype=np.uint64))
         return v - (1 << 64) if v >= (1 << 63) else v
 
+    # docs per internal slice — Ray feeds WHOLE blocks as one batch, and a
+    # full-block (n_words × 64) sign matrix reaches gigabytes; a bounded
+    # slice keeps the matrices tens of MB while still amortizing dispatch
+    _CHUNK_DOCS = 2048
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        # batch-vectorized: md5 once per DISTINCT word in the batch (word
-        # reuse across docs is the norm — boilerplate, stopwords), cached
-        # across batches within the worker; per-doc ±1 bit accumulation is
-        # one segmented reduce over an (n_words × 64) sign matrix instead
+        # slice-vectorized: md5 once per word occurrence via a per-worker
+        # cache (word reuse across docs is the norm — boilerplate,
+        # stopwords); per-doc ±1 bit accumulation is one segmented reduce
+        # over a (n_words × 64) sign matrix per ~2048-doc slice instead
         # of a Python loop per word per doc.
         if not len(df):
             return pd.DataFrame(
@@ -523,29 +556,39 @@ class SimHasher:
                     "simhash": pd.Series(dtype=np.int64),
                 }
             )
-        doc_words = [set((t or "").split(" ")) for t in df[self.text_col]]
-        counts = np.fromiter((len(w) for w in doc_words), np.int64, len(doc_words))
-        total = int(counts.sum())
+        texts = df[self.text_col].to_numpy()
         cache = self._cache
-        if len(cache) > 4_000_000:  # bound per-worker memory on huge vocabs
-            cache.clear()
-        word_h = np.fromiter(
-            (
-                cache[w] if w in cache else cache.setdefault(w, _md5_lower64(w))
-                for ws in doc_words
-                for w in ws
-            ),
-            np.uint64,
-            total,
-        )
-        bits = ((word_h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
-            np.int8
-        )
-        contrib = (bits * 2 - 1).astype(np.int32)  # bit set → +1, clear → −1
-        # ''.split(' ') == [''] so every doc has ≥1 word — reduceat-safe
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        acc = np.add.reduceat(contrib, starts, axis=0)
-        sig = ((acc > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
+        sig_parts: list[np.ndarray] = []
+        for s0 in range(0, len(df), self._CHUNK_DOCS):
+            doc_words = [
+                set((t or "").split(" ")) for t in texts[s0 : s0 + self._CHUNK_DOCS]
+            ]
+            counts = np.fromiter(
+                (len(w) for w in doc_words), np.int64, len(doc_words)
+            )
+            total = int(counts.sum())
+            if len(cache) > 4_000_000:  # bound per-worker memory on huge vocabs
+                cache.clear()
+            word_h = np.fromiter(
+                (
+                    cache[w] if w in cache else cache.setdefault(w, _md5_lower64(w))
+                    for ws in doc_words
+                    for w in ws
+                ),
+                np.uint64,
+                total,
+            )
+            bits = (
+                (word_h[:, None] >> self._shifts[None, :]) & np.uint64(1)
+            ).astype(np.int8)
+            contrib = (bits * 2 - 1).astype(np.int32)  # bit set → +1, clear → −1
+            # ''.split(' ') == [''] so every doc has ≥1 word — reduceat-safe
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            acc = np.add.reduceat(contrib, starts, axis=0)
+            sig_parts.append(
+                ((acc > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
+            )
+        sig = np.concatenate(sig_parts)
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "simhash": sig.view(np.int64)}
         )
