@@ -55,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--resume", action="store_true")
     r.add_argument("--partitions", type=int, default=None)
     r.add_argument("--exchange", choices=["late", "actor"], default="late")
+    r.add_argument(
+        "--quarantine-dir", default=None,
+        help="dead-letter sink: capture rejected events (full row + "
+        "_reject_reason) as Parquet under this directory",
+    )
+    r.add_argument(
+        "--strict", action="store_true",
+        help="raise on invalid events before any commit instead of "
+        "dropping them (drop_invalid=False)",
+    )
 
     t = sub.add_parser(
         "tail", help="micro-batch streaming: poll the log, resume-replay new buckets"
@@ -124,7 +134,12 @@ def main(argv: list[str] | None = None) -> int:
             res = replay(
                 args.log_dir,
                 args.lake_dir,
-                ReplayConfig(num_partitions=args.partitions, exchange=args.exchange),
+                ReplayConfig(
+                    num_partitions=args.partitions,
+                    exchange=args.exchange,
+                    quarantine_dir=args.quarantine_dir,
+                    drop_invalid=not args.strict,
+                ),
                 resume=args.resume,
             )
             print(json.dumps(res.summary))

@@ -33,10 +33,38 @@ class ReplayConfig:
     # large, or cap block bytes via DataContext.target_max_block_size.
     batch_size: int | None = 1_000_000
 
-    # Drop events that fail hard validation (bad op, null key) instead of
-    # raising.  Mirrors the reference's warn-only validation flow
-    # (src/etl_pipeline.py:163-167): invalid data is reported, not fatal.
+    # Drop events that fail hard validation (bad op, null lsn/key, null
+    # content on I/U) instead of raising.  Mirrors the reference's warn-only
+    # validation flow (src/etl_pipeline.py:163-167): invalid data is
+    # reported (run_summary "events_rejected"), not fatal.  False = strict
+    # mode — the replay raises with a reason histogram BEFORE any partition
+    # commits, in every exchange strategy.
     drop_invalid: bool = True
+
+    # Late-strategy content-presence validation (I/U events must carry
+    # content; tombstones need not).  Phase 1 reads only (lsn, op, repo,
+    # path), so content nullity comes from Parquet footer stats:
+    # - "auto" (default): null_count==0 → proven valid; null_count > the
+    #   row group's D count → decode content for THAT row group only;
+    #   otherwise optimistic (the nulls are the tombstones'), with an exact
+    #   verify over the decoded WINNERS in phase 2 that fails loudly
+    #   before any commit if the optimism was wrong.
+    # - "decode": always decode the content null mask in phase 1 — exact
+    #   up front; for logs that mix content-bearing deletes with
+    #   null-content upserts.
+    # - "off": skip the content invariant entirely (null-content upserts
+    #   commit with null content; diverges from the single-phase
+    #   normalizer's validation — comparison/escape hatch only).
+    content_check: str = "auto"
+
+    # Dead-letter sink: when set, the late strategy's phase-2 read (which
+    # decodes full rows anyway) captures every rejected event — full
+    # fidelity plus a ``_reject_reason`` column — as Parquet under this
+    # directory, one file per read fragment with a deterministic name
+    # (task retries and re-runs overwrite, never duplicate).  The run
+    # summary reports "events_quarantined"; use a fresh directory per log
+    # so stale capture files from earlier inputs can't linger.
+    quarantine_dir: str | None = None
 
     # Pre-fold combiner: collapse to latest-per-key within each batch before
     # the shuffle (partial aggregation — cuts shuffle volume when a batch

@@ -57,10 +57,20 @@ from ..stages.merge import (
     finalize_partition,
     fold_latest,
 )
-from ..stages.normalize import make_normalizer
+from ..stages.normalize import (
+    REJECT_REASON_COL,
+    event_validity,
+    make_normalizer,
+    reject_error,
+)
 from ..state import manifest as mf
 
 PHASE1_COLUMNS = ["lsn", "op", "repo", "path"]
+
+# Engine-internal bool column: content presence for phase 1's narrow read,
+# derived from Parquet footer null_count stats (appended only for row
+# groups that actually hold content nulls — see _rg_content_valid).
+CONTENT_VALID_COL = "_content_valid"
 
 
 def output_schema_for(event_schema: pa.Schema) -> pa.Schema:
@@ -291,6 +301,7 @@ def _make_phase1_process(
     checkpoints: dict[int, int] | None,
     combine: bool = False,
     combine_mode: str = "adaptive",
+    strict: bool = False,
 ):
     ckpt_arr = None
     if checkpoints:
@@ -299,18 +310,35 @@ def _make_phase1_process(
             ckpt_arr[part] = lsn
 
     def process(batch: pa.Table) -> pa.Table:
+        # Content presence for the narrow read: the fused feed appends a
+        # CONTENT_VALID_COL bool only for row groups whose footer stats say
+        # nulls exist (or whose file lacks the column) — absent column /
+        # null entries mean "content proven present" (clean fast path).
+        if CONTENT_VALID_COL in batch.column_names:
+            content_valid = (
+                pc.fill_null(batch.column(CONTENT_VALID_COL), True)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            batch = batch.drop_columns([CONTENT_VALID_COL])
+        else:
+            content_valid = True
         for col in ("repo", "path", "op"):
             if batch.schema.field(col).type != pa.string():
                 i = batch.schema.get_field_index(col)
                 batch = batch.set_column(
                     i, pa.field(col, pa.string()), batch.column(col).cast(pa.string())
                 )
-        op = batch.column("op")
-        valid = pc.is_in(op, value_set=pa.array(VALID_OPS))
-        for col in ("repo", "path", "lsn"):
-            valid = pc.and_(valid, pc.is_valid(batch.column(col)))
-        if not pc.all(valid).as_py():
-            batch = batch.filter(pc.fill_null(valid, False))
+        # SAME predicate as the single-phase normalizer (event_validity):
+        # the strategies must reject identical rows or they pick different
+        # winners on dirty logs and the byte-identical-lakes contract breaks.
+        valid, reasons = event_validity(batch, content_valid=content_valid)
+        nrej = 0
+        if valid is not None:
+            if strict:
+                raise reject_error(reasons, valid)
+            nrej = int((~valid).sum())
+            batch = batch.filter(pa.array(valid))
         for col in ("repo", "path"):
             i = batch.schema.get_field_index(col)
             batch = batch.set_column(
@@ -351,7 +379,8 @@ def _make_phase1_process(
                     and 1.0 - np.unique(sample).size / len(sample) > 0.25
                 ):
                     batch = fold_latest(batch, keep_tombstones=True)
-        return batch
+        # reject count rides to the feeder's ack row as schema metadata
+        return batch.replace_schema_metadata({b"rejected": str(nrej).encode()})
 
     return process
 
@@ -480,8 +509,19 @@ def winner_membership(payload, lsn: np.ndarray) -> np.ndarray:
     return hit if valid is None else hit & valid
 
 
-def _make_conform_winners(event_schema: pa.Schema, num_partitions: int, prior: bool):
-    """Conform + route-key an ALREADY winner-filtered batch (phase-2 tail)."""
+def _make_conform_winners(
+    event_schema: pa.Schema,
+    num_partitions: int,
+    prior: bool,
+    verify_content: bool = False,
+):
+    """Conform + route-key an ALREADY winner-filtered batch (phase-2 tail).
+
+    ``verify_content`` is the exactness backstop for phase 1's optimistic
+    content gate (``_rg_content_valid``): winners are fully decoded here,
+    so a null-content I/U row that slipped past the footer-stats heuristic
+    is caught BEFORE any partition commits.  The check touches only winner
+    rows (~live fraction of the log), two kernels per batch."""
 
     def process(batch: pa.Table) -> pa.Table:
         if prior:
@@ -490,6 +530,21 @@ def _make_conform_winners(event_schema: pa.Schema, num_partitions: int, prior: b
                 batch = batch.drop_columns(["op"])
             batch = batch.append_column("op", pa.array(["I"] * n, pa.string()))
         batch = conform_batch(batch, event_schema)
+        if verify_content and not prior and len(batch):
+            bad = pc.and_(
+                pc.invert(pc.equal(batch.column("op"), pa.scalar("D"))),
+                pc.is_null(batch.column("content")),
+            )
+            n_bad = pc.sum(bad.cast(pa.int64())).as_py() or 0
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} winning I/U event(s) carry null content: this "
+                    "log mixes content-bearing deletes with null-content "
+                    "upserts in the same row group, defeating the footer-"
+                    "stats content gate.  No partition has committed.  "
+                    "Re-run with ReplayConfig(content_check='decode') for "
+                    "the exact per-row gate."
+                )
         for col in ("repo", "path"):
             i = batch.schema.get_field_index(col)
             batch = batch.set_column(
@@ -549,12 +604,90 @@ def _fragment_tasks(scan, target_rows: int) -> list[dict]:
     return items
 
 
+def _rg_content_valid(
+    pf: pq.ParquetFile, rg: int, t: pa.Table, force_decode: bool = False
+) -> np.ndarray | bool | None:
+    """Content presence for one phase-1 row group WITHOUT decoding content
+    in the common cases.  ``t`` is the already-decoded narrow projection.
+
+    Footer ``null_count`` alone can't gate the check: delete tombstones
+    legitimately carry null content, so real CDC logs have nulls in every
+    row group and a naive ``null_count == 0`` fast path never fires
+    (measured: it forced a content decode per row group and doubled the
+    100M-event replay wall).  Instead compare against the row group's
+    decoded op column:
+
+    - ``null_count == 0`` → every row has content → all valid (None).
+    - ``null_count >  #D-rows`` → some I/U row is PROVABLY null → decode
+      content for this row group only (cost proportional to corruption).
+    - ``0 < null_count <= #D-rows`` → ambiguous: the nulls are almost
+      certainly the tombstones'.  Return ``True`` ("optimistically valid,
+      UNVERIFIED") — phase 2, which decodes full rows anyway, re-checks the
+      WINNERS exactly and fails loudly on the pathological log where a
+      delete ships content while an upsert in the same row group ships
+      null (see _make_conform_winners).  The lake can never silently
+      commit a row the single-phase normalizer would have rejected.
+
+    A file with no content column at all conforms to all-null downstream,
+    so its rows are all content-invalid."""
+    schema = pf.schema_arrow
+    if "content" not in schema.names:
+        return np.zeros(len(t), dtype=bool)
+    md = pf.metadata.row_group(rg)
+    ci = next(
+        (
+            i
+            for i in range(md.num_columns)
+            if md.column(i).path_in_schema == "content"
+        ),
+        None,
+    )
+    st = md.column(ci).statistics if ci is not None else None
+    if not force_decode and st is not None and st.has_null_count:
+        if st.null_count == 0:
+            return None
+        n_d = pc.sum(
+            pc.equal(t.column("op"), pa.scalar("D")).cast(pa.int64())
+        ).as_py()
+        if st.null_count <= (n_d or 0):
+            return True  # ambiguous: optimistic, verified on winners in p2
+    col = pf.read_row_group(rg, columns=["content"], use_threads=False).column(
+        "content"
+    )
+    return pc.is_valid(col).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _write_quarantine(quarantine_dir: str, frag: dict, tables: list[pa.Table]) -> None:
+    """Dead-letter sink: one Parquet file per fragment that held rejects.
+
+    The name is a pure function of the fragment (source file + row-group
+    range), and the content is a pure function of the log bytes — so a
+    retried task, or a whole re-run over the same log, rewrites the SAME
+    file instead of appending duplicates (idempotent, like the lake sink:
+    temp write → atomic rename)."""
+    import hashlib as _hl
+
+    os.makedirs(quarantine_dir, exist_ok=True)
+    tag = _hl.sha1(frag["file"].encode()).hexdigest()[:10]
+    stem = os.path.splitext(os.path.basename(frag["file"]))[0]
+    fname = f"rej-{tag}-{stem}-rg{frag['rg_start']}-{frag['rg_end']}.parquet"
+    fpath = os.path.join(quarantine_dir, fname)
+    tmp = fpath + ".inprogress"
+    pq.write_table(
+        pa.concat_tables(tables, promote_options="permissive"), tmp,
+        compression="zstd",
+    )
+    os.replace(tmp, fpath)
+
+
 def _make_fused_feed(
     process_fn,
     actors: list,
     num_partitions: int,
     columns: list[str] | None,
     winners_ref=None,
+    check_content: str | None = None,
+    quarantine_dir: str | None = None,
 ):
     """One task = read a few row groups -> (optional winner filter) ->
     process -> route.  Replaces ``read_parquet(...).map_batches(feeder)``
@@ -579,10 +712,30 @@ def _make_fused_feed(
     def feed(batch: pa.Table) -> pa.Table:
         payload = ray.get(winners_ref) if winners_ref is not None else None
         kept: list[pa.Table] = []
+        quarantined = 0
         for row in batch.to_pylist():
             pf = pq.ParquetFile(row["file"])
+            rejects: list[pa.Table] = []
             for rg in range(row["rg_start"], row["rg_end"]):
                 t = pf.read_row_group(rg, columns=columns, use_threads=False)
+                if check_content and check_content != "off":
+                    cv = _rg_content_valid(
+                        pf, rg, t, force_decode=(check_content == "decode")
+                    )
+                    if isinstance(cv, np.ndarray):
+                        t = t.append_column(CONTENT_VALID_COL, pa.array(cv))
+                if quarantine_dir is not None:
+                    # full-fidelity dead-letter capture happens HERE, in the
+                    # wide phase-2 read (this row group is decoded anyway) —
+                    # the rejects can never be winners, so the filter below
+                    # drops them from the lake path regardless.
+                    v, reasons = event_validity(t)
+                    if v is not None:
+                        r = t.filter(pa.array(~v)).append_column(
+                            REJECT_REASON_COL, pa.array(list(reasons[~v]))
+                        )
+                        rejects.append(r)
+                        quarantined += len(r)
                 if payload is not None:
                     hit = winner_membership(
                         payload, t.column("lsn").to_numpy(zero_copy_only=False)
@@ -591,17 +744,37 @@ def _make_fused_feed(
                         continue
                     t = t.filter(pa.array(hit))
                 kept.append(t)
+            if rejects:
+                _write_quarantine(quarantine_dir, row, rejects)
         if not kept:
-            return pa.table({"routed": [0]})
-        return feeder(pa.concat_tables(kept, promote_options="permissive"))
+            return pa.table({"routed": [0], "rejected": [quarantined]})
+        ack = feeder(pa.concat_tables(kept, promote_options="permissive"))
+        if quarantined:
+            rej = int(ack.column("rejected")[0].as_py()) + quarantined
+            ack = ack.set_column(
+                ack.schema.get_field_index("rejected"),
+                "rejected",
+                pa.array([rej], pa.int64()),
+            )
+        return ack
 
     return feed
 
 
-def _run_fused_feed(items: list[dict], feed) -> None:
-    ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-        feed, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).count()
+def _run_fused_feed(items: list[dict], feed) -> int:
+    """Drive the fused feed with streaming backpressure and return the
+    reject-count sum (0 for clean logs) from the ack rows.
+
+    The acks are summed DRIVER-side over ``take_all()`` — one tiny row per
+    fragment task, ~4×CPUs of them.  ``Dataset.sum()`` would plan an
+    all-to-all Aggregate operator after the feed (measured +21s on a
+    100M-event replay) for what is a few-KB reduction."""
+    rows = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(feed, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )
+    return int(sum(r["rejected"] for r in rows))
 
 
 def replay(
@@ -700,6 +873,7 @@ def replay(
         normalizer = make_normalizer(
             event_schema, num_partitions, checkpoints=ckpts,
             combine=cfg.combine_before_shuffle,
+            strict=not cfg.drop_invalid,
         )
         ds = read_change_log(scan, num_blocks=num_blocks, concurrency=cfg.read_concurrency)
         metrics_rows = run_exchange(
@@ -794,17 +968,20 @@ def _replay_late(
         )
         for _ in range(num_actors)
     ]
+    phase_times["events_rejected"] = 0
     if frag_items:
         feed1 = _make_fused_feed(
             _make_phase1_process(
                 num_partitions, ckpts, combine=cfg.phase1_combine,
                 combine_mode=cfg.phase1_combine_mode,
+                strict=not cfg.drop_invalid,
             ),
             actors,
             num_partitions,
             columns=PHASE1_COLUMNS,
+            check_content=cfg.content_check,
         )
-        _run_fused_feed(frag_items, feed1)
+        phase_times["events_rejected"] = _run_fused_feed(frag_items, feed1)
     if prior_files:
         dsp = ray.data.read_parquet(
             prior_files, columns=["repo", "path", "lsn"],
@@ -882,13 +1059,19 @@ def _replay_late(
         # full content memcpy in the row-batch coalesce (batch_size=1M:
         # measured 12.3-15.8s vs 10.3s fused, interleaved min).
         feed2 = _make_fused_feed(
-            _make_conform_winners(event_schema, num_partitions, prior=False),
+            _make_conform_winners(
+                event_schema, num_partitions, prior=False,
+                verify_content=(cfg.content_check != "off"),
+            ),
             actors2,
             num_partitions,
             columns=None,
             winners_ref=winners_ref,
+            quarantine_dir=cfg.quarantine_dir,
         )
-        _run_fused_feed(frag_items, feed2)
+        quarantined = _run_fused_feed(frag_items, feed2)
+        if cfg.quarantine_dir is not None:
+            phase_times["events_quarantined"] = quarantined
     if prior_files:
         dsp2 = ray.data.read_parquet(prior_files, override_num_blocks=num_actors)
         feedp2 = make_feeder(
@@ -935,6 +1118,7 @@ def _replay_groupby(
     normalizer = make_normalizer(
         event_schema, num_partitions, checkpoints=ckpts,
         combine=cfg.combine_before_shuffle,
+        strict=not cfg.drop_invalid,
     )
 
     def partition_task(group: pa.Table) -> pa.Table:

@@ -203,9 +203,14 @@ def make_feeder(process_fn, actors: list, num_partitions: int):
 
     def feed(batch: pa.Table) -> pa.Table:
         batch = process_fn(batch)
+        # Optional dead-letter accounting: the process fn reports how many
+        # rows it rejected via schema metadata (see normalize/phase-1), and
+        # the ack row carries it to the driver's run summary.
+        md = batch.schema.metadata or {}
+        rej = int(md.get(b"rejected", b"0"))
         parts = batch.column(PART_COLUMN).to_numpy(zero_copy_only=False)
         if len(parts) == 0:
-            return pa.table({"routed": [0]})
+            return pa.table({"routed": [0], "rejected": [rej]})
         actor_ids = parts % num_actors
         order = np.argsort(
             actor_ids * np.int64(num_partitions) + parts, kind="stable"
@@ -220,7 +225,7 @@ def make_feeder(process_fn, actors: list, num_partitions: int):
             for s, e in zip(starts, ends)
         ]
         ray.get(acks)  # delivery barrier: events applied before task exits
-        return pa.table({"routed": [len(batch)]})
+        return pa.table({"routed": [len(batch)], "rejected": [rej]})
 
     return feed
 

@@ -27,6 +27,86 @@ from ..hashing import key_hash
 from ..schemas import PART_COLUMN, VALID_OPS, conform_batch
 from .merge import EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL, fold_latest
 
+# Reason column attached to quarantined (dead-lettered) events.
+REJECT_REASON_COL = "_reject_reason"
+
+# Reason codes, in attribution priority order (a row failing several
+# invariants reports the first).
+REASON_NULL_LSN = "null_lsn"
+REASON_NULL_KEY = "null_key"
+REASON_BAD_OP = "bad_op"
+REASON_NULL_CONTENT = "null_content"
+
+
+def event_validity(
+    batch: pa.Table, content_valid: np.ndarray | bool | None = None
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Vectorized hard-invariant check shared by EVERY exchange strategy.
+
+    One predicate, one place: op ∈ {I,U,D}, non-null lsn/repo/path, and
+    content present on I/U (a delete legitimately carries no content).
+    Divergence here is how replay strategies stop being byte-identical on
+    dirty logs — the late strategy's phase 1 must reject exactly the rows
+    the single-phase normalizer would, or the two pick different winners.
+
+    ``content_valid`` lets the caller supply content presence out-of-band:
+    the late strategy's phase 1 reads only ``(lsn, op, repo, path)`` and
+    derives content nullity from Parquet footer ``null_count`` statistics
+    (decoding content just to null-check it would forfeit the narrow-read
+    design).  ``True`` means "caller proved every row has content";
+    ``None`` means "derive it from the batch" (all-null when the column is
+    absent — a file missing ``content`` conforms to nulls downstream, so
+    its I/U rows can never commit content and are invalid).
+
+    Returns ``(valid_mask, reason_codes)`` as numpy arrays, or
+    ``(None, None)`` when every row passes (the clean-log fast path — no
+    allocation beyond the masks).
+    """
+    n = len(batch)
+    if n == 0:
+        return None, None
+
+    def _np(arr):
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+    op = batch.column("op")
+    ok_lsn = _np(pc.is_valid(batch.column("lsn")))
+    ok_key = _np(pc.is_valid(batch.column("repo"))) & _np(
+        pc.is_valid(batch.column("path"))
+    )
+    ok_op = _np(pc.is_in(op, value_set=pa.array(VALID_OPS)))
+    if content_valid is True:
+        ok_content = None
+    else:
+        if content_valid is None:
+            if "content" in batch.column_names:
+                content_valid = _np(pc.is_valid(batch.column("content")))
+            else:
+                content_valid = np.zeros(n, dtype=bool)
+        ok_content = content_valid | _np(pc.equal(op, pa.scalar("D")))
+    valid = ok_lsn & ok_key & ok_op
+    if ok_content is not None:
+        valid &= ok_content
+    if valid.all():
+        return None, None
+    reasons = np.full(n, REASON_NULL_CONTENT, dtype=object)
+    reasons[~ok_op] = REASON_BAD_OP
+    reasons[~ok_key] = REASON_NULL_KEY
+    reasons[~ok_lsn] = REASON_NULL_LSN
+    return valid, reasons
+
+
+def reject_error(reasons: np.ndarray, valid: np.ndarray) -> ValueError:
+    """Build the strict-mode (``drop_invalid=False``) failure: a reason
+    histogram so the operator knows WHAT is malformed before any commit."""
+    kinds, counts = np.unique(reasons[~valid], return_counts=True)
+    hist = ", ".join(f"{k}={c}" for k, c in zip(kinds, counts))
+    return ValueError(
+        f"{int((~valid).sum())} invalid change events ({hist}); "
+        "set ReplayConfig(drop_invalid=True) to drop them, or add a "
+        "quarantine_dir to capture them as a dead-letter table"
+    )
+
 
 def empty_strings_to_null(
     batch: pa.Table, columns: list[str] | None = None, trim: bool = True
@@ -55,6 +135,7 @@ def make_normalizer(
     num_partitions: int,
     checkpoints: dict[int, int] | None = None,
     combine: bool = True,
+    strict: bool = False,
 ):
     """Build the batch fn for ``ds.map_batches(fn, batch_format='pyarrow')``.
 
@@ -70,16 +151,11 @@ def make_normalizer(
 
     def normalize(batch: pa.Table) -> pa.Table:
         batch = conform_batch(batch, target_schema)
-        op = batch.column("op")
-        valid = pc.is_in(op, value_set=pa.array(VALID_OPS))
-        for col in ("repo", "path", "lsn"):
-            valid = pc.and_(valid, pc.is_valid(batch.column(col)))
-        content_ok = pc.or_(
-            pc.equal(op, pa.scalar("D")), pc.is_valid(batch.column("content"))
-        )
-        valid = pc.and_(valid, content_ok)
-        if not pc.all(valid).as_py():
-            batch = batch.filter(pc.fill_null(valid, False))
+        valid, reasons = event_validity(batch)
+        if valid is not None:
+            if strict:
+                raise reject_error(reasons, valid)
+            batch = batch.filter(pa.array(valid))
         for col in ("repo", "path"):
             idx = batch.schema.get_field_index(col)
             batch = batch.set_column(
@@ -103,6 +179,9 @@ def make_normalizer(
         )
         if combine:
             batch = fold_latest(batch, keep_tombstones=True)
-        return batch
+        # Reject count rides as schema metadata so the exchange feeder can
+        # surface it in its ack rows without widening the batch contract.
+        nrej = int((~valid).sum()) if valid is not None else 0
+        return batch.replace_schema_metadata({b"rejected": str(nrej).encode()})
 
     return normalize
