@@ -793,6 +793,16 @@ def replay(
     (``src/etl_pipeline.py:364-373`` + the stubbed watermark ``:238-245``).
     """
     cfg = cfg or ReplayConfig()
+    if cfg.quarantine_dir is not None and cfg.exchange != "late":
+        # The dead-letter sink's idempotence contract (retries/re-runs
+        # rewrite, never duplicate) needs the late strategy's deterministic
+        # fragment identity; the other exchanges read through Ray blocks
+        # whose boundaries aren't stable across runs.  Fail loudly rather
+        # than silently skip the capture.
+        raise ValueError(
+            "quarantine_dir requires exchange='late' (the default); "
+            f"exchange={cfg.exchange!r} cannot capture rejects idempotently"
+        )
     sink = sink or SinkConfig(out_dir=out_dir)
     t0 = time.time()
 

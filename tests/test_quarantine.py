@@ -145,6 +145,14 @@ def test_strict_mode_raises_before_any_commit(dirty_log, tmp_path):
         assert not glob.glob(os.path.join(out, "part=*", "manifest.json"))
 
 
+def test_quarantine_requires_late_exchange(tmp_path):
+    with pytest.raises(ValueError, match="requires exchange='late'"):
+        replay(
+            str(tmp_path / "log"), str(tmp_path / "lake"),
+            ReplayConfig(exchange="actor", quarantine_dir=str(tmp_path / "q")),
+        )
+
+
 def test_clean_log_reports_zero_rejects(tmp_path):
     log = str(tmp_path / "log")
     write_change_log(ChangeLogSpec(n_keys=50, n_events=400, num_buckets=2), log)
