@@ -39,7 +39,7 @@ import ray
 import ray.data
 
 from ..config import ReplayConfig, SinkConfig
-from ..hashing import key_hash, table_digest
+from ..hashing import KEY_HASH_VERSION, key_hash, table_digest
 from ..schemas import (
     CHANGE_EVENT_SCHEMA,
     KEY_COLUMNS,
@@ -104,6 +104,7 @@ def _commit_with_metrics(
     t_start = time.time()
     stats = dict(stats)
     stats["num_partitions"] = args["num_partitions"]
+    stats["key_hash_version"] = KEY_HASH_VERSION
     digest = table_digest(final, list(KEY_COLUMNS))
     epoch = args["prior_epochs"].get(part, -1) + 1
     m = mf.commit_partition(
@@ -807,6 +808,23 @@ def replay(
     t0 = time.time()
 
     manifests = mf.read_all_manifests(out_dir)
+    if resume and manifests:
+        versions = {
+            m["stats"].get("key_hash_version", 1) for m in manifests.values()
+        }
+        if versions != {KEY_HASH_VERSION}:
+            stored = sorted(versions)
+            # Partition layout is key_hash % P: under a different hash the
+            # same key routes elsewhere, so per-partition checkpoint pruning
+            # mis-applies and a moved key's old copy survives in its former
+            # partition file — silent duplicates.  Refuse; a FULL replay
+            # rebuilds every partition under the current mapping.
+            raise ValueError(
+                f"lake was committed with key_hash_version={stored} but this "
+                f"engine routes with version {KEY_HASH_VERSION}; resume "
+                "would migrate keys across partitions and duplicate rows. "
+                "Re-run WITHOUT resume to rebuild the lake."
+            )
     ckpts = mf.checkpoints(manifests) if resume else None
     # File-level pruning is safe ONLY when every partition has a committed
     # checkpoint: after a partial crash (some partitions never committed),

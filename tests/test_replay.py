@@ -93,6 +93,26 @@ def test_resume_is_noop_when_caught_up(log_dir, tmp_path):
     assert d1 == d2
 
 
+def test_resume_refuses_foreign_key_hash_version(log_dir, tmp_path):
+    """Partition layout is key_hash % P: resuming a lake committed under a
+    different hash mapping would migrate keys across partitions (duplicate
+    rows, mis-applied checkpoints) — must fail loudly, full replay only."""
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    # doctor one manifest to an alien version
+    pdir = os.path.join(out, "part=0")
+    with open(os.path.join(pdir, "manifest.json")) as f:
+        m = json.load(f)
+    m["stats"]["key_hash_version"] = 999
+    with open(os.path.join(pdir, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="key_hash_version"):
+        replay(log_dir, out, ReplayConfig(num_partitions=4), resume=True)
+    # full (non-resume) replay over the same lake still works
+    res = replay(log_dir, out, ReplayConfig(num_partitions=4))
+    assert res.summary["partitions_committed"] == 4
+
+
 def test_combiner_off_same_result(log_dir, tmp_path):
     out = str(tmp_path / "lake")
     replay(log_dir, out, ReplayConfig(num_partitions=4, combine_before_shuffle=False))
