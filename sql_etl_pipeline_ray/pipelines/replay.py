@@ -4,8 +4,11 @@ Three exchange strategies (``ReplayConfig.exchange``):
 
 - ``late`` (default, the 100-TB design — late materialization):
     Phase 1 shuffles ONLY ``(lsn, op, repo, path)`` — column-pruned at the
-    Parquet reader — through the actor exchange and picks the winning LSN
-    per key (last-writer-wins fold, tombstones excluded).  Phase 2 re-reads
+    Parquet reader, with ``op`` re-encoded to a 1-byte code, the partition
+    id passed as slice-boundary metadata rather than a per-row column, and
+    the partial-agg columns shipped only for combiner-folded rows — through
+    the actor exchange and picks the winning LSN per key (last-writer-wins
+    fold, tombstones excluded).  Phase 2 re-reads
     the log (and prior lake state on resume), filters rows by winning-LSN
     membership (a broadcast sorted int64 array + searchsorted per batch),
     and routes ONLY the surviving ~final rows to committer actors.  The
@@ -43,10 +46,13 @@ from ..hashing import KEY_HASH_VERSION, key_hash, table_digest
 from ..schemas import (
     CHANGE_EVENT_SCHEMA,
     KEY_COLUMNS,
+    OP_CODES,
     PART_COLUMN,
     REPO_FILES_SCHEMA,
     VALID_OPS,
     conform_batch,
+    encode_op,
+    op_equal,
 )
 from ..sources.change_log import read_change_log, scan_change_log
 from ..stages.exchange import make_feeder
@@ -148,7 +154,6 @@ def _prior_state_as_events(
         else:
             cols[f.name] = pa.nulls(n, f.type)
     t = pa.table(cols)
-    t = t.append_column(PART_COLUMN, pa.array([part] * n, pa.int64()))
     t = t.append_column(EVENTS_COL, pa.array([0] * n, pa.int64()))
     t = t.append_column(HAD_INSERT_COL, pa.array([True] * n))
     kh = key_hash(t.column("repo"), t.column("path")).view(np.int64)
@@ -216,17 +221,21 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             cs.slice(1), cs.slice(0, len(cs) - 1)
         ).to_numpy(zero_copy_only=False)
         collision = bool(np.any(neighbour_diff & same_kh))
+    # _events/_had_insert ship only for combiner-folded rows (see
+    # _make_phase1_process): absent column = no batch folded; null entries
+    # = this row never folded = one event with had-insert ≡ (op == 'I').
+    if EVENTS_COL in tbl.column_names:
+        events_in = int(pc.sum(pc.fill_null(tbl.column(EVENTS_COL), 1)).as_py())
+    else:
+        events_in = len(tbl)
     if collision:
         # hash collision inside this partition — exact sorted fold
         folded = fold_latest(tbl, keep_tombstones=True)
-        is_del = pc.equal(folded.column("op"), pa.scalar("D")).to_numpy(
-            zero_copy_only=False
-        )
+        is_del = op_equal(folded.column("op"), "D").to_numpy(zero_copy_only=False)
         had_insert = folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
         win_lsn = (
             folded.filter(pa.array(~is_del)).column("lsn").to_numpy(zero_copy_only=False)
         )
-        events_in = int(pc.sum(tbl.column(EVENTS_COL)).as_py())
         keys_seen = len(folded)
     else:
         new_grp = np.concatenate(([True], ~same_kh))
@@ -244,16 +253,21 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 f"partition {part}: duplicate max LSN within a key group "
                 f"({len(win_idx)} winners for {len(starts)} keys)"
             )
-        row_del = pc.equal(tbl.column("op"), pa.scalar("D")).to_numpy(
-            zero_copy_only=False
-        )
-        row_had_i = tbl.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
+        row_del = op_equal(tbl.column("op"), "D").to_numpy(zero_copy_only=False)
+        if HAD_INSERT_COL in tbl.column_names:
+            hi_col = tbl.column(HAD_INSERT_COL)
+            if hi_col.null_count:
+                hi_col = pc.coalesce(hi_col, op_equal(tbl.column("op"), "I"))
+            row_had_i = hi_col.to_numpy(zero_copy_only=False)
+        else:
+            row_had_i = op_equal(tbl.column("op"), "I").to_numpy(
+                zero_copy_only=False
+            )
         had_insert = np.maximum.reduceat(
             row_had_i[order].astype(np.int8), starts
         ).astype(bool)
         is_del = row_del[win_idx]
         win_lsn = lsn_arr[win_idx][~is_del]
-        events_in = int(pc.sum(tbl.column(EVENTS_COL)).as_py())
         keys_seen = len(win_idx)
     stats = {
         "events_in": events_in,
@@ -355,12 +369,18 @@ def _make_phase1_process(
                 parts = parts[keep]
                 kh = kh[keep]
         n = len(batch)
+        # op ships as a 1-byte code (order mirrors the string tiebreak
+        # order); _events/_had_insert ship ONLY for combiner-folded rows —
+        # a never-folded row is exactly one event whose had-insert flag is
+        # op == 'I', so consumers derive both (fold_latest/_winners_fn
+        # fill the nulls a permissive concat of folded + unfolded batches
+        # produces).  Net: 17 B/row off the phase-1 shuffle.
+        oi = batch.schema.get_field_index("op")
+        batch = batch.set_column(
+            oi, pa.field("op", pa.int8()), encode_op(batch.column("op"))
+        )
         batch = batch.append_column(PART_COLUMN, pa.array(parts))
         batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
-        batch = batch.append_column(EVENTS_COL, pa.array(np.ones(n, dtype=np.int64)))
-        batch = batch.append_column(
-            HAD_INSERT_COL, pc.equal(batch.column("op"), pa.scalar("I"))
-        )
         if combine and n:
             # Adaptive skew valve: collapse to latest-per-key within this
             # batch so a hot key ships one row per batch, not one per event
@@ -395,7 +415,10 @@ def _make_prior_phase1_process(num_partitions: int):
         t = pa.table(
             {
                 "lsn": batch.column("lsn"),
-                "op": pa.array(["I"] * n, pa.string()),
+                # op code 'I' — matches phase 1's int8 encoding, and makes
+                # the derived had-insert flag (op == 'I') correctly True
+                # for established prior rows, so the column need not ship
+                "op": pa.array(np.full(n, OP_CODES["I"], dtype=np.int8)),
                 "repo": batch.column("repo").cast(pa.string()),
                 "path": batch.column("path").cast(pa.string()),
             }
@@ -404,8 +427,9 @@ def _make_prior_phase1_process(num_partitions: int):
         parts = (kh % np.uint64(num_partitions)).astype(np.int64)
         t = t.append_column(PART_COLUMN, pa.array(parts))
         t = t.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
+        # _events=0 MUST ship: prior rows are state, not new events, and
+        # the consumer-side null fill is 1 (the new-event default).
         t = t.append_column(EVENTS_COL, pa.array(np.zeros(n, dtype=np.int64)))
-        t = t.append_column(HAD_INSERT_COL, pa.array(np.ones(n, dtype=bool)))
         return t
 
     return process
@@ -992,7 +1016,6 @@ def _replay_late(
     actors = [
         ExchangeActor.remote(
             pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True)),
-            copy_on_add=False,  # narrow columns — pinning plasma views is cheap
         )
         for _ in range(num_actors)
     ]
@@ -1064,19 +1087,7 @@ def _replay_late(
 
     # ---- phase 2: extract winner rows, route to committers ----
     extract_args = {**commit_args, "stats_per_part": stats_per_part}
-    # copy_on_add=False buffers zero-copy plasma VIEWS, which pins the
-    # source blocks they slice until finalize.  That is cheap when winners
-    # are a small fraction of the log (update-heavy CDC), but for
-    # insert-dominated logs the routed winner rows approach the whole
-    # input — pinning ~all content risks plasma spill/backpressure, so
-    # copy the slices instead and let the executor release source blocks.
-    total_events = sum(r["stats"]["events_in"] for r in phase1)
-    total_live = sum(r["stats"]["live_rows"] for r in phase1)
-    winner_dense = total_events > 0 and total_live / total_events > 0.25
-    actors2 = [
-        ExchangeActor.remote(copy_on_add=winner_dense)
-        for _ in range(num_actors)
-    ]
+    actors2 = [ExchangeActor.remote() for _ in range(num_actors)]
     if frag_items:
         # Fused in-task read: decode a row group, drop the ~95% loser rows
         # IMMEDIATELY, concat only winners across the task's row groups,
@@ -1130,11 +1141,7 @@ def _replay_late(
     for part, st in stats_per_part.items():
         if part not in committed:
             empty = pa.schema(
-                list(event_schema)
-                + [
-                    pa.field(PART_COLUMN, pa.int64()),
-                    pa.field(KEY_HASH_COL, pa.int64()),
-                ]
+                list(event_schema) + [pa.field(KEY_HASH_COL, pa.int64())]
             ).empty_table()
             metrics_rows.append(_commit_extracted_fn(part, empty, extract_args))
     return metrics_rows

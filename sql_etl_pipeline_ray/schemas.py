@@ -9,6 +9,7 @@ from BASELINE.json ``input_hint``:
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # The lake table the pipeline maintains: one row per live (repo, path).
 # ``lsn`` (the winning event's LSN) and ``content_sha256`` are engine-added
@@ -42,6 +43,28 @@ CHANGE_EVENT_SCHEMA = pa.schema(
 )
 
 VALID_OPS = ("I", "U", "D")
+
+# Phase-1 of the late exchange ships ``op`` as a 1-byte code instead of the
+# raw string column (5 B/row: 1 data byte + a 4-byte offset).  The code
+# order MIRRORS the string order ('D' < 'I' < 'U'), so every ascending
+# sort / last-wins tiebreak on op is encoding-agnostic.
+OP_CODES = {"D": 0, "I": 1, "U": 2}
+# value_set for pc.index_in: position == code.
+OP_CODE_ORDER = pa.array(["D", "I", "U"])
+
+
+def op_equal(col: pa.ChunkedArray | pa.Array, op: str):
+    """``op == <op>`` boolean mask for either encoding (string or code)."""
+    if pa.types.is_integer(col.type):
+        return pc.equal(col, pa.scalar(OP_CODES[op], col.type))
+    return pc.equal(col, pa.scalar(op))
+
+
+def encode_op(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """String op column → int8 codes (no-op if already encoded)."""
+    if pa.types.is_integer(col.type):
+        return col
+    return pc.index_in(col, value_set=OP_CODE_ORDER).cast(pa.int8())
 
 # Columns that identify a row (the upsert conflict key — the reference's
 # ON CONFLICT (customer_id) analogue, sql/etl_transformations.sql:27).

@@ -26,13 +26,11 @@ Safety properties:
   sub-tables; the actor dedupes on ``(partition, first_lsn, last_lsn,
   rows)`` — LSNs are globally unique, so an identical span is the same
   data.
-- Plasma-safe: by default received tables are deep-copied into actor
-  heap (an IPC round-trip) — holding zero-copy views would pin the whole
-  shuffle payload in the object store and force spilling.  Stages whose
-  routed payload is a small fraction of the job's data (the late
-  strategy's narrow phase 1 / pre-filtered phase 2) pass
-  ``copy_on_add=False`` and buffer plasma views instead, saving two
-  memcpy passes per routed byte.
+- Plasma-safe: each received slice is deep-copied ONCE into actor heap
+  (an IPC round-trip, replacing the old actor-side re-sort + ``take``),
+  so the object store drains incrementally — holding zero-copy views
+  would pin the whole shuffle payload in plasma until finalize and force
+  spilling at scale.
 - Memory-bounded: an optional compaction fn collapses the buffer once it
   crosses a row threshold (the merge's tombstone-keeping partial fold), so
   state approaches O(live keys per actor), not O(events).
@@ -58,24 +56,6 @@ def _deep_copy(tbl: pa.Table) -> pa.Table:
     with pa.ipc.new_stream(sink, tbl.schema) as w:
         w.write_table(tbl)
     return pa.ipc.open_stream(sink.getvalue()).read_all()
-
-
-def split_by_partition(batch: pa.Table) -> list[tuple[int, pa.Table]]:
-    """Vectorized split of a routed batch into per-partition sub-tables
-    (one stable argsort on the int partition column + zero-copy slices)."""
-    parts = batch.column(PART_COLUMN).to_numpy(zero_copy_only=False)
-    if len(parts) == 0:
-        return []
-    order = np.argsort(parts, kind="stable")
-    sorted_tbl = batch.take(pa.array(order))
-    sorted_parts = parts[order]
-    boundaries = np.flatnonzero(np.diff(sorted_parts)) + 1
-    starts = np.concatenate(([0], boundaries))
-    ends = np.concatenate((boundaries, [len(parts)]))
-    return [
-        (int(sorted_parts[s]), sorted_tbl.slice(s, e - s))
-        for s, e in zip(starts, ends)
-    ]
 
 
 @ray.remote(num_cpus=0)
@@ -105,13 +85,11 @@ class ExchangeActor:
         self.buffered_rows: dict[int, int] = {}
         self.seen_spans: set[tuple[int, int, int, int]] = set()
         self.compact_threshold = compact_threshold_rows
-        # copy_on_add=False keeps received tables as zero-copy plasma views
-        # (saves two memcpy passes per routed byte).  Safe ONLY when the
-        # routed payload is a small fraction of the job's data — pinned
-        # views hold their backing objects in the object store until
-        # finalize.  The late strategy qualifies (phase 1 ships 4 narrow
-        # columns, phase 2 ships pre-filtered winners); the single-phase
-        # 'actor' mode routes the full payload and must copy.
+        # Governs only the direct add() entry point (tests / custom
+        # callers): False buffers the caller's table as-is (a zero-copy
+        # plasma view when called remotely — pins its backing object until
+        # finalize).  The feeder path (add_many) always makes exactly one
+        # heap copy per received slice; see add_many.
         self.copy_on_add = copy_on_add
         self.compact_fn: Callable | None = None
         if compact_fn_ser is not None:
@@ -119,20 +97,40 @@ class ExchangeActor:
 
             self.compact_fn = pickle.loads(compact_fn_ser)
 
-    def add_many(self, tbl: pa.Table) -> int:
+    def add_many(self, tbl: pa.Table, parts: list[int], lengths: list[int]) -> int:
         """Apply one routed multi-partition table (this actor's share of a
-        feed batch, partitions contiguous): split actor-side, then the
-        normal per-partition add path.  One RPC + one plasma object per
+        feed batch, rows grouped by partition in ``parts`` order with
+        ``lengths`` rows each).  One RPC + one plasma object per
         (batch, actor) instead of per (batch, partition) — interleaved
         min-of-3 measured the phase-1 feed at 8.9s vs 10.8s (and far
         better medians) on a 100M-event log at 64 partitions / 32
-        actors."""
+        actors.
+
+        The feeder already sorted the batch by (actor, partition), so the
+        partition layout arrives as plain offsets: no per-row partition
+        column ships through plasma (8 B/row saved) and no actor-side
+        re-sort + ``take`` copy of an already-sorted table (the old
+        ``split_by_partition``).  ONE deep copy of the whole slice into
+        actor heap replaces that take — same single memcpy, zero sort —
+        and plasma still drains incrementally.  Buffering zero-copy views
+        instead was considered and rejected: it would pin the entire
+        routed phase in the object store until finalize and force
+        spilling at scale (~25 GB of narrow phase-1 rows at 300M events
+        vs a ~30%-of-RAM store)."""
+        tbl = _deep_copy(tbl)
         applied = 0
-        for part, sub in split_by_partition(tbl):
-            applied += self.add(part, sub)
+        off = 0
+        for part, n in zip(parts, lengths):
+            applied += self._buffer(int(part), tbl.slice(off, n))
+            off += n
         return applied
 
     def add(self, part: int, tbl: pa.Table) -> int:
+        """Single-partition add (direct callers / tests); the feeder path
+        is ``add_many``.  ``copy_on_add`` governs only this entry point."""
+        return self._buffer(part, _deep_copy(tbl) if self.copy_on_add else tbl)
+
+    def _buffer(self, part: int, tbl: pa.Table) -> int:
         span = (
             part,
             int(tbl.column("lsn")[0].as_py()) if len(tbl) else -1,
@@ -142,9 +140,7 @@ class ExchangeActor:
         if span in self.seen_spans:  # retried feed task — drop duplicate
             return 0
         self.seen_spans.add(span)
-        self.buffers.setdefault(part, []).append(
-            _deep_copy(tbl) if self.copy_on_add else tbl
-        )
+        self.buffers.setdefault(part, []).append(tbl)
         self.buffered_rows[part] = self.buffered_rows.get(part, 0) + len(tbl)
         if self.compact_fn is not None and self.buffered_rows[part] >= self.compact_threshold:
             merged = pa.concat_tables(self.buffers[part], promote_options="permissive")
@@ -217,24 +213,39 @@ def make_feeder(process_fn, actors: list, num_partitions: int):
         md = batch.schema.metadata or {}
         rej = int(md.get(b"rejected", b"0"))
         parts = batch.column(PART_COLUMN).to_numpy(zero_copy_only=False)
+        # The partition id ships as boundary metadata on the sorted slice,
+        # never as a per-row column (8 B/row of shuffle bytes).
+        batch = batch.drop_columns([PART_COLUMN])
         if len(parts) == 0:
             return pa.table({"routed": [0], "rejected": [rej]})
-        actor_ids = parts % num_actors
-        order = np.argsort(
-            (actor_ids * np.int64(num_partitions) + parts).astype(_key_dtype),
-            kind="stable",
+        key = ((parts % num_actors) * np.int64(num_partitions) + parts).astype(
+            _key_dtype
         )
+        order = np.argsort(key, kind="stable")
         sorted_tbl = batch.take(pa.array(order))
-        sorted_actors = actor_ids[order]
-        bounds = np.flatnonzero(np.diff(sorted_actors)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(sorted_actors)]))
-        acks = [
-            actors[int(sorted_actors[s])].add_many.remote(sorted_tbl.slice(s, e - s))
-            for s, e in zip(starts, ends)
-        ]
+        ks = key[order]
+        # runs of the composite key = per-(actor, partition) row ranges
+        rb = np.flatnonzero(np.diff(ks)) + 1
+        run_starts = np.concatenate(([0], rb))
+        run_ends = np.concatenate((rb, [len(ks)]))
+        run_key = ks[run_starts].astype(np.int64)
+        run_actor = run_key // num_partitions
+        run_part = run_key % num_partitions
+        ab = np.flatnonzero(np.diff(run_actor)) + 1
+        a_lo = np.concatenate(([0], ab))
+        a_hi = np.concatenate((ab, [len(run_actor)]))
+        acks = []
+        for i0, i1 in zip(a_lo, a_hi):
+            row0 = int(run_starts[i0])
+            acks.append(
+                actors[int(run_actor[i0])].add_many.remote(
+                    sorted_tbl.slice(row0, int(run_ends[i1 - 1]) - row0),
+                    run_part[i0:i1].tolist(),
+                    (run_ends[i0:i1] - run_starts[i0:i1]).tolist(),
+                )
+            )
         ray.get(acks)  # delivery barrier: events applied before task exits
-        return pa.table({"routed": [len(batch)], "rejected": [rej]})
+        return pa.table({"routed": [len(sorted_tbl)], "rejected": [rej]})
 
     return feed
 

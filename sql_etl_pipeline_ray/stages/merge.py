@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import sha256_column
-from ..schemas import KEY_COLUMNS
+from ..schemas import KEY_COLUMNS, op_equal
 
 # Engine-internal columns added by the normalize stage / combiner.
 EVENTS_COL = "_events"  # events folded into this row (partial-agg count)
@@ -137,7 +137,7 @@ def _fold_latest_fast(tbl: pa.Table, keep_tombstones: bool) -> pa.Table | None:
     i = out.schema.get_field_index(HAD_INSERT_COL)
     out = out.set_column(i, out.schema.field(i), pa.array(had))
     if not keep_tombstones:
-        out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
+        out = out.filter(pc.invert(op_equal(out.column("op"), "D")))
     return out
 
 
@@ -158,16 +158,43 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
     if len(tbl) == 0:
         return tbl
     # Synthesize the partial-agg columns when fed a raw event table (i.e.
-    # outside the normalize stage) so folds compose either way.
+    # outside the normalize stage) so folds compose either way.  A row
+    # that reaches here with a NULL in either column came from a permissive
+    # concat of folded (column present) and never-folded (column absent)
+    # batches — phase 1 ships the columns only for combiner-folded rows,
+    # since an unfolded row is by definition exactly one event whose
+    # had-insert flag is just op == 'I'.
     if EVENTS_COL not in tbl.column_names:
         tbl = tbl.append_column(EVENTS_COL, pa.array(np.ones(len(tbl), dtype=np.int64)))
+    elif tbl.column(EVENTS_COL).null_count:
+        i = tbl.schema.get_field_index(EVENTS_COL)
+        tbl = tbl.set_column(
+            i, tbl.schema.field(i), pc.fill_null(tbl.column(EVENTS_COL), 1)
+        )
     if HAD_INSERT_COL not in tbl.column_names:
-        tbl = tbl.append_column(HAD_INSERT_COL, pc.equal(tbl.column("op"), pa.scalar("I")))
-    if KEY_HASH_COL not in tbl.column_names:
+        tbl = tbl.append_column(HAD_INSERT_COL, op_equal(tbl.column("op"), "I"))
+    elif tbl.column(HAD_INSERT_COL).null_count:
+        i = tbl.schema.get_field_index(HAD_INSERT_COL)
+        tbl = tbl.set_column(
+            i,
+            tbl.schema.field(i),
+            pc.coalesce(tbl.column(HAD_INSERT_COL), op_equal(tbl.column("op"), "I")),
+        )
+    if (
+        KEY_HASH_COL not in tbl.column_names
+        or tbl.column(KEY_HASH_COL).null_count
+    ):
+        # Recompute on nulls too (a permissive concat with a hash-less
+        # table null-fills the column): a null hash would silently split
+        # its key's group and yield two winners for one key.
         from ..hashing import key_hash
 
         kh = key_hash(tbl.column("repo"), tbl.column("path")).view(np.int64)
-        tbl = tbl.append_column(KEY_HASH_COL, pa.array(kh))
+        if KEY_HASH_COL in tbl.column_names:
+            i = tbl.schema.get_field_index(KEY_HASH_COL)
+            tbl = tbl.set_column(i, tbl.schema.field(i), pa.array(kh))
+        else:
+            tbl = tbl.append_column(KEY_HASH_COL, pa.array(kh))
     fast = _fold_latest_fast(tbl, keep_tombstones)
     if fast is not None:
         return fast
@@ -185,7 +212,7 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
         idx = out.schema.get_field_index(name)
         out = out.set_column(idx, out.schema.field(idx), pa.array(values))
     if not keep_tombstones:
-        out = out.filter(pc.not_equal(out.column("op"), pa.scalar("D")))
+        out = out.filter(pc.invert(op_equal(out.column("op"), "D")))
     return out
 
 
@@ -202,9 +229,10 @@ def finalize_partition(tbl: pa.Table, output_schema: pa.Schema) -> tuple[pa.Tabl
     n_in = len(tbl)
     events_in = n_in
     if EVENTS_COL in tbl.column_names and n_in:
-        events_in = int(pc.sum(tbl.column(EVENTS_COL)).as_py())
+        # null _events = never-folded row = exactly one event (see fold_latest)
+        events_in = int(pc.sum(pc.fill_null(tbl.column(EVENTS_COL), 1)).as_py())
     folded = fold_latest(tbl, keep_tombstones=True)
-    is_del = pc.equal(folded.column("op"), pa.scalar("D")) if len(folded) else pa.array([], pa.bool_())
+    is_del = op_equal(folded.column("op"), "D") if len(folded) else pa.array([], pa.bool_())
     had_insert = (
         folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
         if HAD_INSERT_COL in folded.column_names and len(folded)

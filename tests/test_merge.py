@@ -149,3 +149,55 @@ def test_winners_fn_raises_on_max_lsn_tie():
     tbl = tbl.append_column(HAD_INSERT_COL, pa.array([True, True]))
     with pytest.raises(ValueError, match="duplicate max LSN"):
         _winners_fn(0, tbl, {})
+
+
+def test_op_code_order_mirrors_string_order():
+    """The int8 encoding phase 1 ships relies on code order == string order
+    ('D' < 'I' < 'U') so the exact fold's ascending-op tiebreak is
+    encoding-agnostic."""
+    from sql_etl_pipeline_ray.schemas import OP_CODES
+
+    by_code = sorted(OP_CODES, key=OP_CODES.get)
+    assert by_code == sorted(OP_CODES) == ["D", "I", "U"]
+
+
+def test_fold_latest_int8_op_tiebreak_matches_string():
+    """fold_latest on an int8-encoded op column picks the same winner as on
+    strings, including the exact path's op tiebreak at a duplicate max LSN."""
+    from sql_etl_pipeline_ray.schemas import OP_CODES, encode_op
+
+    tbl = events([(1, "I", "a", "x"), (5, "U", "a", "x"), (5, "D", "a", "x")])
+    i = tbl.schema.get_field_index("op")
+    enc = tbl.set_column(i, pa.field("op", pa.int8()), encode_op(tbl.column("op")))
+    out = fold_latest(enc, keep_tombstones=True)
+    assert len(out) == 1
+    assert out.column("lsn")[0].as_py() == 5
+    assert out.column("op")[0].as_py() == OP_CODES["U"]
+    # and tombstone dropping works on codes too
+    dead = events([(1, "I", "b", "y"), (2, "D", "b", "y")])
+    denc = dead.set_column(i, pa.field("op", pa.int8()), encode_op(dead.column("op")))
+    assert len(fold_latest(denc, keep_tombstones=False)) == 0
+
+
+def test_fold_latest_fills_null_partial_agg_columns():
+    """Phase 1 ships _events/_had_insert only for combiner-folded rows; a
+    permissive concat of folded + never-folded batches leaves nulls that
+    MUST read as 'one event, had_insert == (op == I)'."""
+    from sql_etl_pipeline_ray.stages.merge import EVENTS_COL, HAD_INSERT_COL
+
+    folded = fold_latest(
+        events([(1, "I", "a", "x"), (2, "U", "a", "x")]), keep_tombstones=True
+    )
+    raw = events([(3, "U", "a", "x"), (4, "I", "b", "y")])  # no agg columns
+    mixed = pa.concat_tables([folded, raw], promote_options="permissive")
+    assert mixed.column(EVENTS_COL).null_count == 2
+    out = fold_latest(mixed, keep_tombstones=True).sort_by("repo")
+    assert out.column("lsn").to_pylist() == [3, 4]
+    # (a,x): 2 folded events + 1 null-filled; (b,y): 1 null-filled
+    assert out.column(EVENTS_COL).to_pylist() == [3, 1]
+    assert out.column(HAD_INSERT_COL).to_pylist() == [True, True]
+    # had_insert derivation: a null row whose op is 'U' must NOT count as I
+    raw_u = events([(9, "U", "c", "z")])
+    mixed2 = pa.concat_tables([folded, raw_u], promote_options="permissive")
+    out2 = fold_latest(mixed2, keep_tombstones=True).sort_by("repo")
+    assert out2.column(HAD_INSERT_COL).to_pylist() == [True, False]
