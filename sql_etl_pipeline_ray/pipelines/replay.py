@@ -8,7 +8,8 @@ Three exchange strategies (``ReplayConfig.exchange``):
     id passed as slice-boundary metadata rather than a per-row column, and
     the partial-agg columns shipped only for combiner-folded rows — through
     the actor exchange and picks the winning LSN per key (last-writer-wins
-    fold, tombstones excluded).  Phase 2 re-reads
+    fold, tombstones excluded).  ``run_summary`` records the measured
+    exchange volume per phase (``p1_routed_mb``/``p2_routed_mb``).  Phase 2 re-reads
     the log (and prior lake state on resume), filters rows by winning-LSN
     membership (a broadcast sorted int64 array + searchsorted per batch),
     and routes ONLY the surviving ~final rows to committer actors.  The
@@ -204,7 +205,15 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             },
             "winners_ref": ray.put(np.zeros(0, np.int64)),
         }
-    kh = tbl.column(KEY_HASH_COL).to_numpy(zero_copy_only=False)
+    if KEY_HASH_COL in tbl.column_names and not tbl.column(KEY_HASH_COL).null_count:
+        kh = tbl.column(KEY_HASH_COL).to_numpy(zero_copy_only=False)
+    else:
+        # robustness for hash-less callers: recompute from the key strings
+        # — same deterministic mapping the router used.  (Shipping _kh and
+        # reading it here is the measured-faster steady state: the
+        # recompute-at-finalize variant cost p1_fn_s_sum 42 -> 64 s at
+        # 100M events.)
+        kh = key_hash(tbl.column("repo"), tbl.column("path")).view(np.int64)
     lsn_arr = tbl.column("lsn").to_numpy(zero_copy_only=False)
     order = np.argsort(kh)  # grouping only; within-group order irrelevant
     khs = kh[order]
@@ -380,6 +389,10 @@ def _make_phase1_process(
             oi, pa.field("op", pa.int8()), encode_op(batch.column("op"))
         )
         batch = batch.append_column(PART_COLUMN, pa.array(parts))
+        # _kh DOES ship (8 B/row): dropping it and recomputing at finalize
+        # was tried and measured p1_fn_s_sum 42 -> 64 s at 100M events —
+        # re-hashing the heavily-chunked concat'd string columns under
+        # 32-way finalize contention costs far more than the bytes save.
         batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
         if combine and n:
             # Adaptive skew valve: collapse to latest-per-key within this
@@ -990,6 +1003,12 @@ def _collect_finalize_timings(actors, phase_times: dict, tag: str) -> None:
     phase_times[f"{tag}_fn_s_max"] = round(max(fn_s), 3)
     phase_times[f"{tag}_concat_s_sum"] = round(sum(concat_s), 3)
     phase_times[f"{tag}_concat_s_max"] = round(max(concat_s), 3)
+    # total bytes routed through this exchange = the phase's would-be
+    # network volume on a multi-node cluster (Arrow buffer bytes summed
+    # actor-side at add time)
+    phase_times[f"{tag}_routed_mb"] = round(
+        sum(v.get("bytes", 0) for v in per_part.values()) / 2**20, 1
+    )
     slowest = max(per_part, key=lambda p: per_part[p]["fn_s"])
     phase_times[f"{tag}_fn_max_part"] = int(slowest)
     phase_times[f"{tag}_fn_max_rows"] = int(per_part[slowest]["rows"])

@@ -83,6 +83,7 @@ class ExchangeActor:
         # valve, not a steady-state path.
         self.buffers: dict[int, list[pa.Table]] = {}
         self.buffered_rows: dict[int, int] = {}
+        self.routed_bytes: dict[int, int] = {}
         self.seen_spans: set[tuple[int, int, int, int]] = set()
         self.compact_threshold = compact_threshold_rows
         # Governs only the direct add() entry point (tests / custom
@@ -142,6 +143,10 @@ class ExchangeActor:
         self.seen_spans.add(span)
         self.buffers.setdefault(part, []).append(tbl)
         self.buffered_rows[part] = self.buffered_rows.get(part, 0) + len(tbl)
+        # Observability: Arrow buffer bytes actually routed to this actor —
+        # on a real cluster this is the exchange's network volume, so the
+        # run summary can PROVE what a wire-format change saves.
+        self.routed_bytes[part] = self.routed_bytes.get(part, 0) + tbl.nbytes
         if self.compact_fn is not None and self.buffered_rows[part] >= self.compact_threshold:
             merged = pa.concat_tables(self.buffers[part], promote_options="permissive")
             compacted = self.compact_fn(merged)
@@ -169,9 +174,11 @@ class ExchangeActor:
                 "fn_s": round(time.monotonic() - t1, 3),
                 "rows": len(tbl),
                 "chunks": len(self.buffers[part]),
+                "bytes": self.routed_bytes.get(part, 0),
             }
         self.buffers.clear()
         self.buffered_rows.clear()
+        self.routed_bytes.clear()
         return out
 
     def finalize_timings(self) -> dict[int, dict]:
