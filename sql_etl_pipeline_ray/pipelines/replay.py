@@ -1007,7 +1007,7 @@ def _collect_finalize_timings(actors, phase_times: dict, tag: str) -> None:
     # network volume on a multi-node cluster (Arrow buffer bytes summed
     # actor-side at add time)
     phase_times[f"{tag}_routed_mb"] = round(
-        sum(v.get("bytes", 0) for v in per_part.values()) / 2**20, 1
+        sum(v.get("bytes", 0) for v in per_part.values()) / 2**20, 3
     )
     slowest = max(per_part, key=lambda p: per_part[p]["fn_s"])
     phase_times[f"{tag}_fn_max_part"] = int(slowest)

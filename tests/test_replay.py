@@ -165,6 +165,9 @@ def test_metrics_and_summary_written(log_dir, tmp_path):
     for k in ("events_in", "live_rows", "max_lsn", "duration_s", "bytes_written"):
         assert k in m
     assert res.summary["events_in"] == sum(res.metrics["events_in"])
+    # exchange-volume observability: both phases report routed Arrow bytes
+    assert res.summary["p1_routed_mb"] > 0
+    assert res.summary["p2_routed_mb"] > 0
 
 
 def test_read_lake_streaming(log_dir, tmp_path):
