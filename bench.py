@@ -121,10 +121,21 @@ def run_bench() -> dict:
                     pass
 
     out_dir = f"/tmp/cdc_bench/lake_{ncpu}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    res = replay(log_dir, out_dir, ReplayConfig())  # adaptive blocks/partitions
-    t_replay = time.time() - t0
+    # Headline = min of 2 reps: this VM shows multi-×10-second contention
+    # bursts (a 78.8 s outlier was recorded in a session whose adjacent
+    # solo reps read 26.7/29.3 s), and a single-shot headline would pin a
+    # burst into the round's record.  Both walls are reported
+    # (replay_all_sec) so the spread stays visible.
+    # (scaling mode keeps 1 rep per process — run_scaling already takes a
+    # min over 3 interleaved fresh-process reps per cpu level)
+    n_reps = 1 if os.environ.get("BENCH_ONLY_REPLAY") else 2
+    replay_all = []
+    for _ in range(n_reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = replay(log_dir, out_dir, ReplayConfig())  # adaptive blocks/partitions
+        replay_all.append(round(time.time() - t0, 3))
+    t_replay = min(replay_all)
 
     queries: dict[str, float] = {"cdc_replay": round(t_replay, 3)}
 
@@ -139,6 +150,7 @@ def run_bench() -> dict:
             "events": n_events,
             "events_per_sec": round(n_events / t_replay, 1),
             "live_rows": res.summary["live_rows"],
+            "replay_all_sec": replay_all,
             **host_calibration(),
         }
         ray.shutdown()
@@ -185,6 +197,7 @@ def run_bench() -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / t_replay, 1),
         "live_rows": res.summary["live_rows"],
+        "replay_all_sec": replay_all,
         **host_calibration(),
     }
     ray.shutdown()
