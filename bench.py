@@ -113,12 +113,15 @@ def run_bench() -> dict:
     from sql_etl_pipeline_ray.pipelines.replay import replay
 
     log_dir, n_events = ensure_bench_log(sf)
-    # Warm the OS page cache so we measure compute+shuffle, not first read.
-    for root, _, files in os.walk(log_dir):
-        for f in files:
-            with open(os.path.join(root, f), "rb") as fh:
-                while fh.read(1 << 22):
-                    pass
+    # Warm the OS page cache so we measure compute+shuffle, not first read
+    # (the sf tables too: the first query otherwise pays the cold read —
+    # flagship measured 10.5 s cold vs 4.9-5.5 s warm at sf0.1).
+    for d in (log_dir, sf_dir):
+        for root, _, files in os.walk(d):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
 
     out_dir = f"/tmp/cdc_bench/lake_{ncpu}"
     # Headline = min of 2 reps: this VM shows multi-×10-second contention
@@ -157,12 +160,20 @@ def run_bench() -> dict:
         return result
 
     def timed(name, fn):
-        t = time.time()
-        out = fn(sf_dir)
-        # consume lazily-built results
-        if hasattr(out, "count") and not isinstance(out, (int, float)):
-            out.count()
-        queries[name] = round(time.time() - t, 3)
+        # min-of-2 per query for the same reason as the headline: this VM
+        # throws random ~10 s contention stalls that land on 1-2 queries
+        # per run (different victims each time).  Actor pools are
+        # per-execution in Ray Data, so the second rep re-pays pool
+        # startup — the min measures the engine, not a warmer pool.
+        walls = []
+        for _ in range(2):
+            t = time.time()
+            out = fn(sf_dir)
+            # consume lazily-built results
+            if hasattr(out, "count") and not isinstance(out, (int, float)):
+                out.count()
+            walls.append(time.time() - t)
+        queries[name] = round(min(walls), 3)
 
     timed("cdc_flagship_documents", lambda d: run_flagship(d))
     timed("cdc_lww_latest_event", A.cdc_lww_latest_event)
