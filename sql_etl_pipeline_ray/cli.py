@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--max-polls", type=int, default=None)
     t.add_argument("--stop-after-idle", type=int, default=3)
 
+    c = sub.add_parser(
+        "convert",
+        help="convert CSV/JSONL change-log buckets to Parquet staging "
+        "(then replay the staging dir as usual)",
+    )
+    c.add_argument("src_dir")
+    c.add_argument("staging_dir")
+
     a = sub.add_parser(
         "analytics", help="run named analytics queries, save CSV results"
     )
@@ -143,6 +151,10 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
             )
             print(json.dumps(res.summary))
+        elif args.cmd == "convert":
+            from .sources.textlog import convert_text_log
+
+            print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
         elif args.cmd == "tail":
             from .pipelines.replay import tail_change_log
 

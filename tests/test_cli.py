@@ -33,3 +33,23 @@ def test_cli_gen_replay_status_resume(tmp_path):
 
     res = run_cli("--num-cpus", "4", "replay", log, lake, "--resume")
     assert res["partitions_committed"] == 0  # caught up: exactly-once no-op
+
+
+def test_cli_convert_csv_then_replay(tmp_path):
+    import pyarrow.csv as pacsv
+
+    from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, generate_change_log
+
+    events = generate_change_log(ChangeLogSpec(n_events=2000, n_keys=200, seed=9))
+    src = tmp_path / "csvlog"
+    os.makedirs(src)
+    half = len(events) // 2
+    pacsv.write_csv(events.slice(0, half), str(src / "b0.csv"))
+    pacsv.write_csv(events.slice(half), str(src / "b1.csv"))
+
+    staging, lake = str(tmp_path / "staging"), str(tmp_path / "lake")
+    conv = run_cli("--num-cpus", "4", "convert", str(src), staging)
+    assert conv["files_converted"] == 2 and conv["rows_converted"] == 2000
+
+    rep = run_cli("--num-cpus", "4", "replay", staging, lake, "--partitions", "4")
+    assert rep["events_in"] == 2000 and rep["partitions_committed"] == 4
