@@ -1189,20 +1189,34 @@ def _replay_groupby(
     )
 
 
-def read_lake(out_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Read the committed lake (manifest-listed files ONLY)."""
+def read_lake(
+    out_dir: str,
+    columns: list[str] | None = None,
+    filter: Any | None = None,
+) -> ray.data.Dataset:
+    """Read the committed lake (manifest-listed files ONLY).
+
+    ``columns`` prunes the projection and ``filter`` (a
+    ``pyarrow.dataset`` expression, e.g. ``pc.field("lang") == "py"``)
+    pushes the predicate into the Parquet scan — row groups whose
+    statistics exclude the predicate are skipped before a byte of data is
+    decoded, so a selective lake query reads only what it returns."""
     manifests = mf.read_all_manifests(out_dir)
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
+        # empty lake: a filter over zero rows is a no-op
         return ray.data.from_arrow(REPO_FILES_SCHEMA.empty_table())
+    kwargs: dict[str, Any] = {}
+    if filter is not None:
+        kwargs["filter"] = filter
     # The part=K dirs are the sink's layout, not a hive column — do not
     # resurrect them into the schema.  partitioning=None does that, but Ray
     # 2.49's reader crashes on partitioning=None + columns together
     # (UnboundLocalError in parquet_datasource), so with an explicit column
     # list we rely on the projection excluding the hive column instead.
     if columns is not None:
-        return ray.data.read_parquet(files, columns=columns)
-    return ray.data.read_parquet(files, partitioning=None)
+        return ray.data.read_parquet(files, columns=columns, **kwargs)
+    return ray.data.read_parquet(files, partitioning=None, **kwargs)
 
 
 def lake_table(out_dir: str) -> pa.Table:

@@ -178,6 +178,19 @@ def test_read_lake_streaming(log_dir, tmp_path):
     assert set(ds.schema().names) == {"repo", "path", "lsn"}
 
 
+def test_read_lake_filter_pushdown(log_dir, tmp_path):
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    want = replay_oracle(read_log_files(log_dir))
+    want_py = want[want["lang"] == "py"]
+    ds = read_lake(out, columns=["repo", "path", "lang"], filter=pads.field("lang") == "py")
+    got = ds.to_pandas()
+    assert len(got) == len(want_py) > 0
+    assert set(got["lang"]) == {"py"}
+
+
 def test_all_exchange_strategies_identical(log_dir, tmp_path):
     """late / actor / groupby must produce byte-identical lake digests."""
     digests = {}
