@@ -209,6 +209,10 @@ def run_bench() -> dict:
         "events_per_sec": round(n_events / t_replay, 1),
         "live_rows": res.summary["live_rows"],
         "replay_all_sec": replay_all,
+        # exchange network volume per phase (Arrow bytes measured
+        # actor-side) — the scale-relevant number a wall clock can't show
+        "p1_routed_mb": res.summary.get("p1_routed_mb"),
+        "p2_routed_mb": res.summary.get("p2_routed_mb"),
         **host_calibration(),
     }
     ray.shutdown()
