@@ -99,3 +99,34 @@ def test_csv_evolved_extra_column_survives(tmp_path):
     replay(str(tmp_path / "staging"), str(tmp_path / "lake"), ReplayConfig(num_partitions=4))
     lake = lake_table(str(tmp_path / "lake"))
     assert "size_bytes" in lake.column_names
+
+
+def test_csv_adversarial_content_roundtrip(tmp_path):
+    """Quotes, commas, CRLF, unicode, and leading/trailing spaces in
+    content must survive the CSV round trip byte-exactly (keys are
+    trimmed by the engine, content must NOT be)."""
+    events = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": ["I", "I", "I", "U"],
+            "repo": ["org/r1", "org/r2", "org/r3", "org/r1"],
+            "path": ["a.py", "b.py", "c.py", "a.py"],
+            "commit": ["c1", "c2", "c3", "c4"],
+            "lang": ["py", "py", "py", "py"],
+            "content": [
+                'say "hello", twice\r\nline2',
+                "naïve — ünïcödé ✓ 中文",
+                "  leading and trailing  ",
+                "a,b,c\n,d",
+            ],
+        }
+    )
+    src = tmp_path / "csvlog"
+    os.makedirs(src)
+    pacsv.write_csv(events, str(src / "b0.csv"))
+    convert_text_log(str(src), str(tmp_path / "staging"))
+    replay(str(tmp_path / "staging"), str(tmp_path / "lake"), ReplayConfig(num_partitions=2))
+    got = lake_table(str(tmp_path / "lake")).to_pandas().set_index("path")["content"]
+    assert got["a.py"] == "a,b,c\n,d"  # U@4 wins over I@1
+    assert got["b.py"] == "naïve — ünïcödé ✓ 中文"
+    assert got["c.py"] == "  leading and trailing  "
