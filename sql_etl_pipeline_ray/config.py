@@ -128,6 +128,17 @@ class SinkConfig:
     # Write one file per partition per epoch; partitions are the resume unit.
     # (SURVEY.md §7 M3: temp write → atomic rename → manifest CAS.)
 
+    # Write-time clustering: sort each partition file by (repo, path)
+    # before commit.  Rows otherwise land in key-HASH order (random w.r.t.
+    # the real keys), so Parquet row-group statistics on repo/path are
+    # useless to a filtered reader; clustered files let
+    # ``read_lake(filter=pads.field("repo") == ...)`` skip row groups at
+    # the scan, and similar keys compress better.  Costs one string sort
+    # per partition at commit (pay-at-write for read pruning) — default
+    # OFF to keep the ingest-bound headline unburdened; turn on for lakes
+    # that serve selective key-range queries.
+    cluster_by_key: bool = False
+
 
 def bench_cpus() -> int:
     """Parallelism level for bench runs (driver contract: RAY_GRAFT_CPUS)."""

@@ -109,6 +109,11 @@ def _commit_with_metrics(
     part: int, final: pa.Table, stats: dict, args: dict
 ) -> dict[str, Any]:
     t_start = time.time()
+    if args.get("cluster_by_key") and len(final):
+        # Write-time clustering (SinkConfig.cluster_by_key): key-sorted
+        # files give repo/path row-group statistics real pruning power for
+        # filtered readers; see the config docstring for the trade.
+        final = final.sort_by([(k, "ascending") for k in KEY_COLUMNS])
     stats = dict(stats)
     stats["num_partitions"] = args["num_partitions"]
     stats["key_hash_version"] = KEY_HASH_VERSION
@@ -924,6 +929,7 @@ def replay(
         "prior_epochs": prior_epochs,
         "num_partitions": num_partitions,
         "compression": sink.compression,
+        "cluster_by_key": sink.cluster_by_key,
     }
 
     phase_times: dict[str, float] = {}

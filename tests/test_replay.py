@@ -399,3 +399,32 @@ def test_winner_filter_multi_matches_single():
 
     # all-empty input
     assert not winner_membership(make_winner_filter_multi([]), probe).any()
+
+
+def test_cluster_by_key_sorted_files_same_lake(log_dir, tmp_path):
+    """SinkConfig(cluster_by_key=True) must write key-sorted partition
+    files (row-group stats become useful to filtered readers) with the
+    SAME lake content as the default hash-ordered sink."""
+    from sql_etl_pipeline_ray.config import SinkConfig
+    from sql_etl_pipeline_ray.state import manifest as mf
+    import pyarrow.parquet as pq_
+
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    replay(log_dir, plain, ReplayConfig(num_partitions=4))
+    replay(
+        log_dir, clustered, ReplayConfig(num_partitions=4),
+        sink=SinkConfig(out_dir=clustered, cluster_by_key=True),
+    )
+    a = lake_table(plain)
+    b = lake_table(clustered)
+    assert a.equals(b)  # lake_table sorts by key — content identical
+    files = mf.manifest_data_files(clustered, mf.read_all_manifests(clustered))
+    checked = 0
+    for f in files:
+        t = pq_.read_table(f, columns=["repo", "path"])
+        if len(t) < 2:
+            continue
+        keys = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
+        assert keys == sorted(keys), f"{f} not key-sorted"
+        checked += 1
+    assert checked > 0
