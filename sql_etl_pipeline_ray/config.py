@@ -128,6 +128,14 @@ class SinkConfig:
     # Write one file per partition per epoch; partitions are the resume unit.
     # (SURVEY.md §7 M3: temp write → atomic rename → manifest CAS.)
 
+    # Epoch-file grace window for concurrent readers: how many epochs'
+    # data files survive lazy GC at commit (1 = current only, the
+    # default).  A reader that loaded the previous manifest just before a
+    # commit still holds the old file name; keep_epochs=2 lets that read
+    # finish (costing up to 2x lake disk between commits) — set it for
+    # lakes served while a tail_change_log loop commits.
+    keep_epochs: int = 1
+
     # Write-time clustering: sort each partition file by (repo, path)
     # before commit.  Rows otherwise land in key-HASH order (random w.r.t.
     # the real keys), so Parquet row-group statistics on repo/path are

@@ -122,6 +122,7 @@ def _commit_with_metrics(
     m = mf.commit_partition(
         args["sink_dir"], part, epoch, final, stats, digest,
         compression=args["compression"],
+        keep_epochs=args.get("keep_epochs", 1),
     )
     metrics = {
         **stats,
@@ -930,6 +931,7 @@ def replay(
         "num_partitions": num_partitions,
         "compression": sink.compression,
         "cluster_by_key": sink.cluster_by_key,
+        "keep_epochs": sink.keep_epochs,
     }
 
     phase_times: dict[str, float] = {}

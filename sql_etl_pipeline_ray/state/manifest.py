@@ -57,12 +57,24 @@ def commit_partition(
     stats: dict[str, Any],
     digest: str,
     compression: str = "zstd",
+    keep_epochs: int = 1,
 ) -> dict[str, Any]:
     """Atomically commit one partition's full state for an epoch.
 
     Always whole-partition epochs, never appends (SURVEY.md §7 known-hard
     #1): the data file for epoch E fully replaces epoch E-1's; the manifest
     swap is the commit point.
+
+    ``keep_epochs``: how many epochs' data files survive GC (default 1 =
+    current only).  A reader that loaded the previous manifest just before
+    the swap still holds the OLD file name — with ``keep_epochs=1`` lazy
+    GC deletes that file immediately and the in-flight read crashes.
+    ``keep_epochs=2`` gives concurrent readers a one-epoch grace window
+    (at the cost of up to 2× lake disk between commits) — the right
+    setting for lakes served while a ``tail_change_log`` loop commits.
+    Readers always see exactly one consistent epoch (the manifest is the
+    single commit point); this knob only controls how long superseded
+    files linger for reads already in flight.
     """
     pdir = partition_dir(out_dir, part)
     os.makedirs(pdir, exist_ok=True)
@@ -84,13 +96,24 @@ def commit_partition(
     _atomic_write_bytes(
         os.path.join(pdir, MANIFEST_NAME), json.dumps(manifest, indent=1).encode()
     )
-    # Lazy GC: superseded epoch files are no longer referenced; remove them.
+    # Lazy GC: epoch files older than the grace window are unreferenced
+    # by any manifest a reader could still be acting on; remove them.
+    floor = epoch - max(1, keep_epochs) + 1
     for f in os.listdir(pdir):
-        if f.startswith("data-") and f not in manifest["files"] and not f.endswith(".inprogress"):
+        if (
+            f.startswith("data-e")
+            and f.endswith(".parquet")
+            and f not in manifest["files"]
+        ):
             try:
-                os.unlink(os.path.join(pdir, f))
-            except OSError:
-                pass
+                e = int(f[len("data-e"):-len(".parquet")])
+            except ValueError:
+                continue
+            if e < floor:
+                try:
+                    os.unlink(os.path.join(pdir, f))
+                except OSError:
+                    pass
     return manifest
 
 

@@ -88,3 +88,40 @@ def test_sigkill_mid_replay_then_resume_matches_oracle(tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(want.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_keep_epochs_grace_window(tmp_path):
+    """keep_epochs=2 retains the previous epoch's data file through a
+    commit (in-flight readers of the old manifest can finish); the default
+    keep_epochs=1 removes it.  Readers always see only the new manifest."""
+    import glob as _glob
+
+    from sql_etl_pipeline_ray.config import ReplayConfig, SinkConfig
+    from sql_etl_pipeline_ray.pipelines.replay import lake_table, replay
+    from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_events=1500, n_keys=200, num_buckets=2), log)
+
+    graced = str(tmp_path / "graced")
+    sink = SinkConfig(out_dir=graced, keep_epochs=2)
+    replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 0
+    replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 1
+    files = sorted(_glob.glob(os.path.join(graced, "part=0", "data-e*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        "data-e0.parquet", "data-e1.parquet",
+    ]
+    # a third commit expires epoch 0 (window slides)
+    replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 2
+    files = sorted(_glob.glob(os.path.join(graced, "part=0", "data-e*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        "data-e1.parquet", "data-e2.parquet",
+    ]
+    # readers see exactly the committed epoch (manifest-listed file only)
+    assert len(lake_table(graced)) > 0
+
+    plain = str(tmp_path / "plain")
+    replay(log, plain, ReplayConfig(num_partitions=2))
+    replay(log, plain, ReplayConfig(num_partitions=2))
+    files = sorted(_glob.glob(os.path.join(plain, "part=0", "data-e*.parquet")))
+    assert [os.path.basename(f) for f in files] == ["data-e1.parquet"]
