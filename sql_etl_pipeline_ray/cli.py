@@ -65,6 +65,16 @@ def main(argv: list[str] | None = None) -> int:
         help="raise on invalid events before any commit instead of "
         "dropping them (drop_invalid=False)",
     )
+    r.add_argument(
+        "--cluster-by-key", action="store_true",
+        help="sort partition files by (repo, path) at commit so filtered "
+        "readers can prune row groups (pay-at-write)",
+    )
+    r.add_argument(
+        "--keep-epochs", type=int, default=1,
+        help="epochs of data files retained through commits (2 = grace "
+        "window for readers concurrent with a tail loop)",
+    )
 
     t = sub.add_parser(
         "tail", help="micro-batch streaming: poll the log, resume-replay new buckets"
@@ -136,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "replay":
-            from .config import ReplayConfig
+            from .config import ReplayConfig, SinkConfig
             from .pipelines.replay import replay
 
             res = replay(
@@ -147,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
                     exchange=args.exchange,
                     quarantine_dir=args.quarantine_dir,
                     drop_invalid=not args.strict,
+                ),
+                sink=SinkConfig(
+                    out_dir=args.lake_dir,
+                    cluster_by_key=args.cluster_by_key,
+                    keep_epochs=args.keep_epochs,
                 ),
                 resume=args.resume,
             )
