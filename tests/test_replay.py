@@ -428,3 +428,32 @@ def test_cluster_by_key_sorted_files_same_lake(log_dir, tmp_path):
         assert keys == sorted(keys), f"{f} not key-sorted"
         checked += 1
     assert checked > 0
+
+
+def test_bucket_missing_canonical_column_null_fills(tmp_path):
+    """A log bucket that predates a canonical column (here: no 'lang')
+    must replay cleanly — conform null-fills it — and a later bucket that
+    has the column wins per key as usual."""
+    spec = ChangeLogSpec(n_keys=100, n_events=600, num_buckets=2, seed=13)
+    events = generate_change_log(spec)
+    half = len(events) // 2
+    old_bucket = events.slice(0, half).drop_columns(["lang"])
+    new_bucket = events.slice(half)
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    pq.write_table(old_bucket, os.path.join(d, "bucket-000.parquet"))
+    pq.write_table(new_bucket, os.path.join(d, "bucket-001.parquet"))
+    out = str(tmp_path / "lake")
+    res = replay(d, out, ReplayConfig(num_partitions=4))
+    assert res.summary["events_in"] == 600
+    got = lake_table(out).to_pandas()
+    # oracle over the same shape: lang nulled for the first half
+    ev = events.to_pandas()
+    ev.loc[: half - 1, "lang"] = None
+    want = replay_oracle(pa.Table.from_pandas(ev, preserve_index=False))
+    got = got[want.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False
+    )
+    # keys whose winner came from the old bucket carry null lang
+    assert got["lang"].isna().any() and got["lang"].notna().any()
