@@ -1217,6 +1217,28 @@ def read_lake(
     kwargs: dict[str, Any] = {}
     if filter is not None:
         kwargs["filter"] = filter
+    # Partition files can disagree on schema after a partial-evolution
+    # resume (a resume whose new events touch only some partitions recommits
+    # those with evolved columns; untouched partitions keep their old files
+    # — by design, they are exactly-once no-ops).  Ray 2.49's reader infers
+    # the schema from ONE file, which SILENTLY DROPS evolved columns from a
+    # plain read and raises KeyError on a projection naming one — so detect
+    # mixedness from the manifests' schema fingerprints (no I/O) and, only
+    # then, pass the footer-unified schema explicitly.  columns= and
+    # schema= don't compose in this Ray version, so the mixed+projection
+    # case selects after the read.
+    fingerprints = {
+        json.dumps(m.get("schema_fingerprint")) for m in manifests.values()
+    }
+    if len(fingerprints) > 1:
+        unified = pa.unify_schemas(
+            [pq.ParquetFile(f).schema_arrow for f in files],
+            promote_options="permissive",
+        )
+        ds = ray.data.read_parquet(
+            files, partitioning=None, schema=unified, **kwargs
+        )
+        return ds.select_columns(columns) if columns is not None else ds
     # The part=K dirs are the sink's layout, not a hive column — do not
     # resurrect them into the schema.  partitioning=None does that, but Ray
     # 2.49's reader crashes on partitioning=None + columns together

@@ -457,3 +457,34 @@ def test_bucket_missing_canonical_column_null_fills(tmp_path):
     )
     # keys whose winner came from the old bucket carry null lang
     assert got["lang"].isna().any() and got["lang"].notna().any()
+
+
+def test_read_lake_mixed_partition_schemas_after_partial_evolution(tmp_path):
+    """A resume whose new (evolved) events touch only SOME partitions
+    leaves the lake with mixed-schema partition files (untouched
+    partitions are exactly-once no-ops).  read_lake must surface the
+    union schema — Ray's reader otherwise silently drops the evolved
+    column on a plain read and raises on a projection naming it."""
+    log = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_events=1000, n_keys=150, num_buckets=2, seed=7), log)
+    out = str(tmp_path / "lake")
+    replay(log, out, ReplayConfig(num_partitions=4))
+    b2 = pa.table(
+        {
+            "lsn": pa.array([10_000_000], pa.int64()), "op": ["I"],
+            "repo": ["zzz/solo"], "path": ["only.py"], "commit": ["c"],
+            "lang": ["py"], "content": ["x"],
+            "size_bytes": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(b2, os.path.join(log, "bucket-extra.parquet"))
+    res = replay(log, out, ReplayConfig(num_partitions=4), resume=True)
+    assert 0 < res.summary["partitions_committed"] < 4  # genuinely mixed
+    n = len(lake_table(out))
+    ds = read_lake(out)
+    assert "size_bytes" in ds.schema().names
+    assert ds.count() == n
+    proj = read_lake(out, columns=["repo", "size_bytes"])
+    got = proj.to_pandas()
+    assert len(got) == n
+    assert got["size_bytes"].notna().sum() == 1
