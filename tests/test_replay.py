@@ -488,3 +488,39 @@ def test_read_lake_mixed_partition_schemas_after_partial_evolution(tmp_path):
     got = proj.to_pandas()
     assert len(got) == n
     assert got["size_bytes"].notna().sum() == 1
+
+
+def test_resume_preserves_evolved_prior_values_in_mixed_lake(tmp_path):
+    """Second resume over a mixed-schema lake: a prior row whose evolved
+    column lives only in SOME partition files must re-enter the fold with
+    its value intact (a reader that drops the column would null it
+    silently — the conform stage would hide the loss as null-fill)."""
+
+    def one_event(lsn, repo, path, **extra):
+        cols = {
+            "lsn": pa.array([lsn], pa.int64()), "op": ["I"], "repo": [repo],
+            "path": [path], "commit": ["c"], "lang": ["py"], "content": ["x"],
+        }
+        for k, v in extra.items():
+            cols[k] = pa.array([v], pa.int64())
+        return pa.table(cols)
+
+    log = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_events=1000, n_keys=150, num_buckets=2, seed=7), log)
+    out = str(tmp_path / "lake")
+    replay(log, out, ReplayConfig(num_partitions=4))
+    pq.write_table(
+        one_event(10_000_000, "zzz/solo", "only.py", size_bytes=7),
+        os.path.join(log, "bucket-extra.parquet"),
+    )
+    replay(log, out, ReplayConfig(num_partitions=4), resume=True)  # mixed lake
+    # second key chosen to hash into solo's partition so that partition
+    # recommits and the evolved prior row re-enters through phase 2
+    pq.write_table(
+        one_event(20_000_000, "zzz/other", "other0.py"),
+        os.path.join(log, "bucket-extra2.parquet"),
+    )
+    replay(log, out, ReplayConfig(num_partitions=4), resume=True)
+    lt = lake_table(out).to_pandas().set_index("path")
+    assert lt.loc["only.py", "size_bytes"] == 7
+    assert pd.isna(lt.loc["other0.py", "size_bytes"])
