@@ -201,3 +201,43 @@ def test_fold_latest_fills_null_partial_agg_columns():
     mixed2 = pa.concat_tables([folded, raw_u], promote_options="permissive")
     out2 = fold_latest(mixed2, keep_tombstones=True).sort_by("repo")
     assert out2.column(HAD_INSERT_COL).to_pylist() == [True, False]
+
+
+def test_fold_compose_property():
+    """Property: for ANY event table and ANY split, folding the parts with
+    tombstones kept and then finalizing equals finalizing the whole —
+    the algebraic contract that makes the combiner safe to fire on any
+    subset of batches (hypothesis-driven shapes: op mixes, key reuse,
+    orphan updates/deletes, singleton and empty splits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=1, max_value=40))
+        keys = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from(["r1", "r2"]),
+                          st.sampled_from(["a", "b", "c", "d"])),
+                min_size=n, max_size=n,
+            )
+        )
+        ops = data.draw(st.lists(st.sampled_from(["I", "U", "D"]), min_size=n, max_size=n))
+        lsns = data.draw(st.permutations(list(range(1, n + 1))))
+        tbl = events(
+            [(lsns[i], ops[i], keys[i][0], keys[i][1]) for i in range(n)]
+        )
+        split = data.draw(st.integers(min_value=0, max_value=n))
+        once, stats_once = finalize_partition(tbl, REPO_FILES_SCHEMA)
+        parts = [tbl.slice(0, split), tbl.slice(split)]
+        folded = [fold_latest(p, keep_tombstones=True) for p in parts if len(p)]
+        twice, stats_twice = finalize_partition(
+            pa.concat_tables(folded, promote_options="permissive"), REPO_FILES_SCHEMA
+        )
+        assert once.sort_by("path").equals(twice.sort_by("path"))
+        for k in ("events_in", "keys_seen", "deleted_keys",
+                  "orphan_events_applied", "orphan_deletes", "live_rows"):
+            assert stats_once[k] == stats_twice[k], k
+
+    run()
