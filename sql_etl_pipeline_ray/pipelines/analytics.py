@@ -1295,39 +1295,97 @@ def inventory_optimization(sf_dir: str) -> ray.data.Dataset:
     closed-form in the DuckDB oracle) — the query shape (two aggregate CTEs,
     LEFT JOIN, ladders, COALESCE 999) is what's under test.
 
-    Shuffle plan: filter orders to the 90-day window FIRST (small fraction
-    of rows), hash-join lineitem⋈orders on orderkey, one groupby on
-    l_partkey, then part LEFT JOIN the (part-sized, small) velocity agg."""
+    Shuffle plan: the 90-day window is a small, TIME-BOUNDED slice of
+    orders, so the predicate pushes into the orders read (row groups
+    outside the window skip via stats) and the surviving (orderkey,
+    orderdate) pairs broadcast as two sorted arrays — lineitem attaches the
+    date with one vectorized searchsorted per batch, so the big side never
+    enters a join shuffle (interleaved A/B at sf0.1: see BASELINE.md).
+    Guard: a window above ~32M rows (~0.5 GB of key+date per worker)
+    outgrows the broadcast and falls back to the hash join — same result,
+    shuffle-based.  Then one hash agg on l_partkey and a part-sized LEFT
+    JOIN."""
+    import pyarrow.dataset as pads
+
     anchor = _orders_anchor(sf_dir)
     start = anchor - pd.Timedelta(days=90)
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
-
-    def keep(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), pa.scalar(start)),
-            pc.not_equal(t.column("o_orderstatus"), pa.scalar("F")),
-        )
-        return t.filter(mask).drop_columns(["o_orderstatus"])
-
-    o_win = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     items = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
-    vel = _hash_agg(
-        items.join(
-            o_win,
-            join_type="inner",
-            num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
-            on=("l_orderkey",),
-            right_on=("o_orderkey",),
-        ),
-        ["l_partkey"],
-        {
-            # l_quantity is integer-valued → float sums exact in any order
-            "order_frequency": ("l_quantity", "size"),
-            "total_sold_90days": ("l_quantity", "sum"),
-            "last_sale_date": ("o_orderdate", "max"),
-        },
-        _join_partitions(sf_dir, "lineitem", "orders"),
+    win_filter = (pads.field("o_orderdate") >= pa.scalar(start)) & (
+        pads.field("o_orderstatus") != "F"
     )
+    win = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=win_filter,
+    )
+    agg_spec = {
+        # l_quantity is integer-valued → float sums exact in any order
+        "order_frequency": ("l_quantity", "size"),
+        "total_sold_90days": ("l_quantity", "sum"),
+        "last_sale_date": ("o_orderdate", "max"),
+    }
+    if win.count() <= 32_000_000:
+        wtbl = win.to_pandas()
+        order = np.argsort(wtbl["o_orderkey"].to_numpy())
+        win_ref = ray.put(
+            (
+                wtbl["o_orderkey"].to_numpy()[order],
+                wtbl["o_orderdate"].to_numpy()[order],
+            )
+        )
+
+        class AttachWindowDate:
+            """Map-side window join: sorted-key searchsorted + date gather."""
+
+            def __init__(self):
+                self.keys, self.dates = ray.get(win_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+                if len(self.keys):
+                    idx = np.minimum(
+                        np.searchsorted(self.keys, ok), len(self.keys) - 1
+                    )
+                    hit = self.keys[idx] == ok
+                else:
+                    hit = np.zeros(len(ok), dtype=bool)
+                sub = t.filter(pa.array(hit))
+                dates = (
+                    self.dates[idx[hit]]
+                    if len(self.keys)
+                    else self.dates[:0]
+                )
+                return pa.table(
+                    {
+                        "l_partkey": sub.column("l_partkey"),
+                        "l_quantity": sub.column("l_quantity"),
+                        "o_orderdate": pa.array(dates),
+                    }
+                )
+
+        joined_items = items.map_batches(
+            AttachWindowDate,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=autoscale_pool(),
+        )
+        vel = _hash_agg(
+            joined_items, ["l_partkey"], agg_spec,
+            _join_partitions(sf_dir, "lineitem"),
+        )
+    else:  # window outgrew the broadcast — shuffle-based join, same result
+        vel = _hash_agg(
+            items.join(
+                win,
+                join_type="inner",
+                num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            ),
+            ["l_partkey"],
+            agg_spec,
+            _join_partitions(sf_dir, "lineitem", "orders"),
+        )
     parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
     joined = parts.join(
         vel,
