@@ -607,23 +607,21 @@ def top3_parts_per_brand(sf_dir: str) -> ray.data.Dataset:
 
 
 def orders_filter_window(sf_dir: str) -> pa.Table:
-    """M8-M10: status + time-window filters (Arrow expression pushdown, not
-    a Python row filter), then a grouped count/sum."""
-    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderdate", "o_totalprice", "o_orderpriority"])
+    """M8-M10: status + time-window filters pushed INTO the Parquet scan —
+    row groups outside the window never decode (prune at the read), then a
+    grouped count/sum."""
+    import pyarrow.dataset as pads
 
-    def keep(t: pa.Table) -> pa.Table:
-        d = t.column("o_orderdate")
-        mask = pc.and_(
-            pc.not_equal(t.column("o_orderstatus"), pa.scalar("F")),
-            pc.and_(
-                pc.greater_equal(d, pa.scalar(pd.Timestamp("1997-01-01"))),
-                pc.less(d, pa.scalar(pd.Timestamp("1998-01-01"))),
-            ),
-        )
-        return t.filter(mask)
+    d = pads.field("o_orderdate")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice", "o_orderpriority"],
+        filter=(pads.field("o_orderstatus") != "F")
+        & (d >= pa.scalar(pd.Timestamp("1997-01-01")))
+        & (d < pa.scalar(pd.Timestamp("1998-01-01"))),
+    )
 
     def keep_cents(t: pa.Table) -> pa.Table:
-        t = keep(t)
         return pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),
@@ -1613,12 +1611,14 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     broadcast the sorted key array once via ``ray.put``, then a vectorized
     not-in filter over customers — no big-big shuffle join for an
     existence check."""
-    recent = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(t.column("o_orderdate"), pa.scalar(pd.Timestamp("2000-01-01")))
-        ).drop_columns(["o_orderdate"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    import pyarrow.dataset as pads
+
+    # window predicate pushed into the scan: row groups wholly before the
+    # cutoff never decode
+    recent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pa.scalar(pd.Timestamp("2000-01-01")),
     )
     keys = (
         recent.groupby("o_custkey")
