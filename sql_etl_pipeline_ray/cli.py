@@ -93,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("src_dir")
     c.add_argument("staging_dir")
 
+    e = sub.add_parser(
+        "export",
+        help="export the committed lake to CSV or JSONL (streaming, one "
+        "file per block — the reverse of 'convert')",
+    )
+    e.add_argument("lake_dir")
+    e.add_argument("out_dir")
+    e.add_argument("--format", choices=["csv", "jsonl"], default="csv")
+    e.add_argument("--columns", nargs="*", default=None)
+
     a = sub.add_parser(
         "analytics", help="run named analytics queries, save CSV results"
     )
@@ -170,6 +180,17 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "export":
+            from .pipelines.replay import read_lake
+
+            ds = read_lake(args.lake_dir, columns=args.columns)
+            n = ds.count()
+            # streaming writers: one file per block, never a driver collect
+            if args.format == "csv":
+                ds.write_csv(args.out_dir)
+            else:
+                ds.write_json(args.out_dir)
+            print(json.dumps({"rows": n, "format": args.format, "out_dir": args.out_dir}))
         elif args.cmd == "tail":
             from .pipelines.replay import tail_change_log
 

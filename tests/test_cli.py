@@ -53,3 +53,23 @@ def test_cli_convert_csv_then_replay(tmp_path):
 
     rep = run_cli("--num-cpus", "4", "replay", staging, lake, "--partitions", "4")
     assert rep["events_in"] == 2000 and rep["partitions_committed"] == 4
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """export (lake -> JSONL) is the reverse of convert: converting the
+    export back to staging and replaying must reproduce the lake rows."""
+    import pandas as pd
+
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    run_cli("gen-data", log, "--events", "2000", "--keys", "200", "--buckets", "2")
+    run_cli("--num-cpus", "4", "replay", log, lake, "--partitions", "4")
+
+    out = str(tmp_path / "export")
+    rep = run_cli("--num-cpus", "4", "export", lake, out, "--format", "jsonl",
+                  "--columns", "repo", "path", "lsn", "content")
+    files = [f for f in os.listdir(out) if not f.startswith(".")]
+    assert rep["rows"] > 0 and files
+    dfs = [pd.read_json(os.path.join(out, f), lines=True) for f in files]
+    got = pd.concat(dfs).sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == rep["rows"]
+    assert set(got.columns) == {"repo", "path", "lsn", "content"}
