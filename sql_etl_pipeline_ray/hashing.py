@@ -94,10 +94,30 @@ def sha256_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
         arr = arr.combine_chunks()
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.large_binary())
-    out: list[str | None] = []
-    for v in arr:
-        buf = v.as_buffer() if v.is_valid else None
-        out.append(hashlib.sha256(buf).hexdigest() if buf is not None else None)
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    # The digest itself is inherently per-row, but iterating Arrow SCALARS
+    # is not: one pyarrow scalar + as_buffer allocation per row measured
+    # ~2x the raw hash cost on KB-scale contents.  Slice the values buffer
+    # directly through one memoryview over int64 offsets instead.
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+    )
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    valid = (
+        arr.is_valid().to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    sha = hashlib.sha256
+    out: list[str | None] = [None] * n
+    if valid is None:
+        for i in range(n):
+            out[i] = sha(data[offsets[i]:offsets[i + 1]]).hexdigest()
+    else:
+        for i in range(n):
+            if valid[i]:
+                out[i] = sha(data[offsets[i]:offsets[i + 1]]).hexdigest()
     return pa.array(out, type=pa.string())
 
 
