@@ -847,6 +847,14 @@ def replay(
             "quarantine_dir requires exchange='late' (the default); "
             f"exchange={cfg.exchange!r} cannot capture rejects idempotently"
         )
+    if sink is not None and sink.out_dir != out_dir:
+        # Two sources of truth for the lake location is a silent-misroute
+        # footgun (the manifests land where ``sink`` points while resume
+        # reads where ``out_dir`` points).  Require agreement.
+        raise ValueError(
+            f"sink.out_dir={sink.out_dir!r} disagrees with out_dir="
+            f"{out_dir!r}; pass SinkConfig(out_dir=<same path>, ...)"
+        )
     sink = sink or SinkConfig(out_dir=out_dir)
     t0 = time.time()
 
@@ -1201,6 +1209,7 @@ def read_lake(
     out_dir: str,
     columns: list[str] | None = None,
     filter: Any | None = None,
+    asof_epoch: int | None = None,
 ) -> ray.data.Dataset:
     """Read the committed lake (manifest-listed files ONLY).
 
@@ -1208,8 +1217,13 @@ def read_lake(
     ``pyarrow.dataset`` expression, e.g. ``pc.field("lang") == "py"``)
     pushes the predicate into the Parquet scan — row groups whose
     statistics exclude the predicate are skipped before a byte of data is
-    decoded, so a selective lake query reads only what it returns."""
-    manifests = mf.read_all_manifests(out_dir)
+    decoded, so a selective lake query reads only what it returns.
+
+    ``asof_epoch`` is a time-travel read: each partition resolves to its
+    snapshot manifest at the largest epoch ≤ ``asof_epoch`` (partitions
+    commit independently).  Reach equals ``SinkConfig.keep_epochs`` — a
+    GC'd snapshot raises rather than silently serving newer data."""
+    manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         # empty lake: a filter over zero rows is a no-op
@@ -1249,9 +1263,9 @@ def read_lake(
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
 
 
-def lake_table(out_dir: str) -> pa.Table:
+def lake_table(out_dir: str, asof_epoch: int | None = None) -> pa.Table:
     """Driver-side Arrow view of the lake — small/test scales only."""
-    manifests = mf.read_all_manifests(out_dir)
+    manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         return REPO_FILES_SCHEMA.empty_table()

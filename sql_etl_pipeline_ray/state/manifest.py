@@ -93,27 +93,41 @@ def commit_partition(
         "schema_fingerprint": [(f.name, str(f.type)) for f in table.schema],
         "stats": stats,
     }
-    _atomic_write_bytes(
-        os.path.join(pdir, MANIFEST_NAME), json.dumps(manifest, indent=1).encode()
-    )
-    # Lazy GC: epoch files older than the grace window are unreferenced
-    # by any manifest a reader could still be acting on; remove them.
+    payload = json.dumps(manifest, indent=1).encode()
+    # Snapshot manifest FIRST, current-pointer second: the epoch manifest
+    # (`manifest-e{N}.json`) is what time-travel reads resolve against, the
+    # plain `manifest.json` stays the single commit point for current-state
+    # readers.  Writing the snapshot first means a crash between the two
+    # writes leaves the lake at epoch N-1 with a harmless orphan snapshot
+    # (superseded on retry, GC'd with its data file).
+    _atomic_write_bytes(os.path.join(pdir, f"manifest-e{epoch}.json"), payload)
+    _atomic_write_bytes(os.path.join(pdir, MANIFEST_NAME), payload)
+    # Lazy GC: epoch files (data + snapshot manifests) older than the grace
+    # window are unreferenced by any manifest a reader could still be
+    # acting on; remove them.  Time-travel reach == keep_epochs, by design:
+    # a snapshot manifest never outlives the data file it lists.
     floor = epoch - max(1, keep_epochs) + 1
     for f in os.listdir(pdir):
-        if (
-            f.startswith("data-e")
-            and f.endswith(".parquet")
-            and f not in manifest["files"]
-        ):
+        e: int | None = None
+        if f.startswith("data-e") and f.endswith(".parquet"):
+            if f in manifest["files"]:
+                continue
             try:
                 e = int(f[len("data-e"):-len(".parquet")])
             except ValueError:
                 continue
-            if e < floor:
-                try:
-                    os.unlink(os.path.join(pdir, f))
-                except OSError:
-                    pass
+        elif f.startswith("manifest-e") and f.endswith(".json"):
+            try:
+                e = int(f[len("manifest-e"):-len(".json")])
+            except ValueError:
+                continue
+            if e == epoch:
+                continue
+        if e is not None and e < floor:
+            try:
+                os.unlink(os.path.join(pdir, f))
+            except OSError:
+                pass
     return manifest
 
 
@@ -126,21 +140,57 @@ def write_metrics(out_dir: str, part: int, metrics: dict[str, Any]) -> None:
     )
 
 
-def read_manifest(out_dir: str, part: int) -> dict[str, Any] | None:
-    p = os.path.join(partition_dir(out_dir, part), MANIFEST_NAME)
-    if not os.path.exists(p):
+def read_manifest(
+    out_dir: str, part: int, asof_epoch: int | None = None
+) -> dict[str, Any] | None:
+    """Current manifest, or — with ``asof_epoch`` — the snapshot manifest
+    with the largest epoch ≤ ``asof_epoch`` (partitions commit
+    independently, so a lake "as of epoch E" is each partition at its own
+    latest epoch not beyond E).  Raises if that snapshot has been GC'd
+    (epochs start at 0, so a partition with any history always had one)."""
+    pdir = partition_dir(out_dir, part)
+    if asof_epoch is None:
+        p = os.path.join(pdir, MANIFEST_NAME)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+    retained = sorted(
+        int(f[len("manifest-e"):-len(".json")])
+        for f in (os.listdir(pdir) if os.path.isdir(pdir) else [])
+        if f.startswith("manifest-e") and f.endswith(".json")
+    )
+    if not retained:
+        # No snapshot manifests at all: either an un-committed partition
+        # (no current manifest either → absent in every epoch) or a lake
+        # written before snapshot manifests existed.
+        if os.path.exists(os.path.join(pdir, MANIFEST_NAME)):
+            raise ValueError(
+                f"partition {part} has no snapshot manifests — lake was "
+                "committed by a pre-time-travel build; re-commit to enable "
+                "asof_epoch reads"
+            )
         return None
-    with open(p) as f:
+    eligible = [e for e in retained if e <= asof_epoch]
+    if not eligible:
+        raise ValueError(
+            f"snapshot epoch {asof_epoch} of partition {part} is no longer "
+            f"retained (earliest retained epoch is {retained[0]}; raise "
+            "SinkConfig.keep_epochs to extend time-travel reach)"
+        )
+    with open(os.path.join(pdir, f"manifest-e{eligible[-1]}.json")) as f:
         return json.load(f)
 
 
-def read_all_manifests(out_dir: str) -> dict[int, dict[str, Any]]:
+def read_all_manifests(
+    out_dir: str, asof_epoch: int | None = None
+) -> dict[int, dict[str, Any]]:
     out: dict[int, dict[str, Any]] = {}
     if not os.path.isdir(out_dir):
         return out
     for d in os.listdir(out_dir):
         if d.startswith("part="):
-            m = read_manifest(out_dir, int(d.split("=", 1)[1]))
+            m = read_manifest(out_dir, int(d.split("=", 1)[1]), asof_epoch)
             if m is not None:
                 out[m["part"]] = m
     return out

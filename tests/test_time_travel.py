@@ -1,0 +1,121 @@
+"""Time-travel (snapshot) reads over the exactly-once lake.
+
+Each commit writes a per-epoch snapshot manifest (`manifest-e{N}.json`)
+beside the current-pointer `manifest.json`; `read_lake(asof_epoch=E)`
+resolves every partition to its largest epoch ≤ E.  Reach equals
+`SinkConfig.keep_epochs` — asking past the GC horizon raises instead of
+silently serving newer data.
+"""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sql_etl_pipeline_ray.config import ReplayConfig, SinkConfig
+from sql_etl_pipeline_ray.pipelines.replay import lake_table, read_lake, replay
+from sql_etl_pipeline_ray.sources.datagen import (
+    ChangeLogSpec,
+    generate_change_log,
+    replay_oracle,
+    write_change_log,
+)
+from sql_etl_pipeline_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tt_changelog"))
+    write_change_log(ChangeLogSpec(n_keys=200, n_events=1500, num_buckets=5), d)
+    return d
+
+
+def _read_log(d):
+    files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
+
+
+def _partial_log(log_dir, dst, n_buckets):
+    os.makedirs(dst)
+    for k in range(n_buckets):
+        shutil.copytree(
+            os.path.join(log_dir, f"lsn_bucket={k}"),
+            os.path.join(dst, f"lsn_bucket={k}"),
+        )
+    return dst
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    want = want.reset_index(drop=True)
+    got = got[want.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_epoch_reads_old_snapshot(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    partial = _partial_log(log_dir, str(tmp_path / "partial"), 3)
+    sink = SinkConfig(out_dir=out, keep_epochs=3)
+    replay(partial, out, ReplayConfig(num_partitions=6), sink=sink)
+    replay(log_dir, out, ReplayConfig(num_partitions=6), sink=sink, resume=True)
+    # current state = full log; epoch-0 snapshot = partial log
+    _assert_frames_equal(
+        lake_table(out).to_pandas(), replay_oracle(_read_log(log_dir))
+    )
+    _assert_frames_equal(
+        lake_table(out, asof_epoch=0).to_pandas(),
+        replay_oracle(_read_log(partial)),
+    )
+    # the streaming reader resolves the same snapshot
+    got = (
+        read_lake(out, asof_epoch=0)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    _assert_frames_equal(got, replay_oracle(_read_log(partial)))
+
+
+def test_asof_epoch_mixed_partition_epochs(log_dir, tmp_path):
+    """A resume that touches only some partitions leaves the others at an
+    older epoch; asof resolution is per-partition (largest epoch ≤ E)."""
+    out = str(tmp_path / "lake")
+    partial = _partial_log(log_dir, str(tmp_path / "partial"), 4)
+    sink = SinkConfig(out_dir=out, keep_epochs=4)
+    replay(partial, out, ReplayConfig(num_partitions=6), sink=sink)
+    replay(log_dir, out, ReplayConfig(num_partitions=6), sink=sink, resume=True)
+    epochs = {p: m["epoch"] for p, m in mf.read_all_manifests(out).items()}
+    # asof the MAX current epoch must equal the plain current read even if
+    # some partitions never reached that epoch number
+    _assert_frames_equal(
+        lake_table(out, asof_epoch=max(epochs.values())).to_pandas(),
+        lake_table(out).to_pandas(),
+    )
+
+
+def test_asof_epoch_past_gc_horizon_raises(log_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    partial = _partial_log(log_dir, str(tmp_path / "partial"), 3)
+    # default keep_epochs=1: the resume's commit GCs epoch-0 files
+    replay(partial, out, ReplayConfig(num_partitions=4))
+    replay(log_dir, out, ReplayConfig(num_partitions=4), resume=True)
+    with pytest.raises(ValueError, match="no longer retained"):
+        lake_table(out, asof_epoch=0)
+
+
+def test_asof_snapshot_survives_gc_within_window(log_dir, tmp_path):
+    """keep_epochs=2: after two commits the epoch-0 snapshot is still
+    readable and its data files still exist on disk."""
+    out = str(tmp_path / "lake")
+    partial = _partial_log(log_dir, str(tmp_path / "partial"), 2)
+    sink = SinkConfig(out_dir=out, keep_epochs=2)
+    replay(partial, out, ReplayConfig(num_partitions=4), sink=sink)
+    snap0 = lake_table(out, asof_epoch=0)
+    replay(log_dir, out, ReplayConfig(num_partitions=4), sink=sink, resume=True)
+    again = lake_table(out, asof_epoch=0)
+    assert snap0.equals(again)
