@@ -114,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="audit a change log against the ruleset")
     v.add_argument("log_dir")
 
+    rs = sub.add_parser(
+        "rescale",
+        help="rewrite a committed lake to a new partition count "
+        "(compaction for the whole-partition-epoch sink; resumable after)",
+    )
+    rs.add_argument("src_lake")
+    rs.add_argument("dst_lake")
+    rs.add_argument("--partitions", type=int, required=True)
+    rs.add_argument("--keep-epochs", type=int, default=1)
+
     s = sub.add_parser("status", help="lake state from manifests (no data read)")
     s.add_argument("lake_dir")
 
@@ -180,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "rescale":
+            from .pipelines.replay import rescale_lake
+
+            summary = rescale_lake(
+                args.src_lake,
+                args.dst_lake,
+                args.partitions,
+                keep_epochs=args.keep_epochs,
+            )
+            print(json.dumps(summary))
+
         elif args.cmd == "export":
             from .pipelines.replay import read_lake
 

@@ -1263,6 +1263,125 @@ def read_lake(
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
 
 
+def rescale_lake(
+    src_dir: str,
+    dst_dir: str,
+    num_partitions: int,
+    compression: str = "zstd",
+    keep_epochs: int = 1,
+) -> dict[str, Any]:
+    """Rewrite a committed lake to a different partition count (the
+    compaction/maintenance operation for a whole-partition-epoch sink).
+
+    A long-lived lake accumulates layout debt: a replay sized for last
+    year's volume may have left 4096 near-empty partitions (small-file
+    problem) or 8 overstuffed ones (task-heap problem).  The sink never
+    appends — each epoch rewrites whole partitions — so "compaction" here
+    means re-hashing every row to a new partition count.  Streams via
+    ``read_lake`` → route ``key_hash % M_new`` → per-partition commit with
+    the same exactly-once manifest machinery as replay; each output file
+    is key-clustered (sorted by repo/path) so row-group stats prune for
+    filtered readers.
+
+    Resume-after-rescale correctness: the new per-partition checkpoint is
+    ``min`` over ALL source partitions' ``max_lsn``.  Any old partition
+    can own keys that route to any new partition, so a scalar watermark
+    per new partition must be ≤ every contributing source watermark; with
+    the global min, every event at/below it was provably applied.  Events
+    between the min and their source partition's watermark replay again on
+    the next ``resume=True`` — harmless, because the LWW fold is
+    idempotent: a replayed update loses to (or ties with) the state row it
+    already produced, and a replayed delete above the watermark re-wins.
+    Cost: one lake rewrite now + a slightly longer first resume if source
+    watermarks diverged.
+
+    Writes to a NEW directory (atomic cutover by path swap at the caller's
+    leisure; in-place rescale would leave stale ``part=K`` dirs from the
+    old layout racing the new manifests).  Refuses a partially-committed
+    source (a missing partition's events were never applied, so no safe
+    watermark exists — finish or re-run the replay first).
+    """
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("rescale_lake writes to a NEW directory; src == dst")
+    manifests = mf.read_all_manifests(src_dir)
+    if not manifests:
+        raise ValueError(f"no committed lake at {src_dir}")
+    src_parts = next(iter(manifests.values()))["stats"].get(
+        "num_partitions", max(manifests) + 1
+    )
+    if len(manifests) < src_parts:
+        raise ValueError(
+            f"source lake is partially committed ({len(manifests)}/"
+            f"{src_parts} partitions have manifests) — no safe resume "
+            "watermark exists; complete the replay before rescaling"
+        )
+    min_ckpt = min(m["max_lsn"] for m in manifests.values())
+    ds = read_lake(src_dir)
+    lake_schema = ds.schema().base_schema
+
+    M = np.uint64(num_partitions)
+
+    def route(batch: pa.Table) -> pa.Table:
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        parts = (kh % M).astype(np.int64)
+        return batch.append_column(PART_COLUMN, pa.array(parts))
+
+    args = {
+        "sink_dir": dst_dir,
+        "num_partitions": num_partitions,
+        "prior_epochs": {
+            p: m["epoch"] for p, m in mf.read_all_manifests(dst_dir).items()
+        },
+        "compression": compression,
+        "keep_epochs": keep_epochs,
+        "cluster_by_key": True,
+    }
+
+    def commit_group(group: pa.Table) -> pa.Table:
+        part = int(group.column(PART_COLUMN)[0].as_py())
+        final = group.drop_columns([PART_COLUMN])
+        stats = {
+            "max_lsn": min_ckpt,
+            "events": 0,
+            "rows": len(final),
+            "rescaled_from": src_parts,
+        }
+        return pa.Table.from_pylist([_commit_with_metrics(part, final, stats, args)])
+
+    metrics_rows = (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(PART_COLUMN)
+        .map_groups(commit_group, batch_format="pyarrow")
+        .take_all()
+    )
+    # Partitions no key routed to still need manifests: an unmanifested
+    # partition reads as "never committed" and disables resume's
+    # file-level pruning (its checkpoint defaults to -1).
+    committed = {int(r["part"]) for r in metrics_rows}
+    for part in range(num_partitions):
+        if part not in committed:
+            empty = lake_schema.empty_table()
+            metrics_rows.append(
+                _commit_with_metrics(
+                    part,
+                    empty,
+                    {
+                        "max_lsn": min_ckpt,
+                        "events": 0,
+                        "rows": 0,
+                        "rescaled_from": src_parts,
+                    },
+                    args,
+                )
+            )
+    return {
+        "partitions": num_partitions,
+        "rows": int(sum(int(r.get("rows", 0) or 0) for r in metrics_rows)),
+        "min_checkpoint": int(min_ckpt),
+        "rescaled_from": int(src_parts),
+    }
+
+
 def lake_table(out_dir: str, asof_epoch: int | None = None) -> pa.Table:
     """Driver-side Arrow view of the lake — small/test scales only."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)

@@ -73,3 +73,15 @@ def test_cli_export_roundtrip(tmp_path):
     got = pd.concat(dfs).sort_values(["repo", "path"]).reset_index(drop=True)
     assert len(got) == rep["rows"]
     assert set(got.columns) == {"repo", "path", "lsn", "content"}
+
+
+def test_cli_rescale(tmp_path):
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    run_cli("gen-data", log, "--events", "3000", "--keys", "300", "--buckets", "3")
+    rep = run_cli("--num-cpus", "4", "replay", log, lake, "--partitions", "8")
+    wide = str(tmp_path / "wide")
+    rs = run_cli("--num-cpus", "4", "rescale", lake, wide, "--partitions", "3")
+    assert rs["partitions"] == 3 and rs["rescaled_from"] == 8
+    assert rs["rows"] == rep["live_rows"]
+    st = run_cli("status", wide)
+    assert st["partitions"] == 3 and st["rows"] == rep["live_rows"]
