@@ -40,6 +40,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_latest_event": A.cdc_lww_latest_event,
         "cdc_lww_with_deletes": A.cdc_lww_with_deletes,
         "cdc_incremental_highwater": A.cdc_incremental_highwater,
+        # --- round-3 additions (newest first for driver coverage) ---
+        # BM25 retrieval scoring: two-pass (corpus stats → vectorized
+        # score), score expression mirrors the SQL's parenthesization
+        "bm25_scores": T.bm25_scores,
+        # benchmark decontamination: broadcast bench n-gram set, actor-pool
+        # membership count over the streaming corpus (no corpus shuffle).
+        # n=4 here: the synthetic corpus has zero verbatim 8-gram overlap
+        # (the real-corpus default), so demonstrate at the n that bites.
+        "docs_decontaminate": lambda sf: T.docs_decontaminate(sf, ngram=4),
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -1214,6 +1223,67 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                     AS term FROM documents)
             GROUP BY term ORDER BY cnt DESC, term LIMIT 50
+        """,
+        # BM25: the SQL spells every constant and parenthesis exactly as
+        # the Ray kernel computes it ((1.2 + 1.0), not 2.2), so both
+        # engines round the same IEEE doubles; ln() is the one libm call,
+        # pinned at 4-dp granularity.
+        "bm25_scores": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'data')) AS DOUBLE) AS tf_data,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'query')) AS DOUBLE) AS tf_query,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'merge')) AS DOUBLE) AS tf_merge
+              FROM documents
+            ), c AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl,
+                     CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS df_data,
+                     CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS df_query,
+                     CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS df_merge
+              FROM d
+            ), s AS (
+              SELECT doc_id,
+                round(
+                  ln(1.0 + (n - df_data + 0.5) / (df_data + 0.5))
+                    * (tf_data * (1.2 + 1.0))
+                    / (tf_data + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                + ln(1.0 + (n - df_query + 0.5) / (df_query + 0.5))
+                    * (tf_query * (1.2 + 1.0))
+                    / (tf_query + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                + ln(1.0 + (n - df_merge + 0.5) / (df_merge + 0.5))
+                    * (tf_merge * (1.2 + 1.0))
+                    / (tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))),
+                4) AS bm25
+              FROM d CROSS JOIN c
+            )
+            SELECT doc_id, bm25 FROM s WHERE bm25 > 0.0
+            ORDER BY bm25 DESC, doc_id LIMIT 100
+        """,
+        # Decontamination: word 4-grams, bench split = doc_id % 97 == 0;
+        # COUNT(DISTINCT) mirrors the engine's per-doc set-intersection.
+        "docs_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT grams.doc_id,
+                   CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_bench_grams
+            FROM grams JOIN bench USING (g)
+            WHERE grams.doc_id % 97 <> 0
+            GROUP BY grams.doc_id ORDER BY grams.doc_id
         """,
         # Vector centroids in fixed-point: both engines sum the SAME int64
         # quantized values (round-half-away × 2^20) and divide once, so the

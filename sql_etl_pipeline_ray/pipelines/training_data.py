@@ -531,6 +531,200 @@ def top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return top
 
 
+BM25_QUERY_TERMS = ("data", "query", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _rha4(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero to 4 dp (DuckDB ROUND; scores are ≥ 0)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e4 + 0.5) / 1e4
+
+
+def bm25_scores(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topn: int = 100,
+) -> pd.DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed term query —
+    the retrieval-side scoring operator of a training-data pipeline
+    (quality-weighted sampling, query-targeted subset extraction).
+
+    Two-pass, nothing big ever leaves the workers:
+
+    1. Corpus statistics: per-batch vectorized partial (one token explode
+       per batch) → O(blocks) tiny rows → driver fold to N, avgdl and
+       per-term document frequencies.  These are a handful of scalars —
+       broadcast by closure capture, not a shuffle.
+    2. Scoring: per-batch vectorized BM25 over the same explode, then
+       per-block top-n and a driver merge of O(blocks × n) candidates
+       (same exactness argument as ``top_terms``: the global top-n is a
+       subset of the per-block top-ns).
+
+    Tokenization is ``split(' ')`` to mirror DuckDB ``string_split``; the
+    score expression is written with the exact parenthesization of the SQL
+    oracle so both engines round the same IEEE doubles to 4 dp (the one
+    libm call, ``ln``, agrees across engines at 4-dp granularity — pinned
+    by the oracle parity test)."""
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        ex = toks.explode()
+        row: dict[str, int] = {
+            "n_docs": len(df),
+            "sum_len": int(toks.str.len().sum()),
+        }
+        for t in terms:
+            row[f"df_{t}"] = int(ex[ex == t].index.nunique())
+        return pd.DataFrame([row])
+
+    agg = docs.map_batches(partial_stats, batch_format="pandas").to_pandas().sum()
+    n_docs = float(agg["n_docs"])
+    avgdl = float(agg["sum_len"]) / n_docs
+    idf = {
+        t: math.log(
+            1.0
+            + (n_docs - float(agg[f"df_{t}"]) + 0.5)
+            / (float(agg[f"df_{t}"]) + 0.5)
+        )
+        for t in terms
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        dl = toks.str.len().to_numpy(np.float64)
+        denom_len = k1 * (1.0 - b + b * (dl / avgdl))
+        ex = toks.explode()
+        s = np.zeros(len(df), dtype=np.float64)
+        for t in terms:
+            tf = (
+                ex.eq(t)
+                .groupby(level=0)
+                .sum()
+                .reindex(df.index, fill_value=0)
+                .to_numpy(np.float64)
+            )
+            s = s + idf[t] * (tf * (k1 + 1.0)) / (tf + denom_len)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "bm25": _rha4(s)}
+        )
+        return out[out["bm25"] > 0.0]
+
+    def topn_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(topn)
+
+    cand = (
+        docs.map_batches(score, batch_format="pandas")
+        .map_batches(topn_block, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["bm25", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(topn)
+        .reset_index(drop=True)
+    )
+
+
+# Real-corpus decontamination uses 8-13-word grams (GPT-3 appendix C uses
+# 13); the synthetic word-soup corpus has no verbatim 8-gram overlap at
+# all, so the queries() entry demonstrates at n=4 (171/8/1/0 contaminated
+# docs at sf0.01 for n=3/4/5/6).
+DECON_NGRAM = 8
+DECON_BENCH_MOD = 97
+
+
+class _ContaminationFlag:
+    """Actor-pool stage: count distinct benchmark n-grams per document.
+
+    The benchmark gram set ships once via ``ray.put``; each actor pulls it
+    in ``__init__``.  Per-doc gram generation is a Python loop — inherent
+    to shingling (same stance as the MinHash stages); membership checks
+    are O(1) set lookups against the shared frozenset."""
+
+    def __init__(self, grams_ref, n: int, bench_mod: int):
+        self.grams: frozenset[str] = ray.get(grams_ref)
+        self.n = n
+        self.bench_mod = bench_mod
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % self.bench_mod != 0]
+        n = self.n
+        ids, hits = [], []
+        for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            w = (t or "").split(" ")
+            seen = {
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            }
+            k = len(seen & self.grams)
+            if k:
+                ids.append(did)
+                hits.append(k)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_bench_grams": np.asarray(hits, dtype=np.int64),
+            }
+        )
+
+
+def docs_decontaminate(sf_dir: str, ngram: int = DECON_NGRAM) -> pd.DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``ngram``-gram with a held-out benchmark split (here the
+    deterministic ``doc_id % 97 == 0`` slice — stand-in for an eval set).
+
+    The standard shape for this at scale (The Pile / GPT-3 appendix-C
+    style): the BENCHMARK side is small by nature (eval sets are MBs, not
+    TBs), so its distinct n-grams are collected once and broadcast —
+    ``ray.put`` once, fetched per actor — while the training corpus
+    streams through an actor-pool ``map_batches`` doing set-membership
+    counts.  No shuffle of the corpus, no driver loop over it.  Grams stay
+    exact strings (no hashing) so the result is collision-free and
+    SQL-oracle-able; swap the frozenset for ``stages/bloom.py`` + an exact
+    recheck if a benchmark ever outgrows worker memory."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % DECON_BENCH_MOD == 0]
+        out: set[str] = set()
+        for t in df["text"]:
+            w = (t or "").split(" ")
+            out.update(
+                " ".join(w[i : i + ngram]) for i in range(len(w) - ngram + 1)
+            )
+        # Arrow out even on the pandas path: an empty pandas block would
+        # carry a guessed dtype (poisoning Ray's block-schema union) and
+        # trip its size estimator; a typed Arrow table does neither
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    grams = frozenset(
+        docs.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"]
+    )
+    ref = ray.put(grams)
+    flagged = docs.map_batches(
+        _ContaminationFlag,
+        batch_format="pandas",
+        concurrency=autoscale_pool(),
+        fn_constructor_args=(ref, ngram, DECON_BENCH_MOD),
+    ).to_pandas()
+    if flagged.empty:
+        flagged = pd.DataFrame(
+            {
+                "doc_id": np.asarray([], dtype=np.int64),
+                "n_bench_grams": np.asarray([], dtype=np.int64),
+            }
+        )
+    return flagged.sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_label_centroids(sf_dir: str) -> pa.Table:
     """Grouped vector centroid (mean embedding per label) — exact via
     fixed-point int64 vector aggregation; see ``stages/clustering.py``."""

@@ -463,3 +463,60 @@ def test_pack_sequences_empty_input_keeps_schema():
     assert set(out.schema().names) == {
         "doc_id", "n_tokens", "stream_offset", "seq_id", "split",
     }
+
+
+def _write_docs(tmp_path, rows):
+    import os
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_controlled(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import docs_decontaminate
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c d e f"),            # bench (0 % 97 == 0)
+            (1, "x y c d e f z"),          # shares 4-gram "c d e f" -> 1 hit
+            (2, "q w r t y u"),            # clean
+            (3, "a b c d x b c d e y"),    # shares "a b c d" and "b c d e"
+        ],
+    )
+    out = docs_decontaminate(sf, ngram=4)
+    got = dict(zip(out["doc_id"], out["n_bench_grams"]))
+    assert got == {1: 1, 3: 2}
+
+
+def test_bm25_scores_ranking_and_bounds(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import bm25_scores
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "data data data query pad pad pad"),
+            (2, "data pad pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad pad"),   # no query terms -> excluded
+            (4, "merge query data pad pad pad pad"),
+        ],
+    )
+    out = bm25_scores(sf, topn=10)
+    assert set(out["doc_id"]) == {1, 2, 4}
+    assert (out["bm25"] > 0).all()
+    scores = dict(zip(out["doc_id"], out["bm25"]))
+    # more distinct matched terms (all three) beats one repeated term at
+    # equal doc length; repeated term beats single occurrence
+    assert scores[4] > scores[1] > scores[2]
+    # deterministic order: score desc, doc_id asc
+    assert list(out["bm25"]) == sorted(out["bm25"], reverse=True)
