@@ -114,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="audit a change log against the ruleset")
     v.add_argument("log_dir")
 
+    dfp = sub.add_parser(
+        "diff",
+        help="changefeed between two lake snapshots: write the I/U/D "
+        "events that turn --from-epoch into --to-epoch (default current)",
+    )
+    dfp.add_argument("lake_dir")
+    dfp.add_argument("out_dir")
+    dfp.add_argument("--from-epoch", type=int, required=True)
+    dfp.add_argument("--to-epoch", type=int, default=None)
+
     rs = sub.add_parser(
         "rescale",
         help="rewrite a committed lake to a new partition count "
@@ -190,6 +200,31 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "diff":
+            from .pipelines.replay import lake_diff
+
+            # a changefeed is bounded by the number of CHANGED rows, so a
+            # driver-side materialize for the count is proportionate
+            ds = lake_diff(
+                args.lake_dir, args.from_epoch, args.to_epoch
+            ).materialize()
+            n = ds.count()
+            if n:
+                ds.write_parquet(args.out_dir)
+            ops = (
+                ds.groupby("op").count().to_pandas().set_index("op")["count()"]
+                if n
+                else {}
+            )
+            print(
+                json.dumps(
+                    {
+                        "events": n,
+                        "by_op": {k: int(v) for k, v in dict(ops).items()},
+                    }
+                )
+            )
+
         elif args.cmd == "rescale":
             from .pipelines.replay import rescale_lake
 

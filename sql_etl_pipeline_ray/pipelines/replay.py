@@ -1382,6 +1382,181 @@ def rescale_lake(
     }
 
 
+_TYPE_FROM_STR = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "int16": pa.int16(),
+    "int8": pa.int8(),
+    "uint64": pa.uint64(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(),
+}
+
+
+def _schema_from_fingerprints(manifests: list[dict[str, Any]]) -> pa.Schema:
+    """Union Arrow schema reconstructed from manifest fingerprints — no
+    data/footer reads.  The engine's lake types are all simple (the map
+    above); an exotic type would mean a foreign writer, so fail loudly."""
+    schemas = []
+    for m in manifests:
+        fields = []
+        for name, ts in m.get("schema_fingerprint") or []:
+            t = _TYPE_FROM_STR.get(ts)
+            if t is None:
+                raise ValueError(
+                    f"unrecognized type {ts!r} in manifest fingerprint for "
+                    f"partition {m.get('part')}"
+                )
+            fields.append(pa.field(name, t))
+        schemas.append(pa.schema(fields))
+    return pa.unify_schemas(schemas, promote_options="permissive")
+
+
+def lake_diff(
+    out_dir: str,
+    from_epoch: int,
+    to_epoch: int | None = None,
+) -> ray.data.Dataset:
+    """Changefeed between two lake snapshots: the I/U/D events that turn
+    the ``from_epoch`` state into the ``to_epoch`` (default current) state.
+
+    This is the read side of CDC — downstream consumers (cache
+    invalidation, search-index refresh, derived-table incremental
+    maintenance) subscribe to "what changed since the snapshot I last
+    processed" instead of re-reading the lake.  Both snapshots share the
+    sink's partition layout, so the diff is embarrassingly parallel: one
+    task per partition reads that partition's two epoch files and joins
+    them in memory — NO shuffle at any scale, and partitions whose
+    manifests show the same epoch are skipped without reading a byte.
+
+    Change detection compares ``lsn``: the fold is deterministic, so equal
+    (key, lsn) implies an identical row, and any re-won key carries a new
+    winning LSN even when the content bytes happen to match.  Emitted
+    rows: op='I' (key only in new), 'U' (both, lsn differs; new row
+    values), 'D' (key only in old; the tombstone's own LSN is not stored,
+    so 'D' carries the last known row's values and lsn).  Events sort
+    under (repo, path) within a partition; a global order is meaningless
+    across independent keys (same contract as the change log itself)."""
+    old_m = mf.read_all_manifests(out_dir, asof_epoch=from_epoch)
+    new_m = (
+        mf.read_all_manifests(out_dir)
+        if to_epoch is None
+        else mf.read_all_manifests(out_dir, asof_epoch=to_epoch)
+    )
+    descs = []
+    for part in sorted(set(old_m) | set(new_m)):
+        om, nm = old_m.get(part), new_m.get(part)
+        if om is not None and nm is not None and om["epoch"] == nm["epoch"]:
+            continue  # identical snapshot: provably no diff, skip the read
+        pdir = mf.partition_dir(out_dir, part)
+        descs.append(
+            {
+                "part": part,
+                "old_files": [os.path.join(pdir, f) for f in (om or {}).get("files", [])],
+                "new_files": [os.path.join(pdir, f) for f in (nm or {}).get("files", [])],
+            }
+        )
+
+    # One output schema for every task, derived from the snapshots'
+    # manifest fingerprints (no data reads): evolution means old/new epoch
+    # files can disagree on columns, and per-task schemas would make the
+    # result Dataset's blocks un-unionable.
+    involved = [m for m in list(old_m.values()) + list(new_m.values())]
+    union_schema = _schema_from_fingerprints(involved)
+    out_schema = pa.schema(
+        [pa.field("op", pa.string())] + list(union_schema)
+    )
+    schema_ser = out_schema.serialize().to_pybytes()
+
+    def _read_conform(files: list[str], schema: pa.Schema) -> pa.Table:
+        if not files:
+            return schema.empty_table()
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+        cols = []
+        for f in schema:
+            if f.name in t.column_names:
+                c = t.column(f.name)
+                cols.append(c.cast(f.type) if c.type != f.type else c)
+            else:
+                cols.append(pa.nulls(len(t), f.type))
+        return pa.table(dict(zip(schema.names, cols)))
+
+    def diff_partition(batch: pd.DataFrame) -> pa.Table:
+        schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+        row_schema = pa.schema(list(schema)[1:])  # minus 'op'
+        outs = []
+        # metadata loop: one iteration per PARTITION descriptor, not per row
+        for _, row in batch.iterrows():
+            old = _read_conform(list(row["old_files"]), row_schema)
+            new = _read_conform(list(row["new_files"]), row_schema)
+            m = (
+                old.select(["repo", "path", "lsn"]).to_pandas()
+                .merge(
+                    new.select(["repo", "path", "lsn"]).to_pandas(),
+                    on=["repo", "path"],
+                    how="outer",
+                    suffixes=("_old", "_new"),
+                    indicator=True,
+                )
+            )
+            # positional row ids let Arrow .take() assemble the output
+            # without a pandas round-trip of the content payload
+            old_pos = pd.Series(
+                np.arange(len(old)),
+                index=pd.MultiIndex.from_frame(
+                    old.select(["repo", "path"]).to_pandas()
+                ),
+            )
+            new_pos = pd.Series(
+                np.arange(len(new)),
+                index=pd.MultiIndex.from_frame(
+                    new.select(["repo", "path"]).to_pandas()
+                ),
+            )
+            for op, mask, side, pos in (
+                ("I", m["_merge"] == "right_only", new, new_pos),
+                (
+                    "U",
+                    (m["_merge"] == "both") & (m["lsn_old"] != m["lsn_new"]),
+                    new,
+                    new_pos,
+                ),
+                ("D", m["_merge"] == "left_only", old, old_pos),
+            ):
+                keys = m.loc[mask, ["repo", "path"]]
+                if not len(keys):
+                    continue
+                idx = pos.loc[pd.MultiIndex.from_frame(keys)].to_numpy()
+                rows = side.take(pa.array(idx))
+                rows = rows.add_column(
+                    0, "op", pa.array([op] * len(rows), pa.string())
+                )
+                outs.append(rows)
+        if not outs:
+            return schema.empty_table()
+        out = pa.concat_tables(outs)
+        return out.sort_by(
+            [("repo", "ascending"), ("path", "ascending"), ("op", "ascending")]
+        )
+
+    if not descs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_items(descs).map_batches(
+        diff_partition, batch_format="pandas", batch_size=1
+    )
+
+
 def lake_table(out_dir: str, asof_epoch: int | None = None) -> pa.Table:
     """Driver-side Arrow view of the lake — small/test scales only."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)

@@ -85,3 +85,24 @@ def test_cli_rescale(tmp_path):
     assert rs["rows"] == rep["live_rows"]
     st = run_cli("status", wide)
     assert st["partitions"] == 3 and st["rows"] == rep["live_rows"]
+
+
+def test_cli_diff_changefeed(tmp_path):
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    run_cli("gen-data", log, "--events", "4000", "--keys", "400", "--buckets", "4")
+    # first half, then resume full — keep_epochs=2 retains epoch 0
+    import shutil as sh
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for k in range(2):
+        sh.copytree(os.path.join(log, f"lsn_bucket={k}"),
+                    os.path.join(partial, f"lsn_bucket={k}"))
+    run_cli("--num-cpus", "4", "replay", partial, lake, "--partitions", "4",
+            "--keep-epochs", "2")
+    run_cli("--num-cpus", "4", "replay", log, lake, "--resume",
+            "--keep-epochs", "2")
+    out = run_cli("--num-cpus", "4", "diff", lake, str(tmp_path / "feed"),
+                  "--from-epoch", "0")
+    assert out["events"] > 0
+    assert set(out["by_op"]) <= {"I", "U", "D"}
+    assert sum(out["by_op"].values()) == out["events"]

@@ -119,3 +119,98 @@ def test_asof_snapshot_survives_gc_within_window(log_dir, tmp_path):
     replay(log_dir, out, ReplayConfig(num_partitions=4), sink=sink, resume=True)
     again = lake_table(out, asof_epoch=0)
     assert snap0.equals(again)
+
+
+def _apply_diff(snap0: pd.DataFrame, diff: pd.DataFrame) -> pd.DataFrame:
+    """Reference application of a changefeed: delete D keys, upsert I/U."""
+    state = snap0.set_index(["repo", "path"])
+    cols = [c for c in diff.columns if c != "op"]
+    for op in ("D", "I", "U"):
+        rows = diff[diff["op"] == op]
+        if not len(rows):
+            continue
+        keys = pd.MultiIndex.from_frame(rows[["repo", "path"]])
+        if op == "D":
+            state = state.drop(index=keys)
+        else:
+            incoming = rows[cols].set_index(["repo", "path"])
+            state = pd.concat([state.drop(index=keys, errors="ignore"), incoming])
+    return state.reset_index().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_lake_diff_replays_snapshot_forward(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import lake_diff
+
+    out = str(tmp_path / "lake")
+    partial = _partial_log(log_dir, str(tmp_path / "partial"), 3)
+    sink = SinkConfig(out_dir=out, keep_epochs=4)
+    replay(partial, out, ReplayConfig(num_partitions=6), sink=sink)
+    replay(log_dir, out, ReplayConfig(num_partitions=6), sink=sink, resume=True)
+    snap0 = lake_table(out, asof_epoch=0).to_pandas()
+    snap1 = lake_table(out).to_pandas()
+    diff = lake_diff(out, from_epoch=0).to_pandas()
+    assert set(diff["op"]) <= {"I", "U", "D"}
+    rebuilt = _apply_diff(snap0, diff)
+    cols = list(snap1.columns)
+    pd.testing.assert_frame_equal(
+        rebuilt[cols].reset_index(drop=True),
+        snap1.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # sanity: I keys absent in snap0, D keys absent in snap1
+    k0 = set(map(tuple, snap0[["repo", "path"]].itertuples(index=False)))
+    k1 = set(map(tuple, snap1[["repo", "path"]].itertuples(index=False)))
+    ins = diff[diff["op"] == "I"][["repo", "path"]]
+    dels = diff[diff["op"] == "D"][["repo", "path"]]
+    assert all(tuple(r) not in k0 for r in ins.itertuples(index=False))
+    assert all(tuple(r) not in k1 for r in dels.itertuples(index=False))
+
+
+def test_lake_diff_same_epoch_is_empty(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import lake_diff
+
+    out = str(tmp_path / "lake")
+    sink = SinkConfig(out_dir=out, keep_epochs=2)
+    replay(log_dir, out, ReplayConfig(num_partitions=4), sink=sink)
+    cur_epoch = max(m["epoch"] for m in mf.read_all_manifests(out).values())
+    d = lake_diff(out, from_epoch=cur_epoch)
+    assert d.count() == 0
+
+
+def test_lake_diff_across_schema_evolution(tmp_path):
+    """Epoch 0 predates the evolved column; the diff's union schema still
+    carries it, with nulls for old-side (D) rows."""
+    from sql_etl_pipeline_ray.pipelines.replay import lake_diff
+    from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(
+        ChangeLogSpec(
+            n_keys=150, n_events=1200, num_buckets=4, evolve_after_frac=0.5
+        ),
+        log,
+    )
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for k in range(2):  # pre-evolution prefix
+        shutil.copytree(
+            os.path.join(log, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    out = str(tmp_path / "lake")
+    sink = SinkConfig(out_dir=out, keep_epochs=3)
+    replay(partial, out, ReplayConfig(num_partitions=4), sink=sink)
+    replay(log, out, ReplayConfig(num_partitions=4), sink=sink, resume=True)
+    diff = lake_diff(out, from_epoch=0).to_pandas()
+    assert "size_bytes" in diff.columns
+    snap0 = lake_table(out, asof_epoch=0).to_pandas()
+    snap1 = lake_table(out).to_pandas()
+    if "size_bytes" not in snap0.columns:
+        snap0["size_bytes"] = pd.NA
+    rebuilt = _apply_diff(snap0, diff)
+    cols = list(snap1.columns)
+    pd.testing.assert_frame_equal(
+        rebuilt[cols].reset_index(drop=True),
+        snap1.reset_index(drop=True),
+        check_dtype=False,
+    )
