@@ -14,6 +14,7 @@ from collections.abc import Callable
 from typing import Any
 
 from sql_etl_pipeline_ray.pipelines import analytics as A
+from sql_etl_pipeline_ray.pipelines import ivm as IVM
 from sql_etl_pipeline_ray.pipelines import rollup as R
 from sql_etl_pipeline_ray.pipelines import temporal as TJ
 from sql_etl_pipeline_ray.pipelines import training_data as T
@@ -43,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions (newest first for driver coverage) ---
         # BM25 retrieval scoring: two-pass (corpus stats → vectorized
         # score), score expression mirrors the SQL's parenthesization
+        # incremental view maintenance: two-epoch replay, before/after-image
+        # changefeed (lake_diff include_before), MV ⊕ signed-delta groupby —
+        # pinned equal to a full recompute by tests/test_ivm.py
+        "cdc_mv_repo_stats": IVM.mv_repo_stats_incremental,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -395,6 +400,17 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text || ' [rev2]') AS content_sha256
             FROM documents
             WHERE doc_id % 10 <> 0
+        """,
+        # final lake state derived directly from documents (same derivation
+        # as cdc_replay); the engine reaches it INCREMENTALLY via the
+        # before/after-image changefeed (pipelines/ivm.py)
+        "cdc_mv_repo_stats": """
+            SELECT source AS repo,
+                   COUNT(*) AS n_files,
+                   CAST(SUM(strlen(text) + 7) AS BIGINT) AS total_bytes
+            FROM documents
+            WHERE doc_id % 10 <> 0
+            GROUP BY source
         """,
         "cdc_lww_latest_event": """
             SELECT event_id, ts, user_id, event_type, value FROM events

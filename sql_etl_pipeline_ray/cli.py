@@ -123,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     dfp.add_argument("out_dir")
     dfp.add_argument("--from-epoch", type=int, required=True)
     dfp.add_argument("--to-epoch", type=int, default=None)
+    dfp.add_argument(
+        "--include-before", action="store_true",
+        help="before/after-image feed: add prev_* columns with the "
+        "from-epoch values (what incremental view maintenance consumes)",
+    )
 
     rs = sub.add_parser(
         "rescale",
@@ -206,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
             # a changefeed is bounded by the number of CHANGED rows, so a
             # driver-side materialize for the count is proportionate
             ds = lake_diff(
-                args.lake_dir, args.from_epoch, args.to_epoch
+                args.lake_dir, args.from_epoch, args.to_epoch,
+                include_before=args.include_before,
             ).materialize()
             n = ds.count()
             if n:

@@ -1425,6 +1425,7 @@ def lake_diff(
     out_dir: str,
     from_epoch: int,
     to_epoch: int | None = None,
+    include_before: bool = False,
 ) -> ray.data.Dataset:
     """Changefeed between two lake snapshots: the I/U/D events that turn
     the ``from_epoch`` state into the ``to_epoch`` (default current) state.
@@ -1445,7 +1446,14 @@ def lake_diff(
     values), 'D' (key only in old; the tombstone's own LSN is not stored,
     so 'D' carries the last known row's values and lsn).  Events sort
     under (repo, path) within a partition; a global order is meaningless
-    across independent keys (same contract as the change log itself)."""
+    across independent keys (same contract as the change log itself).
+
+    ``include_before=True`` switches to a before/after-image contract (the
+    Debezium convention, which sum-style incremental view maintenance
+    needs — see ``pipelines/ivm.py``): every non-key column gains a
+    ``prev_``-prefixed sibling holding the ``from_epoch`` value.  Main
+    columns then always hold NEW-state values (null for 'D' beyond the
+    key), ``prev_*`` hold OLD-state values (null for 'I')."""
     old_m = mf.read_all_manifests(out_dir, asof_epoch=from_epoch)
     new_m = (
         mf.read_all_manifests(out_dir)
@@ -1472,10 +1480,16 @@ def lake_diff(
     # result Dataset's blocks un-unionable.
     involved = [m for m in list(old_m.values()) + list(new_m.values())]
     union_schema = _schema_from_fingerprints(involved)
-    out_schema = pa.schema(
-        [pa.field("op", pa.string())] + list(union_schema)
-    )
+    out_fields = [pa.field("op", pa.string())] + list(union_schema)
+    if include_before:
+        out_fields += [
+            pa.field("prev_" + f.name, f.type)
+            for f in union_schema
+            if f.name not in ("repo", "path")
+        ]
+    out_schema = pa.schema(out_fields)
     schema_ser = out_schema.serialize().to_pybytes()
+    n_row_fields = len(union_schema)
 
     def _read_conform(files: list[str], schema: pa.Schema) -> pa.Table:
         if not files:
@@ -1494,7 +1508,11 @@ def lake_diff(
 
     def diff_partition(batch: pd.DataFrame) -> pa.Table:
         schema = pa.ipc.read_schema(pa.BufferReader(schema_ser))
-        row_schema = pa.schema(list(schema)[1:])  # minus 'op'
+        # snapshot-row fields: minus leading 'op', minus trailing prev_*
+        row_schema = pa.schema(list(schema)[1 : 1 + n_row_fields])
+        value_fields = [
+            f for f in row_schema if f.name not in ("repo", "path")
+        ]
         outs = []
         # metadata loop: one iteration per PARTITION descriptor, not per row
         for _, row in batch.iterrows():
@@ -1524,25 +1542,57 @@ def lake_diff(
                     new.select(["repo", "path"]).to_pandas()
                 ),
             )
-            for op, mask, side, pos in (
-                ("I", m["_merge"] == "right_only", new, new_pos),
+            for op, mask in (
+                ("I", m["_merge"] == "right_only"),
                 (
                     "U",
                     (m["_merge"] == "both") & (m["lsn_old"] != m["lsn_new"]),
-                    new,
-                    new_pos,
                 ),
-                ("D", m["_merge"] == "left_only", old, old_pos),
+                ("D", m["_merge"] == "left_only"),
             ):
                 keys = m.loc[mask, ["repo", "path"]]
                 if not len(keys):
                     continue
-                idx = pos.loc[pd.MultiIndex.from_frame(keys)].to_numpy()
-                rows = side.take(pa.array(idx))
-                rows = rows.add_column(
-                    0, "op", pa.array([op] * len(rows), pa.string())
+                mi = pd.MultiIndex.from_frame(keys)
+                new_rows = (
+                    new.take(pa.array(new_pos.loc[mi].to_numpy()))
+                    if op in ("I", "U")
+                    else None
                 )
-                outs.append(rows)
+                old_rows = (
+                    old.take(pa.array(old_pos.loc[mi].to_numpy()))
+                    if op in ("U", "D")
+                    else None
+                )
+                if not include_before:
+                    rows = new_rows if op != "D" else old_rows
+                    rows = rows.add_column(
+                        0, "op", pa.array([op] * len(rows), pa.string())
+                    )
+                    outs.append(rows)
+                    continue
+                n = len(keys)
+                keysrc = new_rows if new_rows is not None else old_rows
+                cols = {
+                    "op": pa.array([op] * n, pa.string()),
+                    "repo": keysrc.column("repo"),
+                    "path": keysrc.column("path"),
+                }
+                for f in value_fields:
+                    cols[f.name] = (
+                        new_rows.column(f.name)
+                        if new_rows is not None
+                        else pa.nulls(n, f.type)
+                    )
+                for f in value_fields:
+                    cols["prev_" + f.name] = (
+                        old_rows.column(f.name)
+                        if old_rows is not None
+                        else pa.nulls(n, f.type)
+                    )
+                outs.append(
+                    pa.table({name: cols[name] for name in schema.names})
+                )
         if not outs:
             return schema.empty_table()
         out = pa.concat_tables(outs)
