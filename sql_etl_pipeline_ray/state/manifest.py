@@ -30,6 +30,15 @@ import pyarrow.parquet as pq
 MANIFEST_NAME = "manifest.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this (partition, epoch) with DIFFERENT
+    content — an optimistic-concurrency conflict between two replay
+    processes targeting the same lake, not a harmless retry duplicate
+    (those carry the same digest and commit idempotently).  The losing
+    writer must abort; re-running with ``resume=True`` folds its events
+    on top of the winner's committed state."""
+
+
 def partition_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part}")
 
@@ -44,6 +53,32 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _create_exclusive_bytes(path: str, data: bytes) -> bool:
+    """Atomically create ``path`` with ``data`` iff it does not exist.
+
+    ``os.link`` of a fully-fsynced temp file is the POSIX
+    create-if-absent primitive (``os.replace`` silently overwrites) —
+    this is the compare-and-swap that serializes concurrent committers
+    of the same (partition, epoch).  Returns False when another writer
+    created the file first."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -75,10 +110,24 @@ def commit_partition(
     Readers always see exactly one consistent epoch (the manifest is the
     single commit point); this knob only controls how long superseded
     files linger for reads already in flight.
+
+    Concurrent WRITERS (two replay processes on one lake, both targeting
+    epoch E) are serialized by a compare-and-swap on the snapshot
+    manifest: the data filename carries the content digest, so distinct
+    writers never collide on a data file, and exclusive-create of
+    ``manifest-e{E}.json`` picks exactly one winner.  A loser with the
+    SAME digest is a retry duplicate and commits idempotently (adopting
+    the winner's manifest bytes); a loser with a different digest raises
+    ``ConcurrentCommitError`` before the current pointer moves — its
+    orphan data file is swept by GC.
     """
     pdir = partition_dir(out_dir, part)
     os.makedirs(pdir, exist_ok=True)
-    fname = f"data-e{epoch}.parquet"
+    # digest-tagged name: retries of the deterministic fold reuse the name
+    # (identical bytes — overwrite is harmless); a concurrent writer with
+    # different content writes a different file, so the manifest CAS below
+    # can never leave a winner's manifest pointing at a loser's bytes
+    fname = f"data-e{epoch}-{digest[:12]}.parquet"
     fpath = os.path.join(pdir, fname)
     tmp = fpath + ".inprogress"
     pq.write_table(table, tmp, compression=compression)
@@ -99,35 +148,75 @@ def commit_partition(
     # plain `manifest.json` stays the single commit point for current-state
     # readers.  Writing the snapshot first means a crash between the two
     # writes leaves the lake at epoch N-1 with a harmless orphan snapshot
-    # (superseded on retry, GC'd with its data file).
-    _atomic_write_bytes(os.path.join(pdir, f"manifest-e{epoch}.json"), payload)
+    # (superseded on retry, GC'd with its data file).  Exclusive create =
+    # the concurrent-writer CAS: exactly one writer owns epoch N.
+    snap_path = os.path.join(pdir, f"manifest-e{epoch}.json")
+    if not _create_exclusive_bytes(snap_path, payload):
+        with open(snap_path) as f:
+            existing = f.read()
+        winner = json.loads(existing)
+        if winner.get("digest") != digest:
+            raise ConcurrentCommitError(
+                f"partition {part} epoch {epoch} was committed by another "
+                f"writer with different content (digest {winner.get('digest')!r}"
+                f" != {digest!r}); aborting before the current pointer moves."
+                " Re-run this replay with resume=True to fold its events on"
+                " top of the committed state."
+            )
+        # Same digest = deterministic retry duplicate.  Adopt the winner's
+        # manifest bytes so snapshot and pointer can never diverge (stats
+        # payloads may differ across attempts even when content doesn't).
+        payload = existing.encode()
+    # return the JSON-normalized form either way, so retry winners and
+    # losers hand back byte-identical manifests
+    manifest = json.loads(payload)
     _atomic_write_bytes(os.path.join(pdir, MANIFEST_NAME), payload)
     # Lazy GC: epoch files (data + snapshot manifests) older than the grace
     # window are unreferenced by any manifest a reader could still be
     # acting on; remove them.  Time-travel reach == keep_epochs, by design:
-    # a snapshot manifest never outlives the data file it lists.
+    # a snapshot manifest never outlives the data file it lists.  Data
+    # files are additionally swept by REFERENCE: a file inside the window
+    # that no retained snapshot lists (a losing concurrent writer's
+    # orphan) goes too.
     floor = epoch - max(1, keep_epochs) + 1
-    for f in os.listdir(pdir):
-        e: int | None = None
-        if f.startswith("data-e") and f.endswith(".parquet"):
-            if f in manifest["files"]:
-                continue
+    listing = os.listdir(pdir)
+    referenced: set[str] = set(manifest["files"])
+    for f in listing:
+        if f.startswith("manifest-e") and f.endswith(".json"):
             try:
-                e = int(f[len("data-e"):-len(".parquet")])
+                e = int(f[len("manifest-e"):-len(".json")])
             except ValueError:
                 continue
+            if floor <= e < epoch:
+                try:
+                    with open(os.path.join(pdir, f)) as fh:
+                        referenced.update(json.load(fh).get("files", []))
+                except (OSError, ValueError):
+                    pass
+    for f in listing:
+        if f.startswith("data-e") and f.endswith(".parquet"):
+            if f in referenced:
+                continue
+            try:
+                # name is data-e{N}-{digesttag}.parquet (legacy: no tag)
+                e = int(f[len("data-e"):-len(".parquet")].split("-", 1)[0])
+            except ValueError:
+                continue
+            if e > epoch:
+                continue  # a newer writer's in-flight epoch: not ours to GC
         elif f.startswith("manifest-e") and f.endswith(".json"):
             try:
                 e = int(f[len("manifest-e"):-len(".json")])
             except ValueError:
                 continue
-            if e == epoch:
+            if e >= floor:
                 continue
-        if e is not None and e < floor:
-            try:
-                os.unlink(os.path.join(pdir, f))
-            except OSError:
-                pass
+        else:
+            continue
+        try:
+            os.unlink(os.path.join(pdir, f))
+        except OSError:
+            pass
     return manifest
 
 

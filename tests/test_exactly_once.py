@@ -107,21 +107,96 @@ def test_keep_epochs_grace_window(tmp_path):
     sink = SinkConfig(out_dir=graced, keep_epochs=2)
     replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 0
     replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 1
-    files = sorted(_glob.glob(os.path.join(graced, "part=0", "data-e*.parquet")))
-    assert [os.path.basename(f) for f in files] == [
-        "data-e0.parquet", "data-e1.parquet",
-    ]
+    def epochs_present(d):
+        return sorted(
+            int(os.path.basename(f)[len("data-e"):].split("-", 1)[0].split(".")[0])
+            for f in _glob.glob(os.path.join(d, "part=0", "data-e*.parquet"))
+        )
+
+    assert epochs_present(graced) == [0, 1]
     # a third commit expires epoch 0 (window slides)
     replay(log, graced, ReplayConfig(num_partitions=2), sink=sink)  # epoch 2
-    files = sorted(_glob.glob(os.path.join(graced, "part=0", "data-e*.parquet")))
-    assert [os.path.basename(f) for f in files] == [
-        "data-e1.parquet", "data-e2.parquet",
-    ]
+    assert epochs_present(graced) == [1, 2]
     # readers see exactly the committed epoch (manifest-listed file only)
     assert len(lake_table(graced)) > 0
 
     plain = str(tmp_path / "plain")
     replay(log, plain, ReplayConfig(num_partitions=2))
     replay(log, plain, ReplayConfig(num_partitions=2))
-    files = sorted(_glob.glob(os.path.join(plain, "part=0", "data-e*.parquet")))
-    assert [os.path.basename(f) for f in files] == ["data-e1.parquet"]
+    assert epochs_present(plain) == [1]
+
+
+def test_commit_retry_same_digest_is_idempotent(tmp_path):
+    """A deterministic retry (same digest) of an already-committed
+    (partition, epoch) commits harmlessly and adopts the winner's
+    manifest — snapshot and pointer can never diverge."""
+    from sql_etl_pipeline_ray.state import manifest as mf
+
+    out = str(tmp_path / "lake")
+    t = pa.table({"repo": ["r"], "path": ["p"], "lsn": [1], "content": ["x"]})
+    m1 = mf.commit_partition(out, 0, 0, t, {"max_lsn": 1, "attempt": 1}, "d" * 16)
+    m2 = mf.commit_partition(out, 0, 0, t, {"max_lsn": 1, "attempt": 2}, "d" * 16)
+    assert m2 == m1  # second attempt adopted the winner's manifest verbatim
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(out, "part=0", "data-e0-*.parquet"))
+    assert len(files) == 1
+    with open(os.path.join(out, "part=0", "manifest.json")) as f:
+        cur = f.read()
+    with open(os.path.join(out, "part=0", "manifest-e0.json")) as f:
+        snap = f.read()
+    assert cur == snap
+
+
+def test_concurrent_commit_different_content_raises(tmp_path):
+    """Two writers racing the same (partition, epoch) with different
+    content: one wins, the loser raises before the pointer moves, and the
+    loser's orphan data file is swept by the next commit's GC."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from sql_etl_pipeline_ray.state import manifest as mf
+
+    out = str(tmp_path / "lake")
+    ta = pa.table({"repo": ["r"], "path": ["p"], "lsn": [1], "content": ["a"]})
+    tb = pa.table({"repo": ["r"], "path": ["p"], "lsn": [2], "content": ["b"]})
+    mf.commit_partition(out, 0, 0, ta, {"max_lsn": 1}, "aaaa" * 4)
+    with _pytest.raises(mf.ConcurrentCommitError):
+        mf.commit_partition(out, 0, 0, tb, {"max_lsn": 2}, "bbbb" * 4)
+    # winner's state intact
+    m = mf.read_manifest(out, 0)
+    assert m["digest"] == "aaaa" * 4 and m["max_lsn"] == 1
+    # loser's orphan file exists until the next commit sweeps it
+    orphans = _glob.glob(os.path.join(out, "part=0", "data-e0-bbbb*.parquet"))
+    assert len(orphans) == 1
+    mf.commit_partition(out, 0, 1, ta, {"max_lsn": 1}, "aaaa" * 4)
+    assert not _glob.glob(os.path.join(out, "part=0", "data-e0-bbbb*.parquet"))
+
+
+def test_replay_loses_race_to_preexisting_epoch(tmp_path):
+    """Replay-level integration: if another writer committed the epoch this
+    replay targets (with different content), the replay fails loudly
+    instead of silently clobbering the winner."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from sql_etl_pipeline_ray.state import manifest as mf
+
+    log = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_events=800, n_keys=100, num_buckets=2), log)
+    out = str(tmp_path / "lake")
+    replay(log, out, ReplayConfig(num_partitions=2))  # epoch 0
+    # simulate a faster concurrent writer winning epoch 1 on partition 0
+    pdir = mf.partition_dir(out, 0)
+    fake = dict(mf.read_manifest(out, 0))
+    fake["epoch"] = 1
+    fake["digest"] = "someoneelse"
+    with open(os.path.join(pdir, "manifest-e1.json"), "w") as f:
+        f.write(_json.dumps(fake))
+    with _pytest.raises(Exception) as ei:
+        replay(log, out, ReplayConfig(num_partitions=2))  # targets epoch 1
+    assert "ConcurrentCommitError" in str(ei.getrepr()) or isinstance(
+        ei.value, mf.ConcurrentCommitError
+    )
