@@ -142,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="lake state from manifests (no data read)")
     s.add_argument("lake_dir")
 
+    vc = sub.add_parser(
+        "vacuum",
+        help="standalone GC: drop temp files, losing-writer orphans and "
+        "beyond-retention epochs no retained manifest references",
+    )
+    vc.add_argument("lake_dir")
+    vc.add_argument("--keep-epochs", type=int, default=1)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-data":
@@ -174,6 +182,12 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "vacuum":
+        from .state import manifest as mf
+
+        print(json.dumps(mf.vacuum(args.lake_dir, keep_epochs=args.keep_epochs)))
         return 0
 
     _ray_session(args.num_cpus)

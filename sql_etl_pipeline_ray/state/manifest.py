@@ -299,3 +299,82 @@ def checkpoints(manifests: dict[int, dict[str, Any]]) -> dict[int, int]:
     reference analogue ``get_last_processed_timestamp``,
     ``sql/etl_transformations.sql:235-258``)."""
     return {part: m["max_lsn"] for part, m in manifests.items()}
+
+
+def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
+    """Standalone lake GC: delete everything no retained manifest references.
+
+    Commit-time GC already sweeps lazily; ``vacuum`` covers what that
+    can't — a lake that stopped committing (crashed runs leave
+    ``.inprogress`` temps and losing-writer orphans around forever) or a
+    retention tightened after the fact (``keep_epochs`` smaller than the
+    one the files were committed with).  Per partition, the retained set
+    is the current manifest's files plus every snapshot manifest within
+    the ``keep_epochs`` window; anything else with a parseable epoch at
+    or below the current one goes, as do temp files.  Partitions without
+    a current manifest (an in-flight first commit) lose only temps —
+    never data a racing writer may be about to reference.  Safe to run
+    at any time; concurrent readers inside the retention window are
+    unaffected.  Returns removal counts."""
+    removed = {"tmp": 0, "data": 0, "manifests": 0}
+    if not os.path.isdir(out_dir):
+        return removed
+    for d in os.listdir(out_dir):
+        if not d.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, d)
+        listing = os.listdir(pdir)
+        for f in listing:
+            if f.endswith(".inprogress") or f.endswith(".tmp"):
+                try:
+                    os.unlink(os.path.join(pdir, f))
+                    removed["tmp"] += 1
+                except OSError:
+                    pass
+        cur_path = os.path.join(pdir, MANIFEST_NAME)
+        if not os.path.exists(cur_path):
+            continue
+        with open(cur_path) as fh:
+            cur = json.load(fh)
+        epoch = cur["epoch"]
+        floor = epoch - max(1, keep_epochs) + 1
+        referenced: set[str] = set(cur.get("files", []))
+        for f in listing:
+            if f.startswith("manifest-e") and f.endswith(".json"):
+                try:
+                    e = int(f[len("manifest-e"):-len(".json")])
+                except ValueError:
+                    continue
+                if floor <= e <= epoch:
+                    try:
+                        with open(os.path.join(pdir, f)) as fh:
+                            referenced.update(json.load(fh).get("files", []))
+                    except (OSError, ValueError):
+                        pass
+        for f in listing:
+            if f.startswith("data-e") and f.endswith(".parquet"):
+                if f in referenced:
+                    continue
+                try:
+                    e = int(f[len("data-e"):-len(".parquet")].split("-", 1)[0])
+                except ValueError:
+                    continue
+                if e > epoch:
+                    continue  # possibly a newer in-flight writer's file
+                kind = "data"
+            elif f.startswith("manifest-e") and f.endswith(".json"):
+                try:
+                    e = int(f[len("manifest-e"):-len(".json")])
+                except ValueError:
+                    continue
+                if e >= floor:
+                    continue
+                kind = "manifests"
+            else:
+                continue
+            try:
+                os.unlink(os.path.join(pdir, f))
+                removed[kind] += 1
+            except OSError:
+                pass
+    return removed

@@ -200,3 +200,42 @@ def test_replay_loses_race_to_preexisting_epoch(tmp_path):
     assert "ConcurrentCommitError" in str(ei.getrepr()) or isinstance(
         ei.value, mf.ConcurrentCommitError
     )
+
+
+def test_vacuum_sweeps_orphans_keeps_retained(tmp_path):
+    """vacuum removes temps, losing-writer orphans and beyond-retention
+    epochs, and leaves the retained window fully readable."""
+    import glob as _glob
+
+    from sql_etl_pipeline_ray.config import SinkConfig
+    from sql_etl_pipeline_ray.pipelines.replay import lake_table
+    from sql_etl_pipeline_ray.state import manifest as mf
+
+    log = str(tmp_path / "log")
+    write_change_log(ChangeLogSpec(n_events=1200, n_keys=150, num_buckets=2), log)
+    out = str(tmp_path / "lake")
+    sink = SinkConfig(out_dir=out, keep_epochs=5)  # retain everything...
+    for _ in range(3):  # epochs 0,1,2 all retained
+        replay(log, out, ReplayConfig(num_partitions=2), sink=sink)
+    pdir = mf.partition_dir(out, 0)
+    # plant crash debris: a temp and a losing-writer orphan for epoch 2
+    open(os.path.join(pdir, "data-e9.parquet.inprogress"), "w").close()
+    open(os.path.join(pdir, "data-e2-deadbeef0000.parquet"), "w").close()
+    before = lake_table(out).to_pandas()
+
+    # tighten retention to 2 epochs after the fact
+    removed = mf.vacuum(out, keep_epochs=2)
+    assert removed["tmp"] == 1
+    assert removed["data"] >= 2  # orphan + epoch-0 files (2 partitions share counts)
+    assert removed["manifests"] >= 1
+    assert not os.path.exists(os.path.join(pdir, "data-e2-deadbeef0000.parquet"))
+    # current state unchanged; previous epoch still time-travel readable
+    pd.testing.assert_frame_equal(lake_table(out).to_pandas(), before)
+    assert len(lake_table(out, asof_epoch=1)) > 0
+    # epoch 0 is gone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mf.read_manifest(out, 0, asof_epoch=0)
+    # idempotent second run removes nothing
+    assert mf.vacuum(out, keep_epochs=2) == {"tmp": 0, "data": 0, "manifests": 0}
