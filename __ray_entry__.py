@@ -54,6 +54,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n=4 here: the synthetic corpus has zero verbatim 8-gram overlap
         # (the real-corpus default), so demonstrate at the n that bites.
         "docs_decontaminate": lambda sf: T.docs_decontaminate(sf, ngram=4),
+        # incremental near-dup gate: cross-side (ingested × increment)
+        # MinHash LSH pairs, exact-Jaccard verified, exact SQL oracle
+        "dedup_minhash_incremental": T.dedup_minhash_incremental,
+        # substring-level duplication: rolling-window hashes shared across
+        # ≥2 docs (Lee et al. substring dedup at fixed window length)
+        "docs_hot_passages": T.docs_hot_passages,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -283,6 +289,72 @@ _MINHASH_SQL = f"""
     WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5
     ORDER BY a, b
 """
+
+# Incremental MinHash oracle: identical banding replay; signatures are
+# per-doc, so cross-side LSH pairs == full-corpus LSH pairs restricted to
+# (even existing, odd new) — the candidate CTE swaps the doc_id < doc_id
+# orientation for the parity cross filter, everything else is shared.
+_MINHASH_INC_SQL = f"""
+    WITH coef(hi, a, b) AS (VALUES {_MH_COEF_ROWS}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       FOR i IN generate_series(1, len(w) - 2)]) AS g
+        FROM toks WHERE len(w) >= 3)),
+    gh AS (SELECT DISTINCT doc_id,
+                  CAST(md5_number_lower(g) % 4294967296 AS BIGINT) AS x
+           FROM grams),
+    mh AS (SELECT doc_id, hi, MIN((a * x + b) % 2147483647) AS v
+           FROM gh CROSS JOIN coef GROUP BY doc_id, hi),
+    bands AS (SELECT doc_id, hi // 4 AS band_id,
+                     string_agg(v::VARCHAR, ',' ORDER BY hi) AS band_key
+              FROM mh GROUP BY doc_id, hi // 4),
+    cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.band_key = y.band_key
+            WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+    cnts AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+    inter AS (SELECT c.da, c.db, COUNT(*) AS ni
+              FROM cand c
+              JOIN gh ga ON ga.doc_id = c.da
+              JOIN gh gb ON gb.doc_id = c.db AND gb.x = ga.x
+              GROUP BY 1, 2)
+    SELECT i.da AS existing_id, i.db AS new_id,
+           ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN cnts ca ON ca.doc_id = i.da
+    JOIN cnts cb ON cb.doc_id = i.db
+    WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5
+    ORDER BY existing_id, new_id
+"""
+
+# Duplicated-passage oracle: per-doc DISTINCT 4-word windows hashed with
+# md5_number_lower % 2^63 (the engine's _md5_lower63), window's global
+# doc count via plain GROUP BY (rows are per-doc distinct), per-doc
+# rollup.  hot_frac rounding = ROUND half-away = the engine's _rha6.
+_HOT_PASSAGES_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             CAST(md5_number_lower(g) % 9223372036854775808 AS BIGINT) AS wh
+      FROM (
+        SELECT doc_id,
+               UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                       FOR i IN generate_series(1, len(w) - 3)]) AS g
+        FROM toks WHERE len(w) >= 4)),
+    cnt AS (SELECT wh, COUNT(*) AS nd FROM wins GROUP BY wh),
+    perdoc AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_hot
+      FROM wins w JOIN cnt c USING (wh) GROUP BY w.doc_id)
+    SELECT doc_id, n_windows, n_hot,
+           ROUND(n_hot * 1.0 / n_windows, 6) AS hot_frac
+    FROM perdoc ORDER BY doc_id
+"""
+
 
 # SimHash oracle: 64-bit signature rebuilt bit-by-bit (±1 vote per distinct
 # word per bit of md5_number_lower(word), bit set iff the vote sum is
@@ -742,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint_rolling": _ROLLING_HASH_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "dedup_minhash_pairs": _MINHASH_SQL,
+        "dedup_minhash_incremental": _MINHASH_INC_SQL,
+        "docs_hot_passages": _HOT_PASSAGES_SQL,
         "dedup_simhash_pairs": _SIMHASH_SQL,
         "monthly_uniques_hll": _HLL_SQL,
         # corpus curation (stages/curation.py): the hash coins are single

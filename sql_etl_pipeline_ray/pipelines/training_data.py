@@ -234,6 +234,54 @@ def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _parity_sides(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(existing, new) demo split shared by the incremental dedup family:
+    even doc_ids play the already-ingested corpus, odd the increment."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(keep_odd: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_odd = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)
+            return t.filter(is_odd if keep_odd else pc.invert(is_odd))
+
+        return f
+
+    existing = docs.map_batches(
+        parity(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    new = docs.map_batches(parity(True), batch_format="pyarrow", zero_copy_batch=True)
+    return existing, new
+
+
+def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup gate: MinHash+LSH pairs between the increment
+    (odd doc_ids) and the ingested corpus (even doc_ids) — same parity
+    demo split as ``dedup_incremental``, same md5-rebased exact SQL oracle
+    as ``dedup_minhash_pairs`` restricted to cross-side pairs."""
+    existing, new = _parity_sides(sf_dir)
+    return D.incremental_minhash_pairs(
+        new,
+        existing,
+        jaccard_threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
+    )
+
+
+def docs_hot_passages(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document duplicated-passage report (4-word rolling windows,
+    hot = window in ≥2 docs); window_k=4 here because the synthetic corpus
+    has no verbatim 8-gram overlap (the real-corpus default) — same
+    reasoning as ``docs_decontaminate``'s n=4."""
+    return D.hot_passage_stats(
+        _docs(sf_dir, ["doc_id", "text"]),
+        window_k=4,
+        min_docs=2,
+        num_partitions=_doc_partitions(sf_dir),
+    )
+
+
 def dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed + verified.
 

@@ -511,6 +511,139 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    new_docs: ray.data.Dataset,
+    existing_docs: ray.data.Dataset,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
+    verify_texts_max_bytes: int = VERIFY_TEXTS_MAX_BYTES,
+) -> pd.DataFrame:
+    """INCREMENTAL near-dup gate: MinHash+LSH pairs between an incoming
+    increment (``new_docs``) and the already-ingested corpus
+    (``existing_docs``) — the near-dup sibling of ``incremental_dedup``,
+    and the check a continuously-ingesting 100-TB corpus runs per CDC
+    increment instead of re-LSH-ing everything from scratch.
+
+    Signatures are per-doc (independent of which side a doc is on), so the
+    cross-side candidate set is EXACTLY the full-corpus LSH candidate set
+    restricted to (existing, new) pairs — that identity is both the
+    correctness property the tests pin and what makes the operator
+    SQL-oracle-able with the same md5-rebased banding replay as
+    ``minhash_lsh_pairs``.  Both sides band in ONE union pass (a tagged
+    union like ``incremental_dedup`` — no broadcast of either side); only
+    cross-side pairs are generated inside each bucket partition, so
+    within-corpus duplicates (already handled at their own ingest time)
+    never inflate the candidate set.  Verification reuses the shared
+    three-tier exact-Jaccard scheme over the union of both sides' texts.
+
+    Requires doc_ids unique ACROSS sides (they address one logical
+    corpus).  Returns verified pairs ``(existing_id, new_id, jaccard)``
+    sorted; a new doc appearing in ≥1 row is a near-dup of ingested
+    content and would be skipped/flagged by the caller's admit policy.
+    """
+    rows_per_band = num_hashes // bands
+    hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
+    num_partitions = num_partitions or partitions_for_bytes(None)
+    n_keys = (rows_per_band + 1) // 2
+    key_cols = [f"bk{i}" for i in range(n_keys)]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return f
+
+    both = existing_docs.select_columns(["doc_id", text_col]).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        new_docs.select_columns(["doc_id", text_col]).map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        # same int64-packed band keys as minhash_lsh_pairs, plus the side
+        # tag mapped back onto the (signature-bearing) docs of this batch
+        sig_df = hasher(df)
+        n = len(sig_df)
+        if n == 0:
+            cols = {"_gp": [], "band_id": [], "doc_id": [], "_side": []}
+            cols.update({kc: [] for kc in key_cols})
+            return pd.DataFrame(cols).astype(np.int64)
+        side = (
+            sig_df["doc_id"]
+            .map(dict(zip(df["doc_id"], df["_side"])))
+            .to_numpy(np.int64)
+        )
+        S = np.stack(sig_df["sig"].to_numpy())
+        B = S.reshape(n, bands, rows_per_band)
+        out = {
+            "_gp": (
+                (np.arange(bands, dtype=np.int64)[None, :] * 131 + B[:, :, 0])
+                % num_partitions
+            ).reshape(-1),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "doc_id": np.repeat(sig_df["doc_id"].to_numpy(np.int64), bands),
+            "_side": np.repeat(side, bands),
+        }
+        for i, kc in enumerate(key_cols):
+            lo = B[:, :, 2 * i]
+            hi = (
+                B[:, :, 2 * i + 1]
+                if 2 * i + 1 < rows_per_band
+                else np.zeros_like(lo)
+            )
+            out[kc] = (lo * np.int64(1 << 31) + hi).reshape(-1)
+        return pd.DataFrame(out)
+
+    buckets = both.map_batches(to_bands, batch_format="pandas")
+    empty = pd.DataFrame(
+        {
+            "existing_id": pd.Series(dtype=np.int64),
+            "new_id": pd.Series(dtype=np.int64),
+            "jaccard": pd.Series(dtype=np.float64),
+        }
+    )
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # CROSS-side self-merge only: existing × new within each bucket
+        gx = g[g["_side"] == 0]
+        gy = g[g["_side"] == 1]
+        if not len(gx) or not len(gy):
+            return empty[["existing_id", "new_id"]]
+        m = gx.merge(gy, on=["band_id"] + key_cols)
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_x": "existing_id", "doc_id_y": "new_id"})
+        )
+
+    cand_ds = (
+        buckets.groupby("_gp").map_groups(part_pairs, batch_format="pandas")
+    ).materialize()
+    n_cand = cand_ds.count()
+    if n_cand == 0:
+        return empty
+
+    union_docs = existing_docs.select_columns(["doc_id", text_col]).union(
+        new_docs.select_columns(["doc_id", text_col])
+    )
+    return _verify_candidates(
+        cand_ds, n_cand, union_docs, "doc_id", text_col,
+        "existing_id", "new_id",
+        lambda t: set(hasher.shingles(t).tolist()),
+        jaccard_threshold, num_partitions,
+        verify_broadcast_max, verify_texts_max_bytes,
+    )
+
+
 class SimHasher:
     """64-bit SimHash over word unigrams (per-actor state: none heavy, but
     kept as a class for the actor-pool pattern and seeding discipline).
@@ -874,6 +1007,100 @@ def duplicate_text_stats(
             "duplicate_rows": pa.array([int(totals["sum(duplicate_rows)"])], pa.int64()),
         }
     )
+
+
+def _md5_lower63(s: str) -> int:
+    """``md5_number_lower % 2^63`` — the top bit masked off so the value
+    is BIGINT-storable in both numpy and DuckDB (exact SQL replay)."""
+    return _md5_lower64(s) & ((1 << 63) - 1)
+
+
+def hot_passage_stats(
+    docs: ray.data.Dataset,
+    window_k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SUBSTRING-level duplication report: for each doc, how many of its
+    ``window_k``-word rolling windows also appear in ≥ ``min_docs`` docs
+    total — the cross-document boilerplate/duplicated-passage signal that
+    document-level dedup (exact or near) cannot see (public antecedents:
+    suffix-array substring dedup in Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022, approximated here at
+    fixed window length; C4/RefinedWeb repeated-line removal).
+
+    Scale shape (two linear shuffles, no driver state, no text shuffle):
+    per-doc DISTINCT window hashes (63-bit md5 — SQL-replayable, travels
+    as 16 B/row) → window-hash-partition groupby where each hash's global
+    doc count is a vectorized ``transform('size')`` (rows are per-doc
+    distinct, so count == distinct docs) → per-doc rollup via one
+    ``hash_agg`` exchange on doc_id.  Unlike a broadcast-hot-set design,
+    nothing assumes the duplicated-window set is small — a boilerplate-
+    heavy corpus ships the same 16 B/row regardless.
+
+    Returns one row per doc with ≥1 window: ``(doc_id, n_windows, n_hot,
+    hot_frac)``; docs shorter than ``window_k`` words have no windows and
+    no row.  ``hot_frac`` near 1 marks template/boilerplate docs worth
+    dropping; window-level positions (for surgical passage removal) are
+    a caller-side second pass over just the flagged docs."""
+    num_partitions = num_partitions or partitions_for_bytes(None)
+
+    def to_windows(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        whs: list[int] = []
+        for doc_id, t in zip(df[id_col], df[text_col]):
+            # split(" ") (not split()) to match DuckDB string_split(text,' ')
+            words = (t or "").split(" ")
+            if len(words) < window_k:
+                continue
+            seen = {
+                _md5_lower63(" ".join(words[i : i + window_k]))
+                for i in range(len(words) - window_k + 1)
+            }
+            ids.extend([doc_id] * len(seen))
+            whs.extend(seen)
+        wh = np.asarray(whs, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "wh": wh,
+                "_gp": wh % num_partitions,
+            }
+        )
+
+    wins = docs.select_columns([id_col, text_col]).map_batches(
+        to_windows, batch_format="pandas"
+    )
+
+    def annotate(part: pd.DataFrame) -> pd.DataFrame:
+        # every row of a window hash lives in this partition and rows are
+        # per-doc distinct → transform-size IS the global distinct-doc count
+        nd = part.groupby("wh")["wh"].transform("size").to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: part[id_col].to_numpy(np.int64),
+                "hot": (nd >= min_docs).astype(np.int64),
+            }
+        )
+
+    flags = wins.groupby("_gp").map_groups(annotate, batch_format="pandas")
+    agg = hash_agg(
+        flags,
+        [id_col],
+        {"n_windows": ("hot", "size"), "n_hot": ("hot", "sum")},
+        num_partitions,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hot_frac"] = _rha6(
+            df["n_hot"].to_numpy(np.float64) / df["n_windows"].to_numpy(np.float64)
+        )
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(

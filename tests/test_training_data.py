@@ -70,6 +70,98 @@ def test_simhash_exact_dups_distance_zero():
     assert d0 == 0
 
 
+def test_incremental_minhash_cross_side_identity():
+    """incremental_minhash_pairs == full-corpus minhash_lsh_pairs
+    restricted to (existing, new) cross-side pairs — signatures are
+    per-doc, so the split cannot change banding."""
+    df = _corpus_with_near_dups()
+    existing = df[df["doc_id"] % 2 == 0]
+    new = df[df["doc_id"] % 2 == 1]
+    got = D.incremental_minhash_pairs(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(existing),
+        jaccard_threshold=0.5,
+    )
+    full = D.minhash_lsh_pairs(ray.data.from_pandas(df), jaccard_threshold=0.5)
+    want = set()
+    for a, b, j in zip(full["a"], full["b"], full["jaccard"]):
+        # orient (existing=even, new=odd); drop same-side pairs
+        if a % 2 == 0 and b % 2 == 1:
+            want.add((a, b, j))
+        elif a % 2 == 1 and b % 2 == 0:
+            want.add((b, a, j))
+    assert set(zip(got["existing_id"], got["new_id"], got["jaccard"])) == want
+    # the planted near-dup (i*10, i*10+1) is a cross-side pair — found
+    assert (0, 1) in set(zip(got["existing_id"], got["new_id"]))
+
+
+def test_incremental_minhash_disjoint_sides_empty():
+    df = _corpus_with_near_dups()
+    # increment shares nothing with the corpus → empty, schema stable
+    new = pd.DataFrame(
+        {"doc_id": [900], "text": ["unrelated words nowhere else present at all"]}
+    )
+    got = D.incremental_minhash_pairs(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(df[df["doc_id"] % 2 == 0]),
+        jaccard_threshold=0.5,
+    )
+    assert list(got.columns) == ["existing_id", "new_id", "jaccard"]
+    assert len(got) == 0
+
+
+def _brute_hot_passages(df, window_k, min_docs):
+    wins = {}
+    for r in df.itertuples(index=False):
+        words = r.text.split(" ")
+        s = {
+            " ".join(words[i : i + window_k])
+            for i in range(len(words) - window_k + 1)
+        }
+        if s:
+            wins[r.doc_id] = s
+    from collections import Counter
+
+    cnt = Counter(w for s in wins.values() for w in s)
+    rows = []
+    for doc_id, s in sorted(wins.items()):
+        n_hot = sum(1 for w in s if cnt[w] >= min_docs)
+        rows.append((doc_id, len(s), n_hot))
+    return rows
+
+
+def test_hot_passage_stats_matches_brute_force():
+    boiler = "this license text is repeated verbatim across many files here"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                f"unique alpha content one {boiler}",
+                f"{boiler} and some unique beta tail words",
+                "totally unrelated gamma document with its own words only",
+                f"unique delta head {boiler} unique delta tail",
+                "shrt",  # 1 word < window_k → no row
+            ],
+        }
+    )
+    got = (
+        D.hot_passage_stats(ray.data.from_pandas(df), window_k=4, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_hot_passages(df, 4, 2)
+    assert list(zip(got["doc_id"], got["n_windows"], got["n_hot"])) == want
+    # the boilerplate-carrying docs have hot windows; the unique doc none
+    by_id = dict(zip(got["doc_id"], got["n_hot"]))
+    assert by_id[1] > 0 and by_id[2] > 0 and by_id[4] > 0 and by_id[3] == 0
+    assert 5 not in by_id  # shorter than the window → no windows, no row
+    # hot_frac is the rounded ratio
+    assert np.allclose(
+        got["hot_frac"], (got["n_hot"] / got["n_windows"]).round(6), atol=1e-9
+    )
+
+
 def test_exact_dedup_min_doc_id_wins():
     df = _corpus_with_near_dups()
     out = D.exact_dedup(ray.data.from_pandas(df)).to_pandas()
