@@ -197,6 +197,10 @@ def run_bench() -> dict:
     # curation flow (quality gate -> dedup -> split -> per-split packing)
     timed("dedup_minhash_pairs", T.dedup_minhash_pairs)
     timed("docs_curation_pipeline", T.docs_curation_pipeline)
+    # round-3 additions: the incremental near-dup gate and the
+    # substring-duplication report (both window-hash shuffle shapes)
+    timed("dedup_minhash_incremental", T.dedup_minhash_incremental)
+    timed("docs_hot_passages", T.docs_hot_passages)
 
     result = {
         "metric": "cdc_replay_wall_sec",

@@ -142,6 +142,15 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="lake state from manifests (no data read)")
     s.add_argument("lake_dir")
 
+    fk = sub.add_parser(
+        "fsck",
+        help="lake integrity audit: manifests vs files/footers (shallow); "
+        "--deep re-reads data and re-derives digests, sha256 rows, "
+        "key routing and LSN watermarks (one Ray task per partition)",
+    )
+    fk.add_argument("lake_dir")
+    fk.add_argument("--deep", action="store_true")
+
     vc = sub.add_parser(
         "vacuum",
         help="standalone GC: drop temp files, losing-writer orphans and "
@@ -190,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(mf.vacuum(args.lake_dir, keep_epochs=args.keep_epochs)))
         return 0
 
+    if args.cmd == "fsck" and not args.deep:
+        # shallow audit reads only manifests + parquet footers — no Ray
+        from .pipelines.replay import fsck_lake
+
+        rep = fsck_lake(args.lake_dir, deep=False)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+
     _ray_session(args.num_cpus)
     import ray
 
@@ -219,6 +236,12 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "fsck":  # --deep (shallow returned above)
+            from .pipelines.replay import fsck_lake
+
+            rep = fsck_lake(args.lake_dir, deep=True)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
         elif args.cmd == "diff":
             from .pipelines.replay import lake_diff
 

@@ -43,7 +43,13 @@ import ray
 import ray.data
 
 from ..config import ReplayConfig, SinkConfig
-from ..hashing import KEY_HASH_VERSION, key_hash, table_digest
+from ..hashing import (
+    KEY_HASH_VERSION,
+    key_hash,
+    partition_ids,
+    sha256_column,
+    table_digest,
+)
 from ..schemas import (
     CHANGE_EVENT_SCHEMA,
     KEY_COLUMNS,
@@ -1616,6 +1622,175 @@ def lake_table(out_dir: str, asof_epoch: int | None = None) -> pa.Table:
     return pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="permissive"
     ).sort_by([(k, "ascending") for k in KEY_COLUMNS])
+
+
+@ray.remote
+def _fsck_partition_deep(
+    out_dir: str, part: int, manifest: dict, num_partitions: int
+) -> list[str]:
+    """Deep per-partition audit (one Ray task per partition): re-derive
+    every manifest claim from the data bytes themselves."""
+    issues: list[str] = []
+    pdir = mf.partition_dir(out_dir, part)
+    tables = []
+    for f in manifest["files"]:
+        try:
+            tables.append(pq.read_table(os.path.join(pdir, f)))
+        except Exception as e:  # unreadable file — fatal for this partition
+            return [f"part {part}: data file {f} unreadable: {e}"]
+    tbl = (
+        pa.concat_tables(tables, promote_options="permissive")
+        if tables
+        else None
+    )
+    if tbl is None:
+        return issues
+    if table_digest(tbl, list(KEY_COLUMNS)) != manifest["digest"]:
+        issues.append(
+            f"part {part}: content digest mismatch (data bytes do not "
+            "match the committed manifest digest)"
+        )
+    if len(tbl):
+        # every row must hash-route to its own partition — catches rows
+        # written under a different partition count / key-hash version
+        pids = partition_ids(
+            tbl.column("repo"), tbl.column("path"), num_partitions
+        )
+        if (pids != part).any():
+            issues.append(
+                f"part {part}: {(pids != part).sum()} rows route to other "
+                f"partitions under num_partitions={num_partitions} "
+                "(foreign rows — wrong hash version or corrupted rescale)"
+            )
+        # per-row invariant: content_sha256 == sha256(content)
+        if "content" in tbl.column_names and "content_sha256" in tbl.column_names:
+            want = sha256_column(tbl.column("content"))
+            got = tbl.column("content_sha256").combine_chunks()
+            if not pc.all(pc.equal(got, want)).as_py():
+                issues.append(f"part {part}: content_sha256 rows do not match content")
+        # the checkpoint watermark bounds every surviving row's LSN
+        if "lsn" in tbl.column_names:
+            mx = pc.max(tbl.column("lsn")).as_py()
+            if mx is not None and mx > manifest.get("max_lsn", -1):
+                issues.append(
+                    f"part {part}: row lsn {mx} exceeds manifest max_lsn "
+                    f"{manifest.get('max_lsn')} (checkpoint would skip events)"
+                )
+    return issues
+
+
+def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
+    """Lake integrity audit — does the committed state actually match its
+    manifests?  The verification arm of the exactly-once contract (readers
+    trust only manifest-listed files, so a lie in a manifest is silent
+    until something re-reads the bytes).
+
+    Shallow checks (metadata only — parquet FOOTERS, never data pages, so
+    this is cheap at any lake size): manifests parse and self-identify,
+    listed files exist and are non-empty, footer row counts and schema
+    match the manifest, ``num_partitions`` / ``key_hash_version`` agree
+    across partitions, part ids are in range; orphan data files and
+    leftover ``.inprogress`` temps are counted (informational — lazy GC's
+    job, never an error).
+
+    ``deep=True`` adds one Ray task per partition that re-reads the data
+    and re-derives every claim: the order-independent content digest, the
+    per-row ``content_sha256`` invariant, hash-routing of every row to its
+    own partition (catches a wrong-key-hash or corrupted-rescale lake) and
+    the ``max_lsn`` watermark bound.  Cost = one full lake scan, fully
+    parallel.
+
+    Returns ``{"ok", "partitions", "files", "issues", "orphan_files",
+    "temp_files", "deep"}``; ``ok`` is False iff ``issues`` is non-empty.
+    """
+    issues: list[str] = []
+    manifests = mf.read_all_manifests(out_dir)
+    orphans = 0
+    temps = 0
+    n_files = 0
+    widths = {m["stats"].get("num_partitions") for m in manifests.values()}
+    if len(widths) > 1:
+        issues.append(f"num_partitions disagrees across manifests: {sorted(widths)}")
+    versions = {m["stats"].get("key_hash_version", 1) for m in manifests.values()}
+    if len(versions) > 1:
+        issues.append(
+            f"key_hash_version disagrees across manifests: {sorted(versions)}"
+        )
+    num_partitions = next(iter(widths), None)
+    for part, m in sorted(manifests.items()):
+        pdir = mf.partition_dir(out_dir, part)
+        if m.get("part") != part:
+            issues.append(
+                f"part {part}: manifest self-identifies as part {m.get('part')}"
+            )
+        if num_partitions is not None and part >= num_partitions:
+            issues.append(
+                f"part {part}: id out of range for num_partitions={num_partitions}"
+            )
+        footer_rows = 0
+        for f in m["files"]:
+            fp = os.path.join(pdir, f)
+            if not os.path.exists(fp):
+                issues.append(f"part {part}: manifest-listed file missing: {f}")
+                continue
+            n_files += 1
+            if os.path.getsize(fp) == 0:
+                issues.append(f"part {part}: zero-byte data file: {f}")
+                continue
+            try:
+                md = pq.read_metadata(fp)
+            except Exception as e:
+                issues.append(f"part {part}: unreadable parquet footer {f}: {e}")
+                continue
+            footer_rows += md.num_rows
+            file_fields = {
+                (fld.name, str(fld.type)) for fld in pq.read_schema(fp)
+            }
+            want_fields = {(n, t) for n, t in m.get("schema_fingerprint", [])}
+            if want_fields and file_fields != want_fields:
+                issues.append(
+                    f"part {part}: file schema drifted from manifest "
+                    f"fingerprint in {f}"
+                )
+        if footer_rows != m.get("rows"):
+            issues.append(
+                f"part {part}: footer rows {footer_rows} != manifest rows "
+                f"{m.get('rows')}"
+            )
+        # informational: files on disk not referenced by ANY retained
+        # snapshot manifest (lazy-GC candidates), and crashed-write temps
+        referenced: set[str] = set(m["files"])
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.startswith("manifest-e") and f.endswith(".json"):
+                    try:
+                        with open(os.path.join(pdir, f)) as fh:
+                            referenced.update(json.load(fh).get("files", []))
+                    except (OSError, json.JSONDecodeError):
+                        issues.append(f"part {part}: corrupt snapshot manifest {f}")
+            for f in os.listdir(pdir):
+                if f.endswith(".inprogress"):
+                    temps += 1
+                elif f.endswith(".parquet") and f not in referenced:
+                    orphans += 1
+    if deep and manifests and num_partitions:
+        deep_issues = ray.get(
+            [
+                _fsck_partition_deep.remote(out_dir, part, m, num_partitions)
+                for part, m in sorted(manifests.items())
+            ]
+        )
+        for batch in deep_issues:
+            issues.extend(batch)
+    return {
+        "ok": not issues,
+        "partitions": len(manifests),
+        "files": n_files,
+        "issues": issues,
+        "orphan_files": orphans,
+        "temp_files": temps,
+        "deep": deep,
+    }
 
 
 def tail_change_log(

@@ -34,6 +34,9 @@ def test_cli_gen_replay_status_resume(tmp_path):
     res = run_cli("--num-cpus", "4", "replay", log, lake, "--resume")
     assert res["partitions_committed"] == 0  # caught up: exactly-once no-op
 
+    fk = run_cli("fsck", lake)  # shallow audit — no Ray session
+    assert fk["ok"] and fk["partitions"] == 4 and not fk["issues"]
+
 
 def test_cli_convert_csv_then_replay(tmp_path):
     import pyarrow.csv as pacsv

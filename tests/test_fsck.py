@@ -1,0 +1,93 @@
+"""Lake integrity audit (fsck_lake): a committed lake passes shallow and
+deep checks; every tampering mode is detected by the matching check."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from sql_etl_pipeline_ray.config import ReplayConfig
+from sql_etl_pipeline_ray.pipelines.replay import fsck_lake, replay
+from sql_etl_pipeline_ray.sources.datagen import ChangeLogSpec, write_change_log
+from sql_etl_pipeline_ray.state import manifest as mf
+
+
+def _lake(tmp_path, **spec_kw):
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    write_change_log(
+        ChangeLogSpec(n_events=4000, n_keys=400, num_buckets=2, **spec_kw), log
+    )
+    replay(log, lake, ReplayConfig(num_partitions=4))
+    return lake
+
+
+def test_clean_lake_passes_shallow_and_deep(tmp_path):
+    lake = _lake(tmp_path)
+    rep = fsck_lake(lake)
+    assert rep["ok"], rep["issues"]
+    assert rep["partitions"] == 4 and rep["files"] >= 4
+    assert rep["temp_files"] == 0
+    deep = fsck_lake(lake, deep=True)
+    assert deep["ok"], deep["issues"]
+    assert deep["deep"] is True
+
+
+def test_missing_file_and_temp_leftover_detected(tmp_path):
+    lake = _lake(tmp_path)
+    m = mf.read_manifest(lake, 0)
+    pdir = mf.partition_dir(lake, 0)
+    os.remove(os.path.join(pdir, m["files"][0]))
+    # a crashed-write temp is informational, not an error
+    open(os.path.join(pdir, "data-e9-deadbeef.parquet.inprogress"), "w").close()
+    rep = fsck_lake(lake)
+    assert not rep["ok"]
+    assert any("missing" in i for i in rep["issues"])
+    assert rep["temp_files"] == 1
+
+
+def test_manifest_row_count_lie_detected(tmp_path):
+    lake = _lake(tmp_path)
+    pdir = mf.partition_dir(lake, 1)
+    mp = os.path.join(pdir, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["rows"] += 7
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    rep = fsck_lake(lake)
+    assert not rep["ok"]
+    assert any("footer rows" in i for i in rep["issues"])
+
+
+def test_deep_detects_tampered_content(tmp_path):
+    """Rewrite one data file with altered content but the same row count:
+    shallow passes (footer metadata intact), deep catches both the table
+    digest and the per-row sha256 invariant."""
+    lake = _lake(tmp_path)
+    m = mf.read_manifest(lake, 2)
+    fp = os.path.join(mf.partition_dir(lake, 2), m["files"][0])
+    t = pq.read_table(fp)
+    col = t.column("content").to_pylist()
+    col[0] = (col[0] or "") + " TAMPERED"
+    t = t.set_column(t.schema.get_field_index("content"), "content", [col])
+    pq.write_table(t, fp, compression="zstd")
+    assert fsck_lake(lake)["ok"]  # shallow can't see it
+    deep = fsck_lake(lake, deep=True)
+    assert not deep["ok"]
+    assert any("digest mismatch" in i for i in deep["issues"])
+    assert any("content_sha256" in i for i in deep["issues"])
+
+
+def test_deep_detects_foreign_rows(tmp_path):
+    """Move partition 3's file under partition 0's manifest: rows that
+    hash-route elsewhere are flagged (wrong rescale / hash version)."""
+    lake = _lake(tmp_path)
+    m0 = mf.read_manifest(lake, 0)
+    m3 = mf.read_manifest(lake, 3)
+    src = os.path.join(mf.partition_dir(lake, 3), m3["files"][0])
+    dst = os.path.join(mf.partition_dir(lake, 0), m0["files"][0])
+    os.replace(src, dst)
+    deep = fsck_lake(lake, deep=True)
+    assert not deep["ok"]
+    assert any("route to other partitions" in i for i in deep["issues"])
