@@ -419,6 +419,80 @@ class ShingleMinHash:
         return out
 
 
+def _band_key_cols(num_hashes: int, bands: int) -> tuple[int, list[str]]:
+    rows_per_band = num_hashes // bands
+    return rows_per_band, [f"bk{i}" for i in range((rows_per_band + 1) // 2)]
+
+
+def minhash_band_rows(
+    docs: ray.data.Dataset,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """The PERSISTABLE LSH band-bucket table: one ``(band_id, doc_id,
+    bk0..bkN)`` row per doc per band — the band's literal value tuple
+    packed LOSSLESSLY into int64 pairs (every minhash < 2^31, so
+    k = v[2i]*2^31 + v[2i+1] is exact; the same candidate set as the SQL
+    oracle's string_agg tuple, zero collision risk).  Int keys keep the
+    explode, the bucket sort and the self-merge fully vectorized where a
+    per-doc per-band string join would build millions of Python tuples.
+
+    This is what a continuously-ingesting corpus WRITES ONCE per ingest
+    (e.g. ``.write_parquet`` next to the lake) and feeds back to
+    ``incremental_minhash_pairs(existing_bands=...)`` per increment, so
+    the ingested side is never re-shingled.  Rows are a pure function of
+    (text, num_hashes, bands, shingle_k, seed) — persist those parameters
+    with the table; a mismatch silently yields disjoint buckets."""
+    hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
+    rows_per_band, key_cols = _band_key_cols(num_hashes, bands)
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sig_df = hasher(df)
+        n = len(sig_df)
+        if n == 0:
+            cols = {"band_id": [], "doc_id": []}
+            cols.update({kc: [] for kc in key_cols})
+            return pd.DataFrame(cols).astype(np.int64)
+        S = np.stack(sig_df["sig"].to_numpy())  # (n, num_hashes) int64
+        B = S.reshape(n, bands, rows_per_band)
+        out = {
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "doc_id": np.repeat(sig_df["doc_id"].to_numpy(np.int64), bands),
+        }
+        for i, kc in enumerate(key_cols):
+            lo = B[:, :, 2 * i]
+            hi = (
+                B[:, :, 2 * i + 1]
+                if 2 * i + 1 < rows_per_band
+                else np.zeros_like(lo)
+            )
+            out[kc] = (lo * np.int64(1 << 31) + hi).reshape(-1)
+        return pd.DataFrame(out)
+
+    return docs.map_batches(to_bands, batch_format="pandas")
+
+
+def _band_gp_tagger(num_partitions: int, side: int | None = None):
+    """Append the bucket-partition id (and optionally a side tag) to band
+    rows.  ``_gp`` derives from (band_id, first band value) — and the
+    first value is recoverable from the packed key (bk0 >> 31), so
+    persisted band tables need not store it."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gp"] = (
+            df["band_id"].to_numpy(np.int64) * 131
+            + (df["bk0"].to_numpy(np.int64) >> 31)
+        ) % num_partitions
+        if side is not None:
+            df["_side"] = np.int8(side)
+        return df
+
+    return f
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     num_hashes: int = 64,
@@ -433,54 +507,19 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Pipeline: signatures (actor pool) → explode to (band_id, band_hash,
-    doc_id) rows → groupby buckets → candidate pairs → verify with exact
-    shingle Jaccard via the three-tier scheme at the top of this module
-    (driver kernel / broadcast-texts distributed / hash-join).
-    ``num_partitions`` defaults to input-scaled (callers with on-disk
-    bytes pass ``partitions_for_bytes``; the fallback floor is 2x cluster
-    CPUs)."""
-    rows_per_band = num_hashes // bands
+    doc_id) rows (``minhash_band_rows``) → groupby buckets → candidate
+    pairs → verify with exact shingle Jaccard via the three-tier scheme
+    at the top of this module (driver kernel / broadcast-texts
+    distributed / hash-join).  ``num_partitions`` defaults to
+    input-scaled (callers with on-disk bytes pass ``partitions_for_bytes``;
+    the fallback floor is 2x cluster CPUs)."""
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
-
     num_partitions = num_partitions or partitions_for_bytes(None)
-    # The bucket key is the band's literal value tuple packed LOSSLESSLY
-    # into int64 pairs (every minhash < 2^31, so k = v[2i]*2^31 + v[2i+1]
-    # is exact — the same candidate set as the SQL oracle's string_agg
-    # tuple, zero collision risk) — int keys keep the explode, the bucket
-    # sort and the self-merge fully vectorized where the old per-doc
-    # per-band string join built millions of Python tuples.
-    n_keys = (rows_per_band + 1) // 2
-    key_cols = [f"bk{i}" for i in range(n_keys)]
+    _, key_cols = _band_key_cols(num_hashes, bands)
 
-    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
-        sig_df = hasher(df)
-        n = len(sig_df)
-        if n == 0:
-            cols = {"_gp": [], "band_id": [], "doc_id": []}
-            cols.update({kc: [] for kc in key_cols})
-            return pd.DataFrame(cols).astype(np.int64)
-        S = np.stack(sig_df["sig"].to_numpy())  # (n, num_hashes) int64
-        B = S.reshape(n, bands, rows_per_band)
-        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
-        out = {
-            "_gp": (
-                (np.arange(bands, dtype=np.int64)[None, :] * 131 + B[:, :, 0])
-                % num_partitions
-            ).reshape(-1),
-            "band_id": band_id,
-            "doc_id": np.repeat(sig_df["doc_id"].to_numpy(np.int64), bands),
-        }
-        for i, kc in enumerate(key_cols):
-            lo = B[:, :, 2 * i]
-            hi = (
-                B[:, :, 2 * i + 1]
-                if 2 * i + 1 < rows_per_band
-                else np.zeros_like(lo)
-            )
-            out[kc] = (lo * np.int64(1 << 31) + hi).reshape(-1)
-        return pd.DataFrame(out)
-
-    buckets = docs.map_batches(to_bands, batch_format="pandas")
+    buckets = minhash_band_rows(
+        docs, num_hashes, bands, shingle_k, text_col
+    ).map_batches(_band_gp_tagger(num_partitions), batch_format="pandas")
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # within-partition self-merge on the bucket key: C-speed quadratic
@@ -520,6 +559,7 @@ def incremental_minhash_pairs(
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     num_partitions: int | None = None,
+    existing_bands: ray.data.Dataset | None = None,
     verify_broadcast_max: int = VERIFY_BROADCAST_MAX,
     verify_texts_max_bytes: int = VERIFY_TEXTS_MAX_BYTES,
 ) -> pd.DataFrame:
@@ -534,76 +574,44 @@ def incremental_minhash_pairs(
     restricted to (existing, new) pairs — that identity is both the
     correctness property the tests pin and what makes the operator
     SQL-oracle-able with the same md5-rebased banding replay as
-    ``minhash_lsh_pairs``.  Both sides band in ONE union pass (a tagged
-    union like ``incremental_dedup`` — no broadcast of either side); only
-    cross-side pairs are generated inside each bucket partition, so
+    ``minhash_lsh_pairs``.  Both sides' band rows meet in ONE tagged
+    union (like ``incremental_dedup`` — no broadcast of either side);
+    only cross-side pairs are generated inside each bucket partition, so
     within-corpus duplicates (already handled at their own ingest time)
-    never inflate the candidate set.  Verification reuses the shared
-    three-tier exact-Jaccard scheme over the union of both sides' texts.
+    never inflate the candidate set.
+
+    ``existing_bands``: the ingested corpus's PERSISTED band table
+    (``minhash_band_rows`` output, e.g. re-read from Parquet written at
+    ingest time, same num_hashes/bands/shingle_k/seed).  With it, the
+    existing side is never re-shingled — per-increment cost is
+    O(increment texts + both sides' band rows + candidate verify), which
+    is what makes the operator honestly incremental at corpus scale.
+    Without it, the existing side's bands are derived in-flight from
+    ``existing_docs`` (correct, but O(corpus) hashing per call).
+    ``existing_docs`` is still required either way: the exact-Jaccard
+    verify reads the CANDIDATE docs' texts from it (a narrow pick of the
+    rare candidates, never a full re-shingle).
 
     Requires doc_ids unique ACROSS sides (they address one logical
     corpus).  Returns verified pairs ``(existing_id, new_id, jaccard)``
     sorted; a new doc appearing in ≥1 row is a near-dup of ingested
     content and would be skipped/flagged by the caller's admit policy.
     """
-    rows_per_band = num_hashes // bands
     hasher = ShingleMinHash(num_hashes, shingle_k, text_col=text_col)
     num_partitions = num_partitions or partitions_for_bytes(None)
-    n_keys = (rows_per_band + 1) // 2
-    key_cols = [f"bk{i}" for i in range(n_keys)]
+    _, key_cols = _band_key_cols(num_hashes, bands)
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_side", pa.array(np.full(len(t), side, dtype=np.int8))
-            )
-
-        return f
-
-    both = existing_docs.select_columns(["doc_id", text_col]).map_batches(
-        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    if existing_bands is None:
+        existing_bands = minhash_band_rows(
+            existing_docs, num_hashes, bands, shingle_k, text_col
+        )
+    buckets = existing_bands.map_batches(
+        _band_gp_tagger(num_partitions, side=0), batch_format="pandas"
     ).union(
-        new_docs.select_columns(["doc_id", text_col]).map_batches(
-            tag(1), batch_format="pyarrow", zero_copy_batch=True
-        )
+        minhash_band_rows(
+            new_docs, num_hashes, bands, shingle_k, text_col
+        ).map_batches(_band_gp_tagger(num_partitions, side=1), batch_format="pandas")
     )
-
-    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
-        # same int64-packed band keys as minhash_lsh_pairs, plus the side
-        # tag mapped back onto the (signature-bearing) docs of this batch
-        sig_df = hasher(df)
-        n = len(sig_df)
-        if n == 0:
-            cols = {"_gp": [], "band_id": [], "doc_id": [], "_side": []}
-            cols.update({kc: [] for kc in key_cols})
-            return pd.DataFrame(cols).astype(np.int64)
-        side = (
-            sig_df["doc_id"]
-            .map(dict(zip(df["doc_id"], df["_side"])))
-            .to_numpy(np.int64)
-        )
-        S = np.stack(sig_df["sig"].to_numpy())
-        B = S.reshape(n, bands, rows_per_band)
-        out = {
-            "_gp": (
-                (np.arange(bands, dtype=np.int64)[None, :] * 131 + B[:, :, 0])
-                % num_partitions
-            ).reshape(-1),
-            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
-            "doc_id": np.repeat(sig_df["doc_id"].to_numpy(np.int64), bands),
-            "_side": np.repeat(side, bands),
-        }
-        for i, kc in enumerate(key_cols):
-            lo = B[:, :, 2 * i]
-            hi = (
-                B[:, :, 2 * i + 1]
-                if 2 * i + 1 < rows_per_band
-                else np.zeros_like(lo)
-            )
-            out[kc] = (lo * np.int64(1 << 31) + hi).reshape(-1)
-        return pd.DataFrame(out)
-
-    buckets = both.map_batches(to_bands, batch_format="pandas")
     empty = pd.DataFrame(
         {
             "existing_id": pd.Series(dtype=np.int64),

@@ -95,6 +95,30 @@ def test_incremental_minhash_cross_side_identity():
     assert (0, 1) in set(zip(got["existing_id"], got["new_id"]))
 
 
+def test_incremental_minhash_persisted_bands_equal_recompute(tmp_path):
+    """Feeding the ingested side's PERSISTED band table (written at ingest
+    time, round-tripped through Parquet) gives identical pairs to deriving
+    bands from the texts in-flight — the honest-incremental path."""
+    df = _corpus_with_near_dups()
+    existing = df[df["doc_id"] % 2 == 0]
+    new = df[df["doc_id"] % 2 == 1]
+    band_dir = str(tmp_path / "bands")
+    D.minhash_band_rows(ray.data.from_pandas(existing)).write_parquet(band_dir)
+    got = D.incremental_minhash_pairs(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(existing),
+        jaccard_threshold=0.5,
+        existing_bands=ray.data.read_parquet(band_dir),
+    )
+    want = D.incremental_minhash_pairs(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(existing),
+        jaccard_threshold=0.5,
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
 def test_incremental_minhash_disjoint_sides_empty():
     df = _corpus_with_near_dups()
     # increment shares nothing with the corpus → empty, schema stable
