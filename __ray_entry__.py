@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring-level duplication: rolling-window hashes shared across
         # ≥2 docs (Lee et al. substring dedup at fixed window length)
         "docs_hot_passages": T.docs_hot_passages,
+        # the removal sibling: docs with their duplicated passages excised
+        "docs_strip_hot_passages": T.docs_strip_hot_passages,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -353,6 +355,41 @@ _HOT_PASSAGES_SQL = """
     SELECT doc_id, n_windows, n_hot,
            ROUND(n_hot * 1.0 / n_windows, 6) AS hot_frac
     FROM perdoc ORDER BY doc_id
+"""
+
+
+# Strip-hot-passages oracle: window OCCURRENCES with 1-based positions
+# (parallel UNNESTs zip in DuckDB), hot = distinct-doc count ≥ 2, covered
+# token positions = hot start + 0..3, kept tokens re-joined in position
+# order; docs with no kept tokens come back as '' via the LEFT JOIN.
+_STRIP_HOT_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id, i,
+             CAST(md5_number_lower(
+                    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  ) % 9223372036854775808 AS BIGINT) AS wh
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - 3)) AS i
+            FROM toks WHERE len(w) >= 4)),
+    hot AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM wins)
+            GROUP BY wh HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT DISTINCT w.doc_id, w.i + r.o AS pos
+      FROM wins w JOIN hot USING (wh) CROSS JOIN range(4) r(o)),
+    tokpos AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(generate_series(1, len(w))) AS pos
+      FROM toks),
+    kept AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+      FROM tokpos t
+      LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL
+      GROUP BY t.doc_id)
+    SELECT d.doc_id, COALESCE(k.text, '') AS text
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
 """
 
 
@@ -816,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _MINHASH_SQL,
         "dedup_minhash_incremental": _MINHASH_INC_SQL,
         "docs_hot_passages": _HOT_PASSAGES_SQL,
+        "docs_strip_hot_passages": _STRIP_HOT_SQL,
         "dedup_simhash_pairs": _SIMHASH_SQL,
         "monthly_uniques_hll": _HLL_SQL,
         # corpus curation (stages/curation.py): the hash coins are single

@@ -282,6 +282,18 @@ def docs_hot_passages(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def docs_strip_hot_passages(sf_dir: str) -> ray.data.Dataset:
+    """Substring-dedup transform: every doc with its cross-document
+    duplicated 4-word windows removed (the removal sibling of
+    ``docs_hot_passages``; same window/hot definition)."""
+    return D.strip_hot_passages(
+        _docs(sf_dir, ["doc_id", "text"]),
+        window_k=4,
+        min_docs=2,
+        num_partitions=_doc_partitions(sf_dir),
+    )
+
+
 def dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed + verified.
 

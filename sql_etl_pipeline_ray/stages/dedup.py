@@ -1111,6 +1111,120 @@ def hot_passage_stats(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def strip_hot_passages(
+    docs: ray.data.Dataset,
+    window_k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SUBSTRING-level dedup TRANSFORM: remove from every doc the tokens
+    covered by any ``window_k``-word window that appears in ≥ ``min_docs``
+    docs — the surgical-removal sibling of ``hot_passage_stats`` (which
+    only reports), approximating Lee et al.'s suffix-array substring
+    dedup at fixed window length: shared license blocks, headers and
+    templates vanish while each doc's unique prose survives.
+
+    Scale shape (three linear shuffles, nothing broadcast, no driver
+    state): window OCCURRENCE rows (doc_id, pos, 63-bit hash — 24 B/row,
+    one per token) → window-hash partitions mark hot windows (distinct-doc
+    count ≥ min_docs) and emit only the HOT occurrences' (doc_id, pos) —
+    rare by construction — → those rows tagged-union with the doc texts
+    into doc-hash partitions where each doc drops its covered token
+    positions in one vectorized mask.  Every doc comes back exactly once:
+    unaffected docs (including those shorter than the window) pass
+    through unchanged; a fully-covered doc returns an empty string.
+    """
+    num_partitions = num_partitions or partitions_for_bytes(None)
+
+    def to_occ(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        poss: list[int] = []
+        whs: list[int] = []
+        for doc_id, t in zip(df[id_col], df[text_col]):
+            # split(" ") (not split()) to match DuckDB string_split(text,' ')
+            words = (t or "").split(" ")
+            if len(words) < window_k:
+                continue
+            for i in range(len(words) - window_k + 1):
+                ids.append(doc_id)
+                poss.append(i)
+                whs.append(_md5_lower63(" ".join(words[i : i + window_k])))
+        wh = np.asarray(whs, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "pos": np.asarray(poss, dtype=np.int64),
+                "wh": wh,
+                "_gp": wh % num_partitions,
+            }
+        )
+
+    occ = docs.select_columns([id_col, text_col]).map_batches(
+        to_occ, batch_format="pandas"
+    )
+
+    def hot_occurrences(part: pd.DataFrame) -> pd.DataFrame:
+        # a window hash lives wholly in this partition → its distinct-doc
+        # count is exact here; only hot occurrences leave (rare rows)
+        nd = part.drop_duplicates([id_col, "wh"]).groupby("wh").size()
+        hot = nd[nd >= min_docs].index
+        keep = part[part["wh"].isin(hot)]
+        return pd.DataFrame(
+            {
+                id_col: keep[id_col].to_numpy(np.int64),
+                "text": "",
+                "pos": keep["pos"].to_numpy(np.int64),
+                "_gp2": keep[id_col].to_numpy(np.int64) % num_partitions,
+            }
+        )
+
+    hots = occ.groupby("_gp").map_groups(hot_occurrences, batch_format="pandas")
+
+    def tag_texts(df: pd.DataFrame) -> pd.DataFrame:
+        # pos = -1 marks the text row in the tagged union
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "text": df[text_col].to_numpy(),
+                "pos": np.int64(-1),
+                "_gp2": df[id_col].to_numpy(np.int64) % num_partitions,
+            }
+        )
+
+    texts = docs.select_columns([id_col, text_col]).map_batches(
+        tag_texts, batch_format="pandas"
+    )
+    offs = np.arange(window_k, dtype=np.int64)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["pos"] < 0]
+        h = g[g["pos"] >= 0]
+        starts = {
+            did: grp["pos"].to_numpy(np.int64)
+            for did, grp in h.groupby(id_col, sort=False)
+        }
+        out_texts: list[str] = []
+        for did, txt in zip(t[id_col], t["text"]):
+            s = starts.get(did)
+            if s is None:
+                out_texts.append(txt)
+                continue
+            words = (txt or "").split(" ")
+            mask = np.zeros(len(words), dtype=bool)
+            idx = (s[:, None] + offs[None, :]).ravel()
+            mask[idx[idx < len(words)]] = True
+            out_texts.append(" ".join(w for w, m in zip(words, mask) if not m))
+        return pd.DataFrame(
+            {id_col: t[id_col].to_numpy(np.int64), "text": out_texts}
+        )
+
+    return (
+        texts.union(hots).groupby("_gp2").map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset,
     shingle_k: int = 3,

@@ -186,6 +186,39 @@ def test_hot_passage_stats_matches_brute_force():
     )
 
 
+def test_strip_hot_passages_removes_only_shared_windows():
+    boiler = "this license text is repeated verbatim across many files here"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                f"unique alpha content one {boiler}",
+                f"{boiler} and some unique beta tail words",
+                "totally unrelated gamma document with its own words only",
+                boiler,  # fully covered → empty string
+                "shrt",  # shorter than the window → untouched
+            ],
+        }
+    )
+    got = (
+        D.strip_hot_passages(ray.data.from_pandas(df), window_k=4, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out = dict(zip(got["doc_id"], got["text"]))
+    assert len(out) == 5  # every doc comes back exactly once
+    # the boilerplate block vanishes; each doc's unique tokens survive
+    assert out[1] == "unique alpha content one"
+    # doc 2's unique tail survives, the shared block is gone
+    assert out[2] == "and some unique beta tail words"
+    assert out[3] == df["text"][2]  # untouched: no shared windows
+    assert out[4] == ""  # fully covered
+    assert out[5] == "shrt"  # no windows → pass-through
+    for t in out.values():
+        assert "license" not in t and "verbatim" not in t
+
+
 def test_exact_dedup_min_doc_id_wins():
     df = _corpus_with_near_dups()
     out = D.exact_dedup(ray.data.from_pandas(df)).to_pandas()
