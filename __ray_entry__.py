@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hot_passages": T.docs_hot_passages,
         # the removal sibling: docs with their duplicated passages excised
         "docs_strip_hot_passages": T.docs_strip_hot_passages,
+        # vector sibling of the incremental gate: increment broadcasts,
+        # corpus streams — one linear scan, no shuffle
+        "dedup_embedding_incremental": T.dedup_embedding_incremental,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -854,6 +857,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_incremental": _MINHASH_INC_SQL,
         "docs_hot_passages": _HOT_PASSAGES_SQL,
         "docs_strip_hot_passages": _STRIP_HOT_SQL,
+        "dedup_embedding_incremental": """
+            SELECT a.vec_id AS existing_id, b.vec_id AS new_id,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ORDER BY existing_id, new_id
+        """,
         "dedup_simhash_pairs": _SIMHASH_SQL,
         "monthly_uniques_hll": _HLL_SQL,
         # corpus curation (stages/curation.py): the hash coins are single

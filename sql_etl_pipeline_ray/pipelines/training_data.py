@@ -402,6 +402,27 @@ def dedup_embedding_cosine(sf_dir: str) -> ray.data.Dataset:
     return SIM.embedding_near_dups(_emb(sf_dir), ids, vecs, threshold=0.3)
 
 
+def dedup_embedding_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental embedding near-dup gate: cross-side cosine pairs
+    between the increment (odd vec_ids) and the ingested corpus (even
+    vec_ids) — the increment broadcasts, the corpus streams; same τ=0.3
+    rationale as ``dedup_embedding_cosine``."""
+    emb = _emb(sf_dir)
+
+    def parity(keep_odd: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_odd = pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), 1)
+            return t.filter(is_odd if keep_odd else pc.invert(is_odd))
+
+        return f
+
+    existing = emb.map_batches(parity(False), batch_format="pyarrow", zero_copy_batch=True)
+    new = emb.map_batches(parity(True), batch_format="pyarrow", zero_copy_batch=True)
+    return SIM.incremental_embedding_near_dups(new, existing, threshold=0.3)
+
+
 def docs_bernoulli_sample(sf_dir: str) -> ray.data.Dataset:
     """O3 seeded Bernoulli sampling (the reference documents TABLESAMPLE
     BERNOULLI(1), docs/TECHNICAL_GUIDE.md:917-920): keep ~20% of docs by a

@@ -397,6 +397,55 @@ def embedding_near_dups(
     return emb.map_batches(pairs, batch_format="pandas")
 
 
+def incremental_embedding_near_dups(
+    new_emb: ray.data.Dataset,
+    existing_emb: ray.data.Dataset,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """INCREMENTAL embedding near-dup gate: cosine pairs between an
+    incoming increment (``new_emb``) and the already-ingested corpus
+    (``existing_emb``) — the vector sibling of
+    ``dedup.incremental_minhash_pairs``, closing the incremental family.
+
+    The broadcast side is the INCREMENT, not the corpus: the new vectors
+    normalize once into one ``ray.put`` matrix (an increment is small by
+    definition — m·d·8 bytes), and the ingested corpus streams through in
+    batches, each doing one matmul against it.  One linear corpus scan,
+    NO shuffle, no corpus-sized broadcast — per-increment cost is
+    O(corpus·m·d) flops streaming, which is the right shape when m ≪ n;
+    for corpus-scale increments run the full ``embedding_near_dups_ivf``
+    instead.  Requires vec_ids unique across sides.
+
+    Returns (existing_id, new_id, cosine) rows with cosine ≥ threshold —
+    exactly the full-corpus brute pair set restricted to cross-side pairs
+    (same normalize-then-matmul kernel as ``embedding_near_dups``)."""
+    new_df = new_emb.select_columns([id_col, vec_col]).to_pandas()  # bounded: the increment
+    nm = _to_matrix(new_df[vec_col])
+    norms = np.linalg.norm(nm, axis=1, keepdims=True)
+    nm = nm / np.where(norms == 0, 1.0, norms)
+    ref = ray.put((new_df[id_col].to_numpy(), nm))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bids, bm = ray.get(ref)
+        a = _to_matrix(df[vec_col])
+        an = np.linalg.norm(a, axis=1, keepdims=True)
+        a = a / np.where(an == 0, 1.0, an)
+        s = a @ bm.T
+        aids = df[id_col].to_numpy()
+        ii, jj = np.nonzero(s >= threshold)
+        return pd.DataFrame(
+            {
+                "existing_id": aids[ii],
+                "new_id": bids[jj],
+                "cosine": np.round(s[ii, jj], 6),
+            }
+        )
+
+    return existing_emb.map_batches(pairs, batch_format="pandas")
+
+
 def embedding_near_dups_ivf(
     emb: ray.data.Dataset,
     threshold: float = 0.3,

@@ -186,6 +186,28 @@ def test_hot_passage_stats_matches_brute_force():
     )
 
 
+def test_incremental_embedding_cross_side_identity():
+    """incremental_embedding_near_dups == brute full-corpus pairs
+    restricted to cross-parity, reoriented (existing, new)."""
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d))
+    vecs[11] = vecs[10] + 0.01 * rng.normal(size=d)  # planted cross-side dup
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df)
+    full = SIM.embedding_near_dups(ds, ids, vecs, threshold=0.3).to_pandas()
+    want = set()
+    for a, b in zip(full["vec_a"], full["vec_b"]):
+        if a % 2 != b % 2:
+            want.add((a, b) if a % 2 == 0 else (b, a))
+    new = ray.data.from_pandas(df[df["vec_id"] % 2 == 1])
+    existing = ray.data.from_pandas(df[df["vec_id"] % 2 == 0])
+    got = SIM.incremental_embedding_near_dups(new, existing, threshold=0.3).to_pandas()
+    assert set(zip(got["existing_id"], got["new_id"])) == want
+    assert (10, 11) in want  # the planted pair is cross-side and found
+
+
 def test_strip_hot_passages_removes_only_shared_windows():
     boiler = "this license text is repeated verbatim across many files here"
     df = pd.DataFrame(
