@@ -65,6 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector sibling of the incremental gate: increment broadcasts,
         # corpus streams — one linear scan, no shuffle
         "dedup_embedding_incremental": T.dedup_embedding_incremental,
+        # deterministic fixed-k per-group sample (order-independent
+        # reservoir-k: partial top-k per batch, one group-key exchange)
+        "docs_per_source_sample": T.docs_per_source_sample,
+        # unigram-LM quality scoring (CCNet idiom): bounded top-V model
+        # broadcast once, corpus streams; integer micro-nat per-doc sums
+        "docs_unigram_logprob": T.docs_unigram_logprob,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -539,6 +545,48 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) FROM events)
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        """,
+        # same 64-bit coin as the Ray side (odd multiplier, wraps mod 2^64)
+        "docs_per_source_sample": f"""
+            WITH c AS (
+              SELECT doc_id, source,
+                     {_mulmod64("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)}
+                       AS coin
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY coin, doc_id) AS rn
+              FROM c)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+            FROM r WHERE rn <= 5
+            ORDER BY source, doc_id
+        """,
+        # per-token log-probs quantized to integer micro-nats BEFORE the
+        # per-doc SUM — integer sums are order-independent, so both
+        # engines agree bit-for-bit regardless of aggregation order
+        "docs_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tok AS (SELECT doc_id, UNNEST(w) AS w FROM toks),
+            cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+            topv AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 4096),
+            lp AS (SELECT w,
+                     CAST(ROUND(ln(c / (SELECT n FROM tot)) * 1000000)
+                          AS BIGINT) AS micro
+                   FROM topv),
+            oov AS (SELECT CAST(ROUND(ln(0.5 / (SELECT n FROM tot)) * 1000000)
+                               AS BIGINT) AS micro),
+            per_tok AS (
+              SELECT t.doc_id,
+                     COALESCE(lp.micro, (SELECT micro FROM oov)) AS micro
+              FROM tok t LEFT JOIN lp ON t.w = lp.w),
+            nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+            SELECT nt.doc_id, nt.n_tokens,
+                   ROUND(s.m / (nt.n_tokens * 1000000.0), 6) AS mean_logprob
+            FROM (SELECT doc_id, SUM(micro) AS m FROM per_tok GROUP BY doc_id) s
+            JOIN nt ON nt.doc_id = s.doc_id
         """,
         "customer_order_metrics": _CUSTOMER_METRICS_SQL,
         "customer_ltv_ranked": f"""

@@ -201,6 +201,8 @@ def run_bench() -> dict:
     # substring-duplication report (both window-hash shuffle shapes)
     timed("dedup_minhash_incremental", T.dedup_minhash_incremental)
     timed("docs_hot_passages", T.docs_hot_passages)
+    # unigram-LM scoring: two linear passes + one vocab-sized exchange
+    timed("docs_unigram_logprob", T.docs_unigram_logprob)
 
     result = {
         "metric": "cdc_replay_wall_sec",

@@ -949,3 +949,188 @@ def top_terms_bounded(sf_dir: str, k: int = 50, summary_k: int = 1024) -> pd.Dat
         # to the exact unbounded plan rather than return unproven results
         return top_terms(sf_dir, k=k)
     return top
+
+
+# ---- per-group deterministic sampling / LM quality scoring (round 3) ----
+
+# Odd multiplier => bijective mod 2^64, so the coin order is a fixed
+# permutation of doc ids: the sample is stable across runs, retries and
+# any partitioning, and replays exactly in SQL (__ray_entry__._mulmod64).
+SAMPLE_COIN_MULT = 0x9E3779B97F4A7C15
+PER_SOURCE_K = 5
+
+
+def _coin(ids: np.ndarray) -> np.ndarray:
+    return ids.astype(np.uint64) * np.uint64(SAMPLE_COIN_MULT)
+
+
+def docs_per_source_sample(sf_dir: str, k: int = PER_SOURCE_K) -> pd.DataFrame:
+    """Deterministic fixed-k sample PER GROUP (source): the k docs with the
+    smallest hash coin in each source — a distributed reservoir-k whose
+    result is independent of arrival order (what an actual reservoir is
+    NOT), so it is retry-safe and exactly SQL-oracled (ROW_NUMBER over the
+    same 64-bit coin).
+
+    Shape: per-batch partial top-k per source (a batch can only shrink a
+    group's candidate set, never lose a global winner: the global k
+    smallest coins of a source are each the batch-local k smallest of
+    their batch) -> ONE exchange keyed on hash(source) % P carrying at
+    most groups_in_batch x k rows per batch -> per-partition final top-k.
+    Driver frame is O(sources x k); the corpus never leaves the workers."""
+    from ..stages.hashagg import partition_ids
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    num_partitions = _doc_partitions(sf_dir)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "source"]].copy()
+        df["_coin"] = _coin(df["doc_id"].to_numpy(np.int64))
+        return (
+            df.sort_values(["source", "_coin", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def add_gp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_gp", pa.array(partition_ids(t.column("source"), num_partitions))
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["source", "_coin", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(k)
+            .drop(columns=["_gp", "_coin"])
+        )
+
+    out = (
+        docs.map_batches(partial_topk, batch_format="pandas")
+        .map_batches(add_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+LM_TOP_V = 4096
+LM_MICRO = 1_000_000
+
+
+def _rha_signed(x: np.ndarray, scale: float) -> np.ndarray:
+    """Round half AWAY FROM ZERO at the given scale (DuckDB ROUND; numpy
+    round is banker's and np.floor(x+0.5) is half-toward-+inf — both
+    diverge from SQL on negative values like log-probs)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x)
+
+
+class _UnigramLogProb:
+    """Actor pool: mean unigram log-probability per document against a
+    broadcast top-V corpus LM (CCNet-style quality signal — low mean
+    logprob = rare-word soup / noise).  The model ships once via
+    ``ray.put`` (V entries, bounded at any corpus scale); per-token
+    log-probs are pre-quantized to integer micro-units so the per-doc SUM
+    is exact integer arithmetic — order-independent, hence bit-equal in
+    the SQL oracle regardless of either engine's summation order."""
+
+    def __init__(self, model_ref, oov_micro: int):
+        self.model: dict[str, int] = ray.get(model_ref)
+        self.oov = np.int64(oov_micro)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode()
+        # every doc has >= 1 token (split(' ') of '' is ['']), so the
+        # grouped sum covers every row of the batch
+        lp = (
+            ex.map(self.model)
+            .fillna(float(self.oov))
+            .astype(np.int64)
+            .groupby(level=0)
+            .sum()
+            .reindex(pd.RangeIndex(len(df)))
+            .to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "mean_logprob": _rha_signed(
+                    lp / (n * float(LM_MICRO)), 1e6
+                ) / 1e6,
+            }
+        )
+
+
+def docs_unigram_logprob(sf_dir: str, top_v: int = LM_TOP_V) -> ray.data.Dataset:
+    """Unigram-LM document quality scoring (the CCNet/KenLM idiom with the
+    corpus itself as the model): two passes, nothing corpus-sized ever
+    concentrates.
+
+    1. Corpus unigram counts — the ``top_terms`` machinery (per-batch
+       partial counts, one ``hash_agg`` exchange) — then the exact top-V
+       vocabulary (per-block top-V + driver merge, O(P x V) driver rows).
+       V bounds the broadcast at ANY corpus scale; tokens outside the
+       top-V score a fixed OOV floor of 0.5 counts (out-of-vocabulary is
+       itself a rarity signal).
+    2. Scoring — model broadcast once via ``ray.put``, actor-pool
+       vectorized map over the streaming corpus.  No shuffle.
+
+    Per-token log-probs are quantized to integer micro-nats BEFORE the
+    per-doc sum (see ``_UnigramLogProb``), making the result independent
+    of summation order and exactly reproducible in SQL."""
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {"w": vc.index.astype(str), "c": vc.to_numpy(np.int64)}
+        )
+
+    counts = hash_agg(
+        docs.map_batches(partial_counts, batch_format="pandas"),
+        ["w"],
+        {"c": ("c", "sum")},
+        _doc_partitions(sf_dir),
+    )
+
+    def topv_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["c", "w"], ascending=[False, True], kind="mergesort"
+        ).head(top_v)
+
+    # total BEFORE the top-V cut: P(w) = c_w / N over ALL tokens
+    n_total = int(counts.sum("c"))
+    vocab = (
+        counts.map_batches(topv_block, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
+        .head(top_v)
+    )
+    model = {
+        w: int(
+            _rha_signed(
+                np.array([math.log(c / float(n_total))]), float(LM_MICRO)
+            )[0]
+        )
+        for w, c in zip(vocab["w"], vocab["c"].to_numpy(np.int64))
+    }
+    oov_micro = int(
+        _rha_signed(
+            np.array([math.log(0.5 / float(n_total))]), float(LM_MICRO)
+        )[0]
+    )
+    ref = ray.put(model)
+    return docs.map_batches(
+        _UnigramLogProb,
+        batch_format="pandas",
+        concurrency=autoscale_pool(),
+        fn_constructor_args=(ref, oov_micro),
+    )

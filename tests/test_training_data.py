@@ -691,3 +691,76 @@ def test_bm25_scores_ranking_and_bounds(tmp_path):
     assert scores[4] > scores[1] > scores[2]
     # deterministic order: score desc, doc_id asc
     assert list(out["bm25"]) == sorted(out["bm25"], reverse=True)
+
+
+def test_per_source_sample_fixed_k_and_partition_invariant(tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        SAMPLE_COIN_MULT,
+        docs_per_source_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{i % 7}" for i in range(n)]),
+            "n_chars": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = docs_per_source_sample(str(tmp_path), k=3)
+    # exactly k per source
+    assert out.groupby("source").size().eq(3).all()
+    # matches the single-process definition: k smallest coins per source
+    df = t.to_pandas()
+    df["coin"] = df["doc_id"].to_numpy(np.uint64) * np.uint64(SAMPLE_COIN_MULT)
+    want = (
+        df.sort_values(["source", "coin", "doc_id"])
+        .groupby("source")
+        .head(3)[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_unigram_logprob_oov_floor_and_ranking(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        docs_unigram_logprob,
+    )
+
+    # "common" appears 12x, "rare" once; with top_v=1 only "common" is in
+    # the model and every other token scores the OOV floor (0.5 counts) —
+    # strictly below the rarest IN-vocab token.
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "common common common common common common"),
+            (2, "common common common common common rare"),
+            (3, "common zz qq vv bb nn"),
+        ],
+    )
+    out = (
+        docs_unigram_logprob(sf, top_v=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["n_tokens"] == 6).all()
+    # all-common doc scores highest; OOV-heavy doc scores lowest
+    assert (
+        out.loc[1, "mean_logprob"]
+        > out.loc[2, "mean_logprob"]
+        > out.loc[3, "mean_logprob"]
+    )
+    # doc 1 is exactly ln(12/18) (quantized to micro-nats)
+    import math
+
+    micro = float(np.copysign(np.floor(abs(math.log(12 / 18.0)) * 1e6 + 0.5), -1))
+    want = np.copysign(np.floor(abs(micro / 1e6) * 1e6 + 0.5), -1) / 1e6
+    assert out.loc[1, "mean_logprob"] == want
