@@ -71,6 +71,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM quality scoring (CCNet idiom): bounded top-V model
         # broadcast once, corpus streams; integer micro-nat per-doc sums
         "docs_unigram_logprob": T.docs_unigram_logprob,
+        # PII scrubbing (emails/IPv4/phones), streaming actor-pool map;
+        # RE2-safe patterns replayed in-order by nested regexp_replace
+        "docs_pii_redact": T.docs_pii_redact,
+        # weighted sampling w/o replacement: priority sampling (Duffield-
+        # Lund-Thorup) — every float op correctly rounded on both engines,
+        # so the SELECTION itself is exact-oracled
+        "docs_weighted_sample": T.docs_weighted_sample,
+        # relative-percentile quality filter: bounded int-score histogram
+        # → quantile_disc threshold → streaming gate
+        "docs_quality_quantile_gate": T.docs_quality_quantile_gate,
+        # sqrt-temperature language rebalancing (α=0.5): c_min-normalized
+        # integer keep-thresholds, no order-dependent Σ across langs
+        "docs_mixture_sample": T.docs_mixture_sample,
+        # SCD Type-2 version history from the changefeed: one key-hash
+        # exchange, per-partition vectorized shift; open versions get the
+        # int64-max sentinel (pure-int interval algebra, no NULLs)
+        "events_scd2_history": A.events_scd2_history,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -457,6 +474,37 @@ _HLL_ALPHA = repr(0.7213 / (1 + 1.079 / _HLL_M))
 _HLL_NUM = repr(float((1 << 64) * _HLL_M * _HLL_M))
 
 
+from sql_etl_pipeline_ray.stages.text import PII_PATTERNS as _PII
+
+# Shared by doc_quality_score and docs_quality_quantile_gate: exactly the
+# stages/text.py:QualityScore arithmetic (token/punct counts, 6-decimal
+# ratio rounding, 4-decimal score).
+_QUALITY_SCORE_SQL = r"""
+    WITH s AS (
+      SELECT doc_id,
+        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                  - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+        END AS token_count,
+        ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+              * 1.0 / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+        ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+              * 1.0 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
+        LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))
+          AS punct_count
+      FROM documents)
+    SELECT doc_id, token_count,
+      ROUND(LEAST(token_count, 100) - 50.0 * digit_ratio
+            - 30.0 * upper_ratio + LEAST(punct_count, 10), 4)
+        AS quality_score,
+      (token_count >= 5 AND digit_ratio < 0.3
+       AND (LEAST(token_count, 100) - 50.0 * digit_ratio
+            - 30.0 * upper_ratio + LEAST(punct_count, 10)) > 10)
+        AS passes_quality
+    FROM s
+"""
+
+
 def _mulmod64(zexpr: str, c: int) -> str:
     """SQL for ``(z * c) mod 2^64`` without INT128 overflow: split z into
     32-bit halves — ``(z_hi*c mod 2^32)*2^32 + z_lo*c`` keeps every
@@ -587,6 +635,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(s.m / (nt.n_tokens * 1000000.0), 6) AS mean_logprob
             FROM (SELECT doc_id, SUM(micro) AS m FROM per_tok GROUP BY doc_id) s
             JOIN nt ON nt.doc_id = s.doc_id
+        """,
+        # same patterns in the same order as stages/text.py:PII_PATTERNS
+        # (counts taken on each intermediate string, as the engine does)
+        "docs_pii_redact": f"""
+            WITH b AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '{_PII[0][0]}')) AS c1,
+                regexp_replace(text, '{_PII[0][0]}', '{_PII[0][1]}', 'g') AS t1
+              FROM documents),
+            c AS (
+              SELECT doc_id, c1,
+                len(regexp_extract_all(t1, '{_PII[1][0]}')) AS c2,
+                regexp_replace(t1, '{_PII[1][0]}', '{_PII[1][1]}', 'g') AS t2
+              FROM b),
+            d AS (
+              SELECT doc_id, c1, c2,
+                len(regexp_extract_all(t2, '{_PII[2][0]}')) AS c3,
+                regexp_replace(t2, '{_PII[2][0]}', '{_PII[2][1]}', 'g') AS t3
+              FROM c)
+            SELECT doc_id, t3 AS clean_text,
+                   CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions
+            FROM d
+        """,
+        # priority = (w * 2^64) / (coin+1): uint64→double cast, +1.0, the
+        # power-of-two multiply (pure exponent shift) and ONE division are
+        # all correctly-rounded IEEE ops — bit-equal across engines, so
+        # LIMIT k selects the same rows (ties broken by doc_id)
+        "docs_weighted_sample": f"""
+            WITH c AS (
+              SELECT doc_id, source, n_chars,
+                     CAST({_mulmod64("CAST(doc_id AS HUGEINT)", 0x9E3779B97F4A7C15)}
+                          AS DOUBLE) + 1.0 AS u
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   n_chars * 18446744073709551616.0 / u AS priority
+            FROM c
+            ORDER BY priority DESC, doc_id
+            LIMIT 50
+        """,
+        # int-quantized scores make the quantile threshold exact; DuckDB
+        # quantile_disc = 1-based rank ceil(q*n), the engine's formula
+        "docs_quality_quantile_gate": f"""
+            WITH q AS ({_QUALITY_SCORE_SQL}),
+            i AS (SELECT doc_id, quality_score,
+                    CAST(ROUND(quality_score * 10000) AS BIGINT) AS iscore
+                  FROM q),
+            t AS (SELECT quantile_disc(iscore, 0.5) AS thr FROM i)
+            SELECT doc_id, quality_score
+            FROM i WHERE iscore >= (SELECT thr FROM t)
+        """,
+        # keep-rate floor(sqrt(c_min/c_lang)*1e4) — normalized by c_min,
+        # NOT a Σ over langs (summation order differs between engines);
+        # the coin is the bernoulli/stratified Knuth multiplier mod 2^64
+        "docs_mixture_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+            m AS (SELECT MIN(cnt) AS cmin FROM c),
+            t AS (SELECT lang,
+                    CAST(FLOOR(SQRT(CAST((SELECT cmin FROM m) AS DOUBLE)
+                                    / CAST(cnt AS DOUBLE)) * 10000.0) AS BIGINT)
+                      AS thr
+                  FROM c)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+            FROM documents d JOIN t ON d.lang = t.lang
+            WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761)
+                  % 18446744073709551616 % 10000 < t.thr
+        """,
+        # open versions carry the int64-max sentinel instead of NULL so the
+        # validity interval stays pure int64 on both engines
+        "events_scd2_history": """
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                   event_type, value,
+                   event_id AS valid_from_lsn,
+                   COALESCE(LEAD(event_id) OVER w,
+                            9223372036854775807) AS valid_to_lsn,
+                   (LEAD(event_id) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "customer_order_metrics": _CUSTOMER_METRICS_SQL,
         "customer_ltv_ranked": f"""
@@ -827,30 +954,7 @@ def oracle_sql() -> dict[str, str]:
                     END, 1), 6) AS mean_token_len
             FROM documents
         """,
-        "doc_quality_score": r"""
-            WITH s AS (
-              SELECT doc_id,
-                CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                     ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
-                          - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
-                END AS token_count,
-                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
-                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
-                ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
-                      * 1.0 / GREATEST(LENGTH(text), 1), 6) AS upper_ratio,
-                LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.!?,;:]', '', 'g'))
-                  AS punct_count
-              FROM documents)
-            SELECT doc_id, token_count,
-              ROUND(LEAST(token_count, 100) - 50.0 * digit_ratio
-                    - 30.0 * upper_ratio + LEAST(punct_count, 10), 4)
-                AS quality_score,
-              (token_count >= 5 AND digit_ratio < 0.3
-               AND (LEAST(token_count, 100) - 50.0 * digit_ratio
-                    - 30.0 * upper_ratio + LEAST(punct_count, 10)) > 10)
-                AS passes_quality
-            FROM s
-        """,
+        "doc_quality_score": _QUALITY_SCORE_SQL,
         "doc_stopword_stats": _STOPWORD_STATS_SQL,
         # repetition signals: token explode + grouped counts, 2-grams via
         # the same list-comprehension UNNEST as the shingle oracles

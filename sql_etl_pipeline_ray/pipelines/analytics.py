@@ -1782,3 +1782,50 @@ def orders_value_percentiles(sf_dir: str) -> pa.Table:
             out.append((pri, q, v / 100.0))
     res = pd.DataFrame(out, columns=["o_orderpriority", "quantile", "value"])
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+# LSN sentinel for an SCD2 version that is still current (open interval).
+SCD2_OPEN_LSN = np.int64(2**63 - 1)
+
+
+def events_scd2_history(sf_dir: str) -> ray.data.Dataset:
+    """Slowly-Changing-Dimension Type 2 history from the changefeed: every
+    event becomes a VERSION row of its key with a half-open validity
+    interval ``[valid_from_lsn, valid_to_lsn)`` — the warehouse-side twin
+    of the replay fold (replay keeps only the winner; SCD2 keeps the full
+    lineage, the reference's ROW_NUMBER version-ranking idiom
+    `sql/complex_queries.sql` generalized to all versions).
+
+    Shape: ONE key-hash exchange (``_by_key_partitions`` on user_id), then
+    per-partition vectorized sort + shift — version numbers are a grouped
+    cumcount and ``valid_to`` is the next event's LSN scattered back with
+    a last-of-key mask (open versions get the max-int64 sentinel rather
+    than NULL so the interval algebra stays pure int64).  No per-group
+    Python, no window materialization; partitions scale with input bytes.
+    """
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g = df.groupby("user_id", sort=False)
+        version = (g.cumcount() + 1).to_numpy(np.int64)
+        is_last = (g.cumcount(ascending=False) == 0).to_numpy()
+        nxt = np.roll(df["event_id"].to_numpy(np.int64), -1)
+        valid_to = np.where(is_last, SCD2_OPEN_LSN, nxt)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "version": version,
+                "event_type": df["event_type"].to_numpy(object),
+                "value": df["value"].to_numpy(np.float64),
+                "valid_from_lsn": df["event_id"].to_numpy(np.int64),
+                "valid_to_lsn": valid_to,
+                "is_current": is_last,
+            }
+        )
+
+    return _by_key_partitions(
+        ds, "user_id", part, _join_partitions(sf_dir, "events")
+    )

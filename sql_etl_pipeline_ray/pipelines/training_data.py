@@ -1134,3 +1134,145 @@ def docs_unigram_logprob(sf_dir: str, top_v: int = LM_TOP_V) -> ray.data.Dataset
         concurrency=autoscale_pool(),
         fn_constructor_args=(ref, oov_micro),
     )
+
+
+def docs_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII scrubbing pass over the corpus (emails / IPv4 / phones →
+    placeholder tokens) — pure streaming actor-pool map, no shuffle, no
+    driver materialization; patterns compile once per actor
+    (stages/text.py:PiiRedact).  SQL-oracled: DuckDB replays the same
+    RE2-safe patterns in the same order via nested regexp_replace."""
+    from ..stages.text import PiiRedact
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiRedact, batch_format="pandas", concurrency=autoscale_pool()
+    )
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def docs_weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each doc gets priority
+    q_i = w_i * 2^64 / (coin_i + 1) with w_i = n_chars and coin_i the
+    deterministic 64-bit hash coin; the k largest priorities form the
+    sample, giving inclusion probability increasing in w_i with the
+    published unbiased-subset-sum estimator available downstream.
+
+    Every arithmetic step (uint64→double cast, +1.0, ×2^64 which is a pure
+    exponent shift, one IEEE division) is correctly rounded and identical
+    in DuckDB, so the selection — not just the distribution — is exact and
+    SQL-oracled.  Shape: per-batch partial top-k (a global winner is a
+    winner of its batch) → driver merge of O(blocks × k) rows; the corpus
+    never concentrates."""
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "source", "n_chars"]].copy()
+        u = _coin(df["doc_id"].to_numpy(np.int64)).astype(np.float64) + 1.0
+        df["priority"] = df["n_chars"].to_numpy(np.int64) * 18446744073709551616.0 / u
+        return df.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    out = (
+        docs.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["priority", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
+def docs_quality_quantile_gate(sf_dir: str, q: float = 0.5) -> ray.data.Dataset:
+    """Quantile-thresholded quality gate: keep documents whose quality
+    score is at or above the corpus q-quantile — the relative-percentile
+    filter curation pipelines use when an absolute score cutoff would
+    drift with the corpus mix.
+
+    Two streaming passes, both corpus-shaped-safe: (1) per-batch partial
+    histogram over the score quantized to exact int64 (4-decimal scores ×
+    10^4 → the shuffle carries one row per DISTINCT score, a bounded
+    domain, never per doc) → small groupby → driver rank extraction with
+    the DuckDB ``quantile_disc`` formula (1-based rank ceil(q·n));
+    (2) re-score the streaming corpus and filter against the broadcast
+    int threshold.  Nothing corpus-sized materializes."""
+    from ray.data.aggregate import Sum
+
+    def iscore(df: pd.DataFrame) -> np.ndarray:
+        s = QualityScore()(df)["quality_score"].to_numpy(np.float64)
+        return _rha_signed(s, 1e4).astype(np.int64)
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(iscore(df)).value_counts()
+        return pd.DataFrame(
+            {"iscore": vc.index.to_numpy(np.int64), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    hist = (
+        docs.map_batches(partial_hist, batch_format="pandas")
+        .groupby("iscore")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("iscore")
+    )
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    rank = max(int(np.ceil(np.float64(q) * n)), 1)
+    thr = int(hist["iscore"].to_numpy(np.int64)[int(np.searchsorted(cum, rank))])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        sc = QualityScore()(df)
+        keep = iscore(df) >= thr
+        out = pd.DataFrame(
+            {
+                "doc_id": sc["doc_id"].to_numpy(np.int64),
+                "quality_score": sc["quality_score"].to_numpy(np.float64),
+            }
+        )
+        return out[keep]
+
+    return docs.map_batches(gate, batch_format="pandas")
+
+
+MIXTURE_COIN_MULT = 2654435761  # same Knuth coin as bernoulli/stratified
+
+
+def docs_mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-flattened language mixture (α = 0.5, the multilingual
+    "T=2" rebalancing idiom): downsample each language with keep-rate
+    sqrt(c_min / c_lang) — natural mix at α=1 and the fully balanced
+    stratified sample at α=0 are this operator's two endpoints; sqrt sits
+    between, shrinking head languages while keeping more of them than
+    strict balancing would.
+
+    Exactness across engines: the rate is FLOOR(SQRT(c_min/c) × 10^4) —
+    division, sqrt and multiply are all correctly-rounded IEEE ops with no
+    order-dependent accumulation (deliberately normalized by c_min, not by
+    a Σ over languages, whose summation order differs between engines) —
+    then an integer threshold on the integer hash coin.  Two passes: a
+    |langs|-row COUNT groupby → closure broadcast, then one vectorized
+    keep-filter over the streaming corpus."""
+    counts = _docs(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
+    cmin = int(counts["count()"].min())
+    thr = {
+        r["lang"]: int(np.floor(np.sqrt(cmin / float(r["count()"])) * 10_000.0))
+        for _, r in counts.iterrows()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        coin = (ids * np.uint64(MIXTURE_COIN_MULT)) % np.uint64(10_000)
+        lang_thr = (
+            pd.Series(t.column("lang").to_pandas()).map(thr).to_numpy(np.uint64)
+        )
+        return t.filter(pa.array(coin < lang_thr))
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -238,3 +238,40 @@ class Fingerprint:
                 ),
             }
         )
+
+
+# (pattern, replacement) applied IN ORDER — email first so its digits are
+# gone before the looser numeric patterns run; every pattern is RE2-safe
+# (no backrefs/lookaround) so a SQL oracle's regexp engine agrees exactly.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+class PiiRedact:
+    """PII scrubbing (emails / IPv4 / phone numbers) — the redaction pass a
+    training-data pipeline runs before anything else sees raw text.
+    Stateful actor-pool stage: patterns compile once per actor; per batch
+    it's vectorized pandas str kernels (one count + one replace pass per
+    pattern, sequential so counts reflect what each pattern actually saw).
+    Returns (doc_id, clean_text, n_redactions)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.pats = [(re.compile(p), repl) for p, repl in PII_PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str)
+        n = np.zeros(len(df), dtype=np.int64)
+        for pat, repl in self.pats:
+            n += s.str.count(pat).to_numpy(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "clean_text": s.to_numpy(object),
+                "n_redactions": n,
+            }
+        )

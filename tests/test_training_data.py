@@ -764,3 +764,150 @@ def test_unigram_logprob_oov_floor_and_ranking(tmp_path):
     micro = float(np.copysign(np.floor(abs(math.log(12 / 18.0)) * 1e6 + 0.5), -1))
     want = np.copysign(np.floor(abs(micro / 1e6) * 1e6 + 0.5), -1) / 1e6
     assert out.loc[1, "mean_logprob"] == want
+
+
+def test_pii_redact_patterns_order_and_counts():
+    from sql_etl_pipeline_ray.stages.text import PiiRedact
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "reach me at jo.doe+x@mail.example.org today",
+                "server 10.0.0.1 and 192.168.1.255 are down",
+                "call 555-123-4567 or 555.987.6543",
+                "plain text with no pii at all",
+            ],
+        }
+    )
+    out = PiiRedact()(df).set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "reach me at [EMAIL] today"
+    assert out.loc[2, "clean_text"] == "server [IP] and [IP] are down"
+    assert out.loc[3, "clean_text"] == "call [PHONE] or [PHONE]"
+    assert out.loc[4, "clean_text"] == "plain text with no pii at all"
+    assert list(out["n_redactions"]) == [1, 2, 2, 0]
+    # email digits are consumed BEFORE the numeric patterns run
+    df2 = pd.DataFrame({"doc_id": [9], "text": ["x 555-123-4567@x.co y"]})
+    o2 = PiiRedact()(df2)
+    assert o2.loc[0, "clean_text"] == "x [EMAIL] y"
+    assert o2.loc[0, "n_redactions"] == 1
+
+
+def test_weighted_sample_matches_single_process_and_prefers_weight(tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        SAMPLE_COIN_MULT,
+        docs_weighted_sample,
+    )
+
+    n = 300
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    w[42] = 10_000_000  # heavy doc must be sampled at any reasonable k
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            "n_chars": pa.array(w),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = docs_weighted_sample(str(tmp_path), k=20)
+    assert len(out) == 20
+    assert 42 in set(out["doc_id"])
+    # exact match vs the single-process definition
+    u = (np.arange(n).astype(np.uint64) * np.uint64(SAMPLE_COIN_MULT)).astype(
+        np.float64
+    ) + 1.0
+    prio = w * 18446744073709551616.0 / u
+    df = pd.DataFrame({"doc_id": np.arange(n), "priority": prio})
+    want = set(
+        df.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(20)["doc_id"]
+        .astype(np.int64)
+    )
+    assert set(out["doc_id"]) == want
+    # returned priorities are the bit-exact recomputation
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    want_p = prio[got["doc_id"].to_numpy()]
+    assert (got["priority"].to_numpy() == want_p).all()
+
+
+def test_quality_quantile_gate_threshold_semantics(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        _rha_signed,
+        docs_quality_quantile_gate,
+    )
+    from sql_etl_pipeline_ray.stages.text import QualityScore
+
+    # varied-quality docs: different lengths, digits, uppercase
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(200):
+        nw = int(rng.integers(1, 40))
+        words = ["ok"] * nw
+        if i % 3 == 0:
+            words += ["123456"] * (i % 5)
+        if i % 7 == 0:
+            words += ["LOUD"]
+        rows.append((i, " ".join(words)))
+    sf = _write_docs(tmp_path, rows)
+    out = docs_quality_quantile_gate(sf, q=0.5).to_pandas()
+
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    sc = QualityScore()(df)
+    isc = _rha_signed(sc["quality_score"].to_numpy(np.float64), 1e4).astype(np.int64)
+    srt = np.sort(isc)
+    thr = srt[max(int(np.ceil(0.5 * len(srt))), 1) - 1]
+    want = set(sc["doc_id"].to_numpy()[isc >= thr])
+    assert set(out["doc_id"]) == want
+    # gate keeps at least half, and strictly filters something
+    assert len(out) >= 100 and len(out) < 200
+
+
+def test_mixture_sample_sqrt_temperature_rates(tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        MIXTURE_COIN_MULT,
+        docs_mixture_sample,
+    )
+
+    langs = ["en"] * 400 + ["de"] * 100 + ["fr"] * 25
+    n = len(langs)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w"] * n),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = docs_mixture_sample(str(tmp_path)).to_pandas()
+    kept = out.groupby("lang").size()
+    # smallest language survives whole (thr = 10000 keeps every coin)
+    assert kept["fr"] == 25
+    # exact-mirror check vs the integer-threshold definition
+    thr = {
+        "en": int(np.floor(np.sqrt(25 / 400.0) * 10000.0)),
+        "de": int(np.floor(np.sqrt(25 / 100.0) * 10000.0)),
+        "fr": 10000,
+    }
+    coin = (np.arange(n).astype(np.uint64) * np.uint64(MIXTURE_COIN_MULT)) % np.uint64(
+        10000
+    )
+    want = {
+        lang: int(
+            np.sum((np.array(langs) == lang) & (coin < np.uint64(thr[lang])))
+        )
+        for lang in thr
+    }
+    assert kept.to_dict() == want
+    # sqrt flattening: en kept-fraction ~0.25, de ~0.5 (integer-threshold exact)
+    assert abs(kept["en"] / 400 - 0.25) < 0.05
+    assert abs(kept["de"] / 100 - 0.5) < 0.08
