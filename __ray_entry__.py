@@ -88,6 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange, per-partition vectorized shift; open versions get the
         # int64-max sentinel (pure-int interval algebra, no NULLs)
         "events_scd2_history": A.events_scd2_history,
+        # the read side: point-in-time state at a derived LSN watermark
+        # (filter pushed into the scan, then the pick-latest fold)
+        "events_scd2_asof": A.events_scd2_asof,
+        # near-dup REMOVAL end to end: verified pairs → distributed
+        # components → drop every non-min cluster member from the corpus
+        # (sorted loser-id broadcast + searchsorted; anti-join past 4M)
+        "docs_dedup_near": T.docs_dedup_near,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -505,6 +512,36 @@ _QUALITY_SCORE_SQL = r"""
 """
 
 
+# n-gram-Jaccard transitive closure over documents (threshold 0.5,
+# 3-gram shingles) — shared by dedup_clusters (label extraction) and
+# docs_dedup_near (survivor anti-join).  Callers prepend WITH RECURSIVE.
+_NGRAM_REACH_CTES = """
+            toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN generate_series(1, len(w) - 2)]) AS g
+                FROM toks WHERE len(w) >= 3)),
+            cnts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT da AS a, db AS b FROM inter
+              JOIN cnts ca ON ca.doc_id = da
+              JOIN cnts cb ON cb.doc_id = db
+              WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach AS (
+              SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+"""
+
+
 def _mulmod64(zexpr: str, c: int) -> str:
     """SQL for ``(z * c) mod 2^64`` without INT128 overflow: split z into
     32-bit halves — ``(z_hi*c mod 2^32)*2^32 + z_lo*c`` keeps every
@@ -714,6 +751,16 @@ def oracle_sql() -> dict[str, str]:
                    (LEAD(event_id) OVER w IS NULL) AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        # point-in-time state at L = floor(max(event_id) * 0.6): one
+        # correctly-rounded multiply, so both engines derive the same L
+        "events_scd2_asof": """
+            WITH l AS (SELECT CAST(FLOOR(MAX(event_id) * 0.6) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE event_id <= (SELECT v FROM l)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) = 1
         """,
         "customer_order_metrics": _CUSTOMER_METRICS_SQL,
         "customer_ltv_ranked": f"""
@@ -1222,33 +1269,20 @@ def oracle_sql() -> dict[str, str]:
         # dedup_ngram_jaccard: transitive closure via recursive CTE, then
         # cluster label = min reachable doc_id — exactly the min-label
         # union-find the Ray side runs (stages/dedup.py:connected_components).
-        "dedup_clusters": """
-            WITH RECURSIVE
-            toks AS (
-              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            grams AS (
-              SELECT DISTINCT doc_id, g FROM (
-                SELECT doc_id,
-                       UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               FOR i IN generate_series(1, len(w) - 2)]) AS g
-                FROM toks WHERE len(w) >= 3)),
-            cnts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            pairs AS (
-              SELECT da AS a, db AS b FROM inter
-              JOIN cnts ca ON ca.doc_id = da
-              JOIN cnts cb ON cb.doc_id = db
-              WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.5),
-            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-            reach AS (
-              SELECT a AS src, a AS dst FROM edges
-              UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_REACH_CTES}
             SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
             FROM reach GROUP BY src ORDER BY cluster_id, doc_id
+        """,
+        # survivors = everything except the non-min members of each
+        # transitive-closure cluster (same CTE chain as dedup_clusters)
+        "docs_dedup_near": f"""
+            WITH RECURSIVE {_NGRAM_REACH_CTES},
+            losers AS (
+              SELECT src FROM reach GROUP BY src HAVING MIN(dst) <> src)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT src FROM losers)
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

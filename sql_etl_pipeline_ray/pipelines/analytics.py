@@ -1829,3 +1829,24 @@ def events_scd2_history(sf_dir: str) -> ray.data.Dataset:
     return _by_key_partitions(
         ds, "user_id", part, _join_partitions(sf_dir, "events")
     )
+
+
+SCD2_ASOF_FRAC = 0.6  # point-in-time read at 60% of the max LSN
+
+
+def events_scd2_asof(sf_dir: str) -> ray.data.Dataset:
+    """Point-in-time state of the event stream AS OF an LSN watermark —
+    the read side of ``events_scd2_history`` (version valid at L ⇔ latest
+    event with LSN ≤ L), and the query-level twin of the lake's
+    ``read_lake(asof_epoch=)`` time travel.
+
+    The watermark is derived, not hardcoded: L = floor(max(event_id) ×
+    0.6) via one cheap column-pruned max, then the filter pushes into the
+    scan and the pick-latest fold (``_latest_per_user``) runs on the
+    surviving prefix only.  floor(max × 0.6) is one correctly-rounded
+    multiply on both engines, so the oracle derives the identical L."""
+    lsn_max = _t(sf_dir, "events", ["event_id"]).max("event_id")
+    asof = int(np.floor(np.float64(lsn_max) * SCD2_ASOF_FRAC))
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.filter(expr=f"event_id <= {asof}")
+    return _latest_per_user(ds, _join_partitions(sf_dir, "events"))

@@ -1276,3 +1276,26 @@ def docs_mixture_sample(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def docs_dedup_near(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate REMOVAL end-to-end — the operator a corpus owner
+    actually runs (pairs/clusters are its audit surfaces): exact n-gram
+    Jaccard pairs (threshold 0.5, the ``dedup_clusters`` pair stage) →
+    distributed min-label components → keep each cluster's min doc_id,
+    drop the other members from the corpus (stages/dedup.py:
+    near_dedup_keep — sorted loser-id broadcast + per-batch searchsorted
+    on the normal path, tagged-union anti-join past 4M losers).
+    SQL-oracled end to end: the recursive-CTE closure names the losers,
+    NOT IN keeps the survivors."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        shingle_k=3,
+        threshold=0.5,
+        num_partitions=_doc_partitions(sf_dir),
+    )
+    return D.near_dedup_keep(
+        _docs(sf_dir, ["doc_id", "lang", "source"]),
+        pairs,
+        num_partitions=_doc_partitions(sf_dir),
+    )

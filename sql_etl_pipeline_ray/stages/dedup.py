@@ -1623,3 +1623,95 @@ def _cc_out(labels_tbl: pa.Table) -> pa.Table:
         {"doc_id": labels_tbl.column("node"), "cluster_id": labels_tbl.column("label")}
     )
 
+
+
+# Losers up to this count travel as ONE sorted int64 broadcast (8 B each →
+# ≤ 32 MB in plasma, read zero-copy by every filter task); above it the
+# anti-join switches to the tagged-union key-hash exchange so no single
+# object ever has to hold the loser set.
+LOSER_BROADCAST_MAX = 4_000_000
+
+
+def near_dedup_keep(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    loser_broadcast_max: int = LOSER_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Near-duplicate REMOVAL: given verified near-dup ``pairs`` (from
+    ``minhash_lsh_pairs`` / ``ngram_jaccard_pairs`` / the embedding
+    family), keep exactly ONE representative per duplicate cluster — the
+    min doc id, the same canonical-winner rule ``exact_dedup`` uses — and
+    drop the rest from ``docs``.  This is the operator a user actually
+    runs; the pair/cluster stages are its internals surfaced for audit.
+
+    Shape: pairs → distributed min-label components (per-round state is
+    partitioned, never driver-resident) → the LOSER id set (cluster
+    members that are not their cluster's min).  Dup clusters are a sliver
+    of any real corpus, so the normal path broadcasts the sorted loser
+    ids once via ``ray.put`` and every batch filters with one
+    ``np.searchsorted`` membership probe — zero shuffle of the corpus.
+    If the loser count exceeds ``loser_broadcast_max`` (boilerplate-heavy
+    crawls), it falls back to a tagged-union anti-join on ``id % P``
+    partitions — the ``incremental_dedup`` exchange, corpus ships once.
+    Reference analogue: the orphan anti-join idiom
+    ``sql/etl_transformations.sql:200-210``."""
+    import pyarrow.compute as pc
+
+    clusters = connected_components_distributed(
+        pairs, num_partitions=num_partitions
+    )
+
+    def losers_only(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        return pa.table({id_col: t.filter(keep).column("doc_id")})
+
+    losers = clusters.map_batches(
+        losers_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_losers = losers.count()
+
+    if n_losers <= loser_broadcast_max:
+        loser_arr = np.sort(
+            losers.to_pandas()[id_col].to_numpy(np.int64)
+        ) if n_losers else np.empty(0, np.int64)
+        ref = ray.put(loser_arr)
+
+        def gate(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            if arr.size == 0:
+                return t
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(arr, ids)
+            hit = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == ids)
+            return t.filter(pa.array(~hit))
+
+        return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Corpus-scale loser set: tagged-union anti-join, id-hash partitions.
+    num_partitions = num_partitions or partitions_for_bytes(None)
+    doc_cols = [c for c in docs.schema().names]
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64)})
+            out["_gp"] = out[id_col].to_numpy(np.int64) % num_partitions
+            out["_side"] = np.int8(side)
+            for c in doc_cols:
+                if c != id_col:
+                    out[c] = df[c].to_numpy() if side == 1 else None
+            return out
+
+        return f
+
+    both = losers.map_batches(tag(0), batch_format="pandas").union(
+        docs.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def keep_part(g: pd.DataFrame) -> pd.DataFrame:
+        bad = g.loc[g["_side"] == 0, id_col].to_numpy(np.int64)
+        mine = g[g["_side"] == 1]
+        return mine[~mine[id_col].isin(bad)][doc_cols]
+
+    return both.groupby("_gp").map_groups(keep_part, batch_format="pandas")

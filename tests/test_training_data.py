@@ -911,3 +911,65 @@ def test_mixture_sample_sqrt_temperature_rates(tmp_path):
     # sqrt flattening: en kept-fraction ~0.25, de ~0.5 (integer-threshold exact)
     assert abs(kept["en"] / 400 - 0.25) < 0.05
     assert abs(kept["de"] / 100 - 0.5) < 0.08
+
+
+def _near_dedup_fixture(tmp_path):
+    # two near-dup clusters ({1,2,3} chained, {10,11}) + uniques {5, 20}
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, base + " tail extra"),
+        (5, "completely different text with no overlap at all here"),
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+        (20, "another unique document about ray data streaming engines"),
+    ]
+    return _write_docs(tmp_path, rows)
+
+
+def test_near_dedup_keep_broadcast_and_antijoin_paths(tmp_path):
+    import ray.data
+    from sql_etl_pipeline_ray.stages import dedup as D
+    from sql_etl_pipeline_ray.pipelines.training_data import docs_dedup_near
+
+    sf = _near_dedup_fixture(tmp_path)
+    out = docs_dedup_near(sf).to_pandas()
+    # min id of each cluster survives; uniques survive
+    assert set(out["doc_id"]) == {1, 5, 10, 20}
+    # survivor rows carry the doc columns, not just ids
+    assert set(out.columns) == {"doc_id", "lang", "source"}
+
+    # anti-join fallback (loser_broadcast_max=0 forces it) = same result
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet").select_columns(
+        ["doc_id", "lang", "source"]
+    )
+    pairs = D.ngram_jaccard_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet").select_columns(
+            ["doc_id", "text"]
+        ),
+        shingle_k=3,
+        threshold=0.5,
+        num_partitions=4,
+    )
+    out2 = D.near_dedup_keep(
+        docs, pairs, num_partitions=4, loser_broadcast_max=0
+    ).to_pandas()
+    assert set(out2["doc_id"]) == {1, 5, 10, 20}
+    assert sorted(out2.columns.tolist()) == sorted(out.columns.tolist())
+
+
+def test_near_dedup_keep_no_pairs_keeps_everything(tmp_path):
+    import ray.data
+    from sql_etl_pipeline_ray.stages import dedup as D
+
+    sf = _write_docs(tmp_path, [(i, f"unique text number {i} nothing shared") for i in range(8)])
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet").select_columns(
+        ["doc_id", "source"]
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                      "doc_b": pd.Series([], dtype="int64")})
+    )
+    out = D.near_dedup_keep(docs, pairs, num_partitions=2).to_pandas()
+    assert set(out["doc_id"]) == set(range(8))
