@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components → drop every non-min cluster member from the corpus
         # (sorted loser-id broadcast + searchsorted; anti-join past 4M)
         "docs_dedup_near": T.docs_dedup_near,
+        # per-doc keyword extraction: two-exchange MapReduce tf-idf (df
+        # attached where the term lives — no vocabulary broadcast);
+        # integer micro-nat idf makes the top-k cut engine-exact
+        "docs_top_tfidf_terms": T.docs_top_tfidf_terms,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -751,6 +755,30 @@ def oracle_sql() -> dict[str, str]:
                    (LEAD(event_id) OVER w IS NULL) AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        # idf quantized to integer micro-nats (floor(ln(...)*1e6 + 0.5),
+        # the unigram-logprob idiom) so the per-doc top-k cut is exact;
+        # tf rows are distinct by construction (a doc lives in one batch)
+        "docs_top_tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            sc AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                CAST(FLOOR(LN(((SELECT n FROM n) + 1.0) / (d.df + 1.0))
+                           * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+              FROM tf t JOIN dfr d ON t.term = d.term)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
+                   (tf * idf_micro) / 1000000.0 AS tfidf
+            FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tf * idf_micro DESC, term) <= 3
         """,
         # point-in-time state at L = floor(max(event_id) * 0.6): one
         # correctly-rounded multiply, so both engines derive the same L

@@ -1299,3 +1299,103 @@ def docs_dedup_near(sf_dir: str) -> ray.data.Dataset:
         pairs,
         num_partitions=_doc_partitions(sf_dir),
     )
+
+
+TFIDF_TOP_K = 3
+
+
+def docs_top_tfidf_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> ray.data.Dataset:
+    """Per-document keyword extraction: the top-k terms by tf-idf — the
+    canonical two-exchange MapReduce tf-idf, token-volume shuffles and
+    nothing else (no vocabulary broadcast: at corpus scale the vocabulary
+    is unbounded, so document frequency is ATTACHED where the term lives
+    instead of shipped to every worker).
+
+    Stage 1 (map): per-batch tokenize (the ``top_terms`` regex) and fold
+    to distinct ``(doc_id, term, tf)`` rows — a doc lives in exactly one
+    batch, so batch-local rows are globally distinct.  Stage 2 (exchange
+    on hash(term) % P): each partition owns its terms outright, so df =
+    one vectorized transform('size') and the idf attaches in place.
+    Stage 3 (exchange on doc_id % P): per-partition sort + grouped head-k.
+
+    Exactness: idf is quantized to integer micro-nats — floor(ln((N+1)/
+    (df+1)) × 1e6 + 0.5), the ``docs_unigram_logprob`` idiom — so the
+    score ``tf × idf_micro`` is pure int64 and the top-k cut (score DESC,
+    term ASC) is identical on both engines; the reported ``tfidf`` is one
+    exact IEEE division by 1e6."""
+    from ..stages.hashagg import partition_ids
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    num_partitions = _doc_partitions(sf_dir)
+    n_docs = docs.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        if ids.size == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "term": np.empty(0, object),
+                    "tf": np.empty(0, np.int64),
+                }
+            )
+        terms = np.concatenate([t for t in toks if len(t)]).astype(object)
+        g = (
+            pd.DataFrame({"doc_id": ids, "term": terms})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+        )
+        out = g.reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    def add_term_gp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_gp", pa.array(partition_ids(t.column("term"), num_partitions))
+        )
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_gp"]).copy()
+        df_counts = g.groupby("term", sort=False)["doc_id"].transform("size")
+        g["df"] = df_counts.to_numpy(np.int64)
+        idf = np.log((np.float64(n_docs) + 1.0) / (g["df"].to_numpy(np.float64) + 1.0))
+        g["idf_micro"] = np.floor(idf * 1e6 + 0.5).astype(np.int64)
+        return g
+
+    def add_doc_gp(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_gp", pa.array(ids % num_partitions))
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_gp"]).copy()
+        g["_score"] = g["tf"].to_numpy(np.int64) * g["idf_micro"].to_numpy(np.int64)
+        g = (
+            g.sort_values(
+                ["doc_id", "_score", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "term": g["term"].to_numpy(object),
+                "tf": g["tf"].to_numpy(np.int64),
+                "df": g["df"].to_numpy(np.int64),
+                "tfidf": g["_score"].to_numpy(np.int64) / 1e6,
+            }
+        )
+
+    return (
+        docs.map_batches(tf_rows, batch_format="pandas")
+        .map_batches(add_term_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(attach_idf, batch_format="pandas")
+        .map_batches(add_doc_gp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_gp")
+        .map_groups(doc_topk, batch_format="pandas")
+    )

@@ -973,3 +973,37 @@ def test_near_dedup_keep_no_pairs_keeps_everything(tmp_path):
     )
     out = D.near_dedup_keep(docs, pairs, num_partitions=2).to_pandas()
     assert set(out["doc_id"]) == set(range(8))
+
+
+def test_tfidf_top_terms_hand_computed(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import docs_top_tfidf_terms
+
+    # 4 docs; "rare" appears only in doc 0, "common" in all docs
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "rare common shared shared"),
+            (1, "common shared alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+    )
+    out = docs_top_tfidf_terms(sf, k=2).to_pandas()
+    n = 4
+
+    def idf_micro(df):
+        return int(np.floor(np.log((n + 1.0) / (df + 1.0)) * 1e6 + 0.5))
+
+    d0 = out[out["doc_id"] == 0].sort_values("tfidf", ascending=False)
+    # doc 0: shared tf=2 df=2 vs rare tf=1 df=1 vs common tf=1 df=4
+    want_scores = {
+        "shared": 2 * idf_micro(2) / 1e6,
+        "rare": 1 * idf_micro(1) / 1e6,
+        "common": 1 * idf_micro(4) / 1e6,
+    }
+    top2 = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert list(d0["term"]) == [t for t, _ in top2]
+    assert list(d0["tfidf"]) == [s for _, s in top2]
+    # every doc returns at most k rows and df is globally consistent
+    assert out.groupby("doc_id").size().max() <= 2
+    assert (out.loc[out["term"] == "common", "df"] == 4).all()
