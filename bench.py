@@ -203,6 +203,11 @@ def run_bench() -> dict:
     timed("docs_hot_passages", T.docs_hot_passages)
     # unigram-LM scoring: two linear passes + one vocab-sized exchange
     timed("docs_unigram_logprob", T.docs_unigram_logprob)
+    # round-3 wrap-up additions: streaming regex scrub, the two-exchange
+    # tf-idf, and end-to-end near-dup removal (pairs -> CC -> anti-join)
+    timed("docs_pii_redact", T.docs_pii_redact)
+    timed("docs_top_tfidf_terms", T.docs_top_tfidf_terms)
+    timed("docs_dedup_near", T.docs_dedup_near)
 
     result = {
         "metric": "cdc_replay_wall_sec",
