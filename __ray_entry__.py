@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # attached where the term lives — no vocabulary broadcast);
         # integer micro-nat idf makes the top-k cut engine-exact
         "docs_top_tfidf_terms": T.docs_top_tfidf_terms,
+        # the ACTION siblings of the report operators: drop contaminated
+        # docs / reject near-dup increment docs (sorted-id broadcast gate)
+        "docs_decontaminate_strip": lambda sf: T.docs_decontaminate_strip(sf, ngram=4),
+        "docs_admit_near_increment": T.docs_admit_near_increment,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -755,6 +759,33 @@ def oracle_sql() -> dict[str, str]:
                    (LEAD(event_id) OVER w IS NULL) AS is_current
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        # survivors = non-bench docs with zero bench-gram hits (the
+        # docs_decontaminate CTE chain, NOT IN over the flagged set)
+        "docs_decontaminate_strip": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), flagged AS (
+              SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+              WHERE grams.doc_id % 97 <> 0)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        # admitted = increment docs (odd ids) with no cross-side verified
+        # near-dup pair (the dedup_minhash_incremental query, nested)
+        "docs_admit_near_increment": f"""
+            WITH cross_pairs AS ({_MINHASH_INC_SQL})
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND d.doc_id NOT IN (SELECT new_id FROM cross_pairs)
         """,
         # idf quantized to integer micro-nats (floor(ln(...)*1e6 + 0.5),
         # the unigram-logprob idiom) so the per-doc top-k cut is exact;

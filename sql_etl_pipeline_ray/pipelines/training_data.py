@@ -1399,3 +1399,61 @@ def docs_top_tfidf_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> ray.data.Dataset:
         .groupby("_gp")
         .map_groups(doc_topk, batch_format="pandas")
     )
+
+
+def _drop_ids(docs: ray.data.Dataset, bad_ids: np.ndarray, also_keep=None):
+    """Stream ``docs`` through a sorted-id membership gate: ``bad_ids``
+    ship ONCE via ``ray.put`` (8 B/id), every batch filters with one
+    ``np.searchsorted`` probe — the ``near_dedup_keep`` broadcast path.
+    ``also_keep(ids) -> bool mask`` ANDs an extra vectorized predicate."""
+    arr = np.sort(np.unique(bad_ids.astype(np.int64)))
+    ref = ray.put(arr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(ids.size, dtype=bool)
+        if bad.size:
+            pos = np.searchsorted(bad, ids)
+            keep &= ~((pos < bad.size) & (bad[np.minimum(pos, bad.size - 1)] == ids))
+        if also_keep is not None:
+            keep &= also_keep(ids)
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_decontaminate_strip(sf_dir: str, ngram: int = 4) -> ray.data.Dataset:
+    """Decontamination REMOVAL: the training corpus (non-benchmark docs)
+    with every document sharing ≥1 word n-gram with the benchmark slice
+    dropped — the action downstream of ``docs_decontaminate``'s report.
+    The flagged-id set is bounded by the contamination rate (tiny on a
+    healthy corpus), so it broadcasts sorted and the corpus streams
+    through one searchsorted gate; no shuffle."""
+    flagged = docs_decontaminate(sf_dir, ngram=ngram)
+    return _drop_ids(
+        _docs(sf_dir, ["doc_id", "lang", "source"]),
+        flagged["doc_id"].to_numpy(np.int64),
+        also_keep=lambda ids: ids % DECON_BENCH_MOD != 0,
+    )
+
+
+def docs_admit_near_increment(sf_dir: str) -> ray.data.Dataset:
+    """Incremental near-dup ADMISSION: the increment (odd doc_ids) minus
+    every doc the cross-side MinHash gate (``dedup_minhash_incremental``)
+    matched to the already-ingested corpus — the filter a continuously
+    ingesting pipeline applies per CDC batch.  Rejected ids are bounded
+    by the increment's dup rate, so they broadcast sorted; the increment
+    streams through one gate.  Same md5-rebased exact SQL oracle,
+    composed: admitted = odd docs NOT IN (cross-pair new side)."""
+    pairs = dedup_minhash_incremental(sf_dir)
+    rejected = (
+        pairs["new_id"].to_numpy(np.int64)
+        if len(pairs)
+        else np.empty(0, np.int64)
+    )
+    return _drop_ids(
+        _docs(sf_dir, ["doc_id", "lang", "source"]),
+        rejected,
+        also_keep=lambda ids: ids % 2 == 1,
+    )

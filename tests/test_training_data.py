@@ -1007,3 +1007,41 @@ def test_tfidf_top_terms_hand_computed(tmp_path):
     # every doc returns at most k rows and df is globally consistent
     assert out.groupby("doc_id").size().max() <= 2
     assert (out.loc[out["term"] == "common", "df"] == 4).all()
+
+
+def test_decontaminate_strip_and_admit_increment(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.training_data import (
+        docs_admit_near_increment,
+        docs_decontaminate_strip,
+    )
+
+    # bench doc is id 0 (0 % 97 == 0); doc 5 shares its 4-gram, doc 7 clean
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "held out benchmark question about physics"),
+            (5, "train doc echoing held out benchmark question verbatim"),
+            (7, "a perfectly clean training document with fresh words"),
+            (97, "another benchmark row entirely its own"),
+        ],
+    )
+    out = docs_decontaminate_strip(sf, ngram=4).to_pandas()
+    # bench docs (0, 97) excluded; contaminated 5 dropped; clean 7 kept
+    assert set(out["doc_id"]) == {7}
+
+    # near-dup admit: 1 (odd) near-dups even 2 -> rejected; 3 clean -> admitted
+    import os
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d2 = os.path.join(str(tmp_path), "inc")
+    os.makedirs(d2, exist_ok=True)
+    sf2 = _write_docs(
+        d2,
+        [
+            (1, base + " tail"),
+            (2, base),
+            (3, "entirely new increment content nothing like the corpus"),
+        ],
+    )
+    adm = docs_admit_near_increment(sf2).to_pandas()
+    assert set(adm["doc_id"]) == {3}
