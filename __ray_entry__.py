@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # docs / reject near-dup increment docs (sorted-id broadcast gate)
         "docs_decontaminate_strip": lambda sf: T.docs_decontaminate_strip(sf, ngram=4),
         "docs_admit_near_increment": T.docs_admit_near_increment,
+        # robust per-key outlier gate: grouped median/MAD in exact int
+        # cents (quarter-grid interpolation is exact IEEE on both engines)
+        "events_value_outliers": A.events_value_outliers,
         # --- round-2 additions without a CORRECTNESS_r02 driver row ---
         "customers_without_orders": A.customers_without_orders,
         "products_profit_margin": A.products_profit_margin,
@@ -810,6 +813,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY tf * idf_micro DESC, term) <= 3
+        """,
+        # grouped median/MAD over int cents: every interpolation lands on
+        # the quarter-integer grid (exact IEEE both engines), so the
+        # K·MAD comparison and both /100 divisions replay bit-for-bit
+        "events_value_outliers": """
+            WITH c AS (
+              SELECT user_id, event_id, value,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            m AS (SELECT user_id, median(vc) AS medc FROM c GROUP BY user_id),
+            d AS (SELECT c.user_id, c.event_id, c.value, m.medc,
+                         ABS(c.vc - m.medc) AS dev
+                  FROM c JOIN m USING (user_id)),
+            md AS (SELECT user_id, median(dev) AS madc FROM d GROUP BY user_id)
+            SELECT d.user_id, d.event_id, d.value,
+                   d.medc / 100.0 AS median_value,
+                   md.madc / 100.0 AS mad
+            FROM d JOIN md USING (user_id)
+            WHERE md.madc > 0 AND d.dev > 3 * md.madc
         """,
         # point-in-time state at L = floor(max(event_id) * 0.6): one
         # correctly-rounded multiply, so both engines derive the same L

@@ -1850,3 +1850,46 @@ def events_scd2_asof(sf_dir: str) -> ray.data.Dataset:
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
     ds = ds.filter(expr=f"event_id <= {asof}")
     return _latest_per_user(ds, _join_partitions(sf_dir, "events"))
+
+
+MAD_K = 3  # flag |v - median| > K * MAD
+
+
+def events_value_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-key robust outlier detection: flag events whose value deviates
+    more than ``MAD_K`` × MAD from their user's median — the holistic
+    (median-of-medians) per-key shape, the robust sibling of z-scores
+    (reference data-quality checks are row-rule-based; this is the
+    grouped statistical gate a 100-TB pipeline runs instead).
+
+    ONE key-hash exchange (``_by_key_partitions``), then two vectorized
+    grouped-median transforms per partition — never a Python call per
+    user.  Exactness across engines: values quantize to exact int cents,
+    and every median interpolation over integers — pandas' (a+b)/2,
+    DuckDB quantile_cont's a+(b-a)·0.5 — lands on the quarter-integer
+    grid where both formulas are exact IEEE, so medians, MADs and the
+    K·MAD comparison replay bit-for-bit; the two final /100 divisions
+    are the only (identical) roundings."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = np.floor(df["value"].to_numpy(np.float64) * 100.0 + 0.5)
+        df = df.assign(_vc=vc)
+        med = df.groupby("user_id", sort=False)["_vc"].transform("median")
+        dev = (df["_vc"] - med).abs()
+        mad = dev.groupby(df["user_id"], sort=False).transform("median")
+        keep = (mad.to_numpy() > 0) & (dev.to_numpy() > MAD_K * mad.to_numpy())
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+                "median_value": med.to_numpy(np.float64) / 100.0,
+                "mad": mad.to_numpy(np.float64) / 100.0,
+            }
+        )
+        return out[keep]
+
+    return _by_key_partitions(
+        ds, "user_id", part, _join_partitions(sf_dir, "events")
+    )

@@ -125,3 +125,45 @@ def test_top_terms_bounded_falls_back_on_flat_distribution(tmp_path):
     exact = T.top_terms(str(tmp_path), k=10)
     bounded = T.top_terms_bounded(str(tmp_path), k=10, summary_k=8)
     pd.testing.assert_frame_equal(bounded, exact)
+
+
+def test_value_outliers_median_mad_random_vs_duckdb(tmp_path):
+    """Random per-user value distributions (even AND odd group sizes, ties,
+    planted spikes) — the grouped median/MAD gate must match DuckDB row
+    for row including the interpolated medians."""
+    from sql_etl_pipeline_ray.pipelines.analytics import events_value_outliers
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    user = rng.integers(0, 40, n).astype(np.int64)
+    cents = rng.integers(100, 20000, n)
+    spikes = rng.random(n) < 0.02
+    cents = np.where(spikes, cents * 50, cents)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(user),
+            "value": pa.array(cents / 100.0),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_value_outliers(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    import __ray_entry__ as E
+
+    want = (
+        con.execute(E.oracle_sql()["events_value_outliers"])
+        .df()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # the planted spikes must trip the gate
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
