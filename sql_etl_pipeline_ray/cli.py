@@ -102,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("out_dir")
     e.add_argument("--format", choices=["csv", "jsonl"], default="csv")
     e.add_argument("--columns", nargs="*", default=None)
+    e.add_argument(
+        "--with-pending",
+        metavar="LOG_DIR",
+        default=None,
+        help="merge the un-replayed tail of LOG_DIR on read (freshness "
+        "view; nothing commits)",
+    )
 
     a = sub.add_parser(
         "analytics", help="run named analytics queries, save CSV results"
@@ -280,9 +287,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary))
 
         elif args.cmd == "export":
-            from .pipelines.replay import read_lake
+            from .pipelines.replay import read_lake, read_lake_with_pending
 
-            ds = read_lake(args.lake_dir, columns=args.columns)
+            if args.with_pending is not None:
+                ds = read_lake_with_pending(args.with_pending, args.lake_dir)
+                if args.columns:
+                    ds = ds.select_columns(args.columns)
+            else:
+                ds = read_lake(args.lake_dir, columns=args.columns)
             n = ds.count()
             # streaming writers: one file per block, never a driver collect
             if args.format == "csv":

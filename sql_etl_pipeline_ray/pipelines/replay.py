@@ -1269,6 +1269,141 @@ def read_lake(
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
 
 
+def read_lake_with_pending(log_dir: str, out_dir: str) -> ray.data.Dataset:
+    """Freshness read (the lambda view): committed lake state merged with
+    the UN-REPLAYED log tail, computed on read — nothing commits, the
+    next ``replay(resume=True)`` is unaffected.  This is how a reader
+    gets current-as-of-now state between replay epochs instead of waiting
+    for the next commit.
+
+    Equals ``lake_table`` after a full replay BY CONSTRUCTION — it runs
+    the same machinery: ``scan_change_log`` footer pruning + the same
+    per-partition checkpoint row prune, the shared ``event_validity``
+    predicate and key trim, ``key_hash % P`` routing under the lake's
+    committed width/hash-version, and ``finalize_partition`` over prior
+    state re-entered as synthetic 'I' events (the resume fold).  Pinned
+    by ``tests/test_replay.py`` against a one-shot replay.
+
+    Scale shape: the tail is by definition the pending increment
+    (bounded by replay cadence), so only TOUCHED partitions re-fold —
+    each as one task holding that partition's prior rows + tail slice;
+    untouched partitions stream straight from their committed files with
+    no fold and no hash.  Cost ≈ read(lake) + fold(increment), not
+    re-replay(everything)."""
+    manifests = mf.read_all_manifests(out_dir)
+    if not manifests:
+        raise ValueError(
+            f"no committed lake at {out_dir!r}; run replay() first — a "
+            "pending-merge read needs committed state to merge into"
+        )
+    versions = {m["stats"].get("key_hash_version", 1) for m in manifests.values()}
+    if versions != {KEY_HASH_VERSION}:
+        raise ValueError(
+            f"lake committed with key_hash_version={sorted(versions)} but "
+            f"this engine routes with {KEY_HASH_VERSION}; the tail would "
+            "merge into the wrong partitions"
+        )
+    num_partitions = next(iter(manifests.values()))["stats"].get(
+        "num_partitions", max(manifests) + 1
+    )
+    ckpts = mf.checkpoints(manifests)
+    min_lsn = min(ckpts.values()) if len(ckpts) >= num_partitions else None
+    ckpt_arr = np.full(num_partitions, -1, dtype=np.int64)
+    for part, lsn in ckpts.items():
+        ckpt_arr[part] = lsn
+
+    prior_files = mf.manifest_data_files(out_dir, manifests)
+    extra_schemas = [
+        pa.schema(
+            [
+                fl
+                for fl in pq.ParquetFile(f).schema_arrow
+                if fl.name not in ("content_sha256",)
+            ]
+        )
+        for f in prior_files
+    ]
+    scan = scan_change_log(log_dir, min_lsn=min_lsn, extra_schemas=extra_schemas)
+    event_schema = scan.schema
+    out_schema = output_schema_for(event_schema)
+
+    def norm_route(batch: pa.Table) -> pa.Table:
+        for col in ("repo", "path", "op"):
+            if batch.schema.field(col).type != pa.string():
+                i = batch.schema.get_field_index(col)
+                batch = batch.set_column(
+                    i, pa.field(col, pa.string()), batch.column(col).cast(pa.string())
+                )
+        valid, _ = event_validity(batch)
+        if valid is not None:
+            batch = batch.filter(pa.array(valid))
+        for col in ("repo", "path"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, batch.schema.field(i), pc.utf8_trim_whitespace(batch.column(col))
+            )
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        parts = (kh % np.uint64(num_partitions)).astype(np.int64)
+        if len(batch):
+            lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+            keep = lsn > ckpt_arr[parts]
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                parts = parts[keep]
+                kh = kh[keep]
+        batch = conform_batch(batch, event_schema)
+        batch = batch.append_column(PART_COLUMN, pa.array(parts))
+        return batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
+
+    tail = read_change_log(scan).map_batches(
+        norm_route, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    touched = set(int(p) for p in tail.unique(PART_COLUMN)) if tail.count() else set()
+
+    event_schema_ipc = event_schema.serialize().to_pybytes()
+    out_schema_ipc = out_schema.serialize().to_pybytes()
+    part_manifests = {p: manifests[p] for p in touched if p in manifests}
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        ev_schema = pa.ipc.read_schema(pa.BufferReader(event_schema_ipc))
+        o_schema = pa.ipc.read_schema(pa.BufferReader(out_schema_ipc))
+        part = int(g.column(PART_COLUMN)[0].as_py())
+        g = g.drop_columns([PART_COLUMN])
+        if part in part_manifests:
+            prior = _prior_state_as_events(
+                out_dir, part, part_manifests[part], ev_schema
+            )
+            g = pa.concat_tables([g, prior], promote_options="permissive")
+        final, _ = finalize_partition(g, o_schema)
+        return final
+
+    folded = tail.groupby(PART_COLUMN).map_groups(
+        fold_part, batch_format="pyarrow"
+    )
+
+    base_files = [
+        os.path.join(mf.partition_dir(out_dir, p), f)
+        for p, m in manifests.items()
+        if p not in touched
+        for f in m["files"]
+    ]
+
+    def conform(t: pa.Table) -> pa.Table:
+        o_schema = pa.ipc.read_schema(pa.BufferReader(out_schema_ipc))
+        return conform_batch(t, o_schema)
+
+    if not base_files:
+        return folded
+    unified = pa.unify_schemas(
+        [pq.ParquetFile(f).schema_arrow for f in base_files],
+        promote_options="permissive",
+    )
+    base = ray.data.read_parquet(
+        base_files, partitioning=None, schema=unified
+    ).map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+    return base.union(folded) if touched else base
+
+
 def rescale_lake(
     src_dir: str,
     dst_dir: str,

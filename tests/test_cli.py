@@ -109,3 +109,47 @@ def test_cli_diff_changefeed(tmp_path):
     assert out["events"] > 0
     assert set(out["by_op"]) <= {"I", "U", "D"}
     assert sum(out["by_op"].values()) == out["events"]
+
+
+def test_cli_export_with_pending(tmp_path):
+    """export --with-pending merges the un-replayed tail: exporting a
+    half-replayed lake with the full log equals exporting a fully
+    replayed lake."""
+    import pandas as pd
+    import shutil
+
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    run_cli("gen-data", log, "--events", "2000", "--keys", "200", "--buckets", "4")
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for k in range(2):
+        shutil.copytree(
+            os.path.join(log, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    run_cli("--num-cpus", "4", "replay", partial, lake, "--partitions", "4")
+
+    out = str(tmp_path / "merged")
+    rep = run_cli(
+        "--num-cpus", "4", "export", lake, out, "--format", "jsonl",
+        "--with-pending", log, "--columns", "repo", "path", "lsn",
+    )
+
+    full_lake = str(tmp_path / "lake_full")
+    run_cli("--num-cpus", "4", "replay", log, full_lake, "--partitions", "4")
+    out2 = str(tmp_path / "full")
+    rep2 = run_cli(
+        "--num-cpus", "4", "export", full_lake, out2, "--format", "jsonl",
+        "--columns", "repo", "path", "lsn",
+    )
+    assert rep["rows"] == rep2["rows"] > 0
+
+    def load(d):
+        dfs = [
+            pd.read_json(os.path.join(d, f), lines=True)
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        ]
+        return pd.concat(dfs).sort_values(["repo", "path"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load(out), load(out2))

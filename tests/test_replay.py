@@ -524,3 +524,92 @@ def test_resume_preserves_evolved_prior_values_in_mixed_lake(tmp_path):
     lt = lake_table(out).to_pandas().set_index("path")
     assert lt.loc["only.py", "size_bytes"] == 7
     assert pd.isna(lt.loc["other0.py", "size_bytes"])
+
+
+def _pending_sorted(ds):
+    df = ds.to_pandas()
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_read_lake_with_pending_equals_full_replay(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import read_lake_with_pending
+
+    # commit only the first half of the log, leave the rest as pending tail
+    out = str(tmp_path / "lake")
+    partial = str(tmp_path / "partial_log")
+    os.makedirs(partial)
+    for k in range(3):
+        shutil.copytree(
+            os.path.join(log_dir, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    replay(partial, out, ReplayConfig(num_partitions=8))
+    before = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+
+    merged = _pending_sorted(read_lake_with_pending(log_dir, out))
+
+    # nothing committed by the read
+    after = {p: m["digest"] for p, m in mf.read_all_manifests(out).items()}
+    assert before == after
+
+    # the merged view IS the fully-replayed lake
+    full = str(tmp_path / "lake_full")
+    replay(log_dir, full, ReplayConfig(num_partitions=8))
+    want = (
+        lake_table(full)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    got = merged[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_read_lake_with_pending_empty_tail_is_lake(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import read_lake_with_pending
+
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=4))
+    got = _pending_sorted(read_lake_with_pending(log_dir, out))
+    want = (
+        lake_table(out)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_read_lake_with_pending_schema_evolution(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import read_lake_with_pending
+
+    # evolution kicks in at 50% of LSNs: commit the pre-evolution half,
+    # let the pending tail carry the evolved column (size_bytes)
+    spec = ChangeLogSpec(
+        n_keys=200, n_events=1500, num_buckets=6, seed=9, evolve_after_frac=0.5
+    )
+    log = str(tmp_path / "log")
+    write_change_log(spec, log)
+    partial = str(tmp_path / "partial_log")
+    os.makedirs(partial)
+    for k in range(3):
+        shutil.copytree(
+            os.path.join(log, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    out = str(tmp_path / "lake")
+    replay(partial, out, ReplayConfig(num_partitions=4))
+    merged = _pending_sorted(read_lake_with_pending(log, out))
+    assert "size_bytes" in merged.columns
+
+    full = str(tmp_path / "lake_full")
+    replay(log, full, ReplayConfig(num_partitions=4))
+    want = (
+        lake_table(full)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[want.columns.tolist()], want, check_dtype=False
+    )
