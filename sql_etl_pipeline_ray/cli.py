@@ -148,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("status", help="lake state from manifests (no data read)")
     s.add_argument("lake_dir")
+    s.add_argument(
+        "--log-dir",
+        default=None,
+        help="also report replication lag vs this change log (footer "
+        "stats only — still no data read)",
+    )
 
     fk = sub.add_parser(
         "fsck",
@@ -187,17 +193,18 @@ def main(argv: list[str] | None = None) -> int:
 
         manifests = mf.read_all_manifests(args.lake_dir)
         ck = mf.checkpoints(manifests)
-        print(
-            json.dumps(
-                {
-                    "partitions": len(manifests),
-                    "rows": sum(m["rows"] for m in manifests.values()),
-                    "max_lsn": max(ck.values(), default=-1),
-                    "min_checkpoint_lsn": min(ck.values(), default=-1),
-                    "epochs": {str(p): m["epoch"] for p, m in sorted(manifests.items())},
-                }
-            )
-        )
+        rep = {
+            "partitions": len(manifests),
+            "rows": sum(m["rows"] for m in manifests.values()),
+            "max_lsn": max(ck.values(), default=-1),
+            "min_checkpoint_lsn": min(ck.values(), default=-1),
+            "epochs": {str(p): m["epoch"] for p, m in sorted(manifests.items())},
+        }
+        if args.log_dir is not None:
+            from .pipelines.replay import lake_lag
+
+            rep["lag"] = lake_lag(args.log_dir, args.lake_dir)
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "vacuum":

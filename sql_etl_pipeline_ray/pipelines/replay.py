@@ -1004,6 +1004,11 @@ def replay(
         **phase_times,
     }
     os.makedirs(out_dir, exist_ok=True)
+    # Every partition is now caught up to the scan's footer-stat max LSN
+    # (this run applied ALL scanned events) — stamp the lake-level high
+    # water so lake_lag can prove catch-up without reading data.  Written
+    # last: a crash earlier only over-reports lag.
+    summary["log_hwm"] = mf.write_log_hwm(out_dir, scan.max_lsn)
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return ReplayResult(metrics=metrics, summary=summary)
@@ -1267,6 +1272,68 @@ def read_lake(
     if columns is not None:
         return ray.data.read_parquet(files, columns=columns, **kwargs)
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
+
+
+def lake_lag(log_dir: str, out_dir: str) -> dict[str, Any]:
+    """Replication-lag report from METADATA ONLY (manifests + Parquet
+    footers — no event data is read, so it is safe to run every minute
+    against a 100-TB log): how far the committed lake trails the log.
+
+    Catch-up is judged against the lake-level ``log_hwm`` stamp (the max
+    LSN the last successful replay scanned — see
+    ``state/manifest.py:write_log_hwm`` for why per-partition checkpoints
+    cannot prove it).  ``pending_rows_upper_bound`` counts rows of row
+    groups whose footer max-LSN exceeds the applied high water — an upper
+    bound because a group can straddle the watermark; the exact number
+    requires reading data (that's ``read_lake_with_pending``'s job, not a
+    monitor's)."""
+    import glob as _glob
+
+    manifests = mf.read_all_manifests(out_dir)
+    ck = mf.checkpoints(manifests)
+    min_ckpt = min(ck.values(), default=-1)
+    # pre-hwm lakes fall back to the max checkpoint — a lower bound on the
+    # true applied high water (≤ the last run's scan max), so lag can only
+    # be over-reported, never hidden
+    applied_hwm = max(mf.read_log_hwm(out_dir), max(ck.values(), default=-1))
+    files = sorted(
+        _glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True)
+    )
+    log_max = -1
+    log_rows = 0
+    pending_files = 0
+    pending_rows_ub = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        lsn_idx = pf.schema_arrow.get_field_index("lsn")
+        md = pf.metadata
+        log_rows += md.num_rows
+        file_pending = False
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(lsn_idx).statistics
+            if st is None:
+                # no stats → assume pending (safe over-count)
+                pending_rows_ub += md.row_group(i).num_rows
+                file_pending = True
+                continue
+            log_max = max(log_max, st.max)
+            if st.max > applied_hwm:
+                pending_rows_ub += md.row_group(i).num_rows
+                file_pending = True
+        pending_files += int(file_pending)
+    return {
+        "partitions": len(manifests),
+        "min_checkpoint_lsn": min_ckpt,
+        "max_checkpoint_lsn": max(ck.values(), default=-1),
+        "applied_hwm": applied_hwm,
+        "log_max_lsn": log_max,
+        "lsn_lag": max(0, log_max - applied_hwm),
+        "log_files": len(files),
+        "log_rows": log_rows,
+        "pending_files": pending_files,
+        "pending_rows_upper_bound": pending_rows_ub,
+        "caught_up": log_max <= applied_hwm,
+    }
 
 
 def read_lake_with_pending(log_dir: str, out_dir: str) -> ray.data.Dataset:

@@ -40,6 +40,11 @@ class LogScan:
     # — lets the replay feeds plan row-group-granular read tasks without a
     # second metadata pass.
     row_groups: dict[str, list[int]] | None = None
+    # max LSN across ALL files (including pruned ones) from footer stats —
+    # the log high-water mark a successful replay stamps into the lake so
+    # monitors (lake_lag) can prove catch-up without reading data.  -1 when
+    # the log is empty or footers carry no lsn statistics.
+    max_lsn: int = -1
 
 
 def scan_change_log(
@@ -49,19 +54,21 @@ def scan_change_log(
     files = sorted(glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True))
     schemas, kept, pruned = [], [], 0
     row_groups: dict[str, list[int]] = {}
+    scan_max = -1
     for f in files:
         pf = pq.ParquetFile(f)
         schemas.append(pf.schema_arrow)
-        if min_lsn is not None:
-            lsn_idx = pf.schema_arrow.get_field_index("lsn")
-            maxes = [
-                pf.metadata.row_group(i).column(lsn_idx).statistics.max
-                for i in range(pf.metadata.num_row_groups)
-                if pf.metadata.row_group(i).column(lsn_idx).statistics is not None
-            ]
-            if maxes and max(maxes) <= min_lsn:
-                pruned += 1
-                continue
+        lsn_idx = pf.schema_arrow.get_field_index("lsn")
+        maxes = [
+            pf.metadata.row_group(i).column(lsn_idx).statistics.max
+            for i in range(pf.metadata.num_row_groups)
+            if pf.metadata.row_group(i).column(lsn_idx).statistics is not None
+        ]
+        if maxes:
+            scan_max = max(scan_max, max(maxes))
+        if min_lsn is not None and maxes and max(maxes) <= min_lsn:
+            pruned += 1
+            continue
         kept.append(f)
         row_groups[f] = [
             pf.metadata.row_group(i).num_rows
@@ -71,7 +78,7 @@ def scan_change_log(
     total = sum(os.path.getsize(f) for f in kept)
     return LogScan(
         files=kept, schema=unified, pruned_files=pruned, total_bytes=total,
-        row_groups=row_groups,
+        row_groups=row_groups, max_lsn=scan_max,
     )
 
 

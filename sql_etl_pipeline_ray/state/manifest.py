@@ -58,6 +58,42 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
             os.unlink(tmp)
 
 
+HWM_NAME = "_log_hwm.json"
+
+
+def write_log_hwm(out_dir: str, log_hwm: int) -> int:
+    """Stamp the lake-level LOG high-water mark: the max LSN the just-
+    finished SUCCESSFUL replay scanned (footer stats over the whole log).
+
+    Per-partition checkpoints cannot prove catch-up — a partition whose
+    last routed event came early carries a low ``max_lsn`` forever, and a
+    resume that routes it nothing never recommits it — so monitors need
+    this one lake-level number: every partition is caught up to it after
+    a successful run by construction (a run applies ALL scanned events).
+
+    Advisory metadata, monotone (an older/concurrent run can only raise
+    it), written atomically AFTER all partitions commit — a crash before
+    the stamp merely over-reports lag, never under-reports it.  Returns
+    the value now on disk."""
+    cur = read_log_hwm(out_dir)
+    new = max(int(log_hwm), cur)
+    if new > cur:
+        _atomic_write_bytes(
+            os.path.join(out_dir, HWM_NAME),
+            json.dumps({"log_hwm": new}).encode(),
+        )
+    return new
+
+
+def read_log_hwm(out_dir: str) -> int:
+    """The stamped log high-water mark, or -1 (pre-hwm lake / never run)."""
+    try:
+        with open(os.path.join(out_dir, HWM_NAME), "rb") as f:
+            return int(json.load(f)["log_hwm"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return -1
+
+
 def _create_exclusive_bytes(path: str, data: bytes) -> bool:
     """Atomically create ``path`` with ``data`` iff it does not exist.
 

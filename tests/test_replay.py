@@ -613,3 +613,32 @@ def test_read_lake_with_pending_schema_evolution(tmp_path):
     pd.testing.assert_frame_equal(
         merged[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_lake_lag_footer_only_report(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import lake_lag
+
+    out = str(tmp_path / "lake")
+    partial = str(tmp_path / "partial_log")
+    os.makedirs(partial)
+    for k in range(3):
+        shutil.copytree(
+            os.path.join(log_dir, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    replay(partial, out, ReplayConfig(num_partitions=4))
+    lag = lake_lag(log_dir, out)
+    all_events = read_log_files(log_dir)
+    assert lag["log_rows"] == len(all_events)
+    assert lag["log_max_lsn"] == int(pd.Series(all_events["lsn"]).max())
+    assert not lag["caught_up"] and lag["lsn_lag"] > 0
+    # the partial run stamped its scan max as the applied high water; the
+    # upper bound is a bound on rows above THAT
+    true_pending = int((pd.Series(all_events["lsn"]) > lag["applied_hwm"]).sum())
+    assert lag["pending_rows_upper_bound"] >= true_pending > 0
+    assert lag["pending_files"] >= 3  # the three un-replayed buckets
+
+    # catch up -> lag report flips
+    replay(log_dir, out, ReplayConfig(num_partitions=4), resume=True)
+    lag2 = lake_lag(log_dir, out)
+    assert lag2["caught_up"] and lag2["lsn_lag"] == 0
