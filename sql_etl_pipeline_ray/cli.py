@@ -146,6 +146,21 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--partitions", type=int, required=True)
     rs.add_argument("--keep-epochs", type=int, default=1)
 
+    g = sub.add_parser(
+        "get",
+        help="point read: the live row for one (repo, path) key — routes "
+        "to its hash partition from manifests, reads only that partition "
+        "with the key filter pushed into the scan",
+    )
+    g.add_argument("lake_dir")
+    g.add_argument("repo")
+    g.add_argument("path")
+    g.add_argument("--asof-epoch", type=int, default=None)
+    g.add_argument(
+        "--columns", default=None,
+        help="comma-separated projection (default: all columns)",
+    )
+
     s = sub.add_parser("status", help="lake state from manifests (no data read)")
     s.add_argument("lake_dir")
     s.add_argument(
@@ -250,6 +265,29 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "get":
+            from .pipelines.replay import lake_get, plan_point_read
+
+            key = (args.repo, args.path)
+            cols = args.columns.split(",") if args.columns else None
+            plan = plan_point_read(
+                args.lake_dir, [key], asof_epoch=args.asof_epoch
+            )
+            tbl = lake_get(
+                args.lake_dir, [key], columns=cols, asof_epoch=args.asof_epoch
+            )
+            print(
+                json.dumps(
+                    {
+                        "found": len(tbl) > 0,
+                        "partition_probed": plan["parts"],
+                        "partitions_total": plan["total_partitions"],
+                        "rows": tbl.to_pylist(),
+                    },
+                    default=str,
+                )
+            )
+            return 0 if len(tbl) else 3
         elif args.cmd == "fsck":  # --deep (shallow returned above)
             from .pipelines.replay import fsck_lake
 

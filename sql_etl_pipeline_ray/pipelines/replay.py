@@ -1221,6 +1221,7 @@ def read_lake(
     columns: list[str] | None = None,
     filter: Any | None = None,
     asof_epoch: int | None = None,
+    _parts: set[int] | None = None,
 ) -> ray.data.Dataset:
     """Read the committed lake (manifest-listed files ONLY).
 
@@ -1233,8 +1234,14 @@ def read_lake(
     ``asof_epoch`` is a time-travel read: each partition resolves to its
     snapshot manifest at the largest epoch ≤ ``asof_epoch`` (partitions
     commit independently).  Reach equals ``SinkConfig.keep_epochs`` — a
-    GC'd snapshot raises rather than silently serving newer data."""
+    GC'd snapshot raises rather than silently serving newer data.
+
+    ``_parts`` (internal, used by ``lake_get``) restricts the read to the
+    named hash partitions — callers must guarantee every row they want
+    lives there (partition routing is ``key_hash % P``)."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
+    if _parts is not None:
+        manifests = {p: m for p, m in manifests.items() if p in _parts}
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         # empty lake: a filter over zero rows is a no-op
@@ -1272,6 +1279,122 @@ def read_lake(
     if columns is not None:
         return ray.data.read_parquet(files, columns=columns, **kwargs)
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
+
+
+def plan_point_read(
+    out_dir: str,
+    keys: list[tuple[str, str]],
+    asof_epoch: int | None = None,
+) -> dict[str, Any]:
+    """Metadata-only routing plan for a point read: which hash partitions
+    (and which of their committed files) can contain the given
+    ``(repo, path)`` keys.  Reads manifests only — no Parquet I/O — so on
+    a 100-TB lake the plan is O(partitions) JSON reads and the data read
+    it feeds touches ≤ ``len(keys)`` partitions out of all of them.
+
+    Refuses a lake committed under a different ``key_hash_version``: the
+    routing below would look in the wrong partition and silently return
+    "absent" for keys that exist (same hazard class as the resume guard
+    at the top of ``replay``)."""
+    manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
+    if manifests:
+        versions = {
+            m["stats"].get("key_hash_version", 1) for m in manifests.values()
+        }
+        if versions != {KEY_HASH_VERSION}:
+            raise ValueError(
+                f"lake committed with key_hash_version={sorted(versions)} "
+                f"but this engine routes with version {KEY_HASH_VERSION}; "
+                "a point read would probe the wrong partition. Rebuild the "
+                "lake (full replay or rescale_lake) first."
+            )
+    num_partitions = (
+        next(iter(manifests.values()))["stats"].get(
+            "num_partitions", max(manifests) + 1
+        )
+        if manifests
+        else 0
+    )
+    plan: dict[str, Any] = {
+        "num_partitions": num_partitions,
+        "parts": [],
+        "files": [],
+        "total_partitions": len(manifests),
+    }
+    if not manifests or not keys:
+        return plan
+    uniq = sorted(set(keys))
+    repos = pa.array([r for r, _ in uniq], pa.string())
+    paths = pa.array([p for _, p in uniq], pa.string())
+    parts = sorted(set(partition_ids(repos, paths, num_partitions).tolist()))
+    # a routed partition absent from the manifests simply holds no rows
+    # (e.g. an asof_epoch older than its first commit) — skip, don't fail
+    plan["parts"] = [p for p in parts if p in manifests]
+    plan["files"] = mf.manifest_data_files(
+        out_dir, {p: manifests[p] for p in plan["parts"]}
+    )
+    return plan
+
+
+def lake_get(
+    out_dir: str,
+    keys: list[tuple[str, str]],
+    columns: list[str] | None = None,
+    asof_epoch: int | None = None,
+) -> pa.Table:
+    """Keyed point read: the live row for each requested ``(repo, path)``
+    key (absent keys — never inserted, or deleted — yield no row).
+
+    The scale shape, in order of pruning power:
+
+    1. ``plan_point_read`` routes each key to its hash partition from
+       manifest metadata alone — only the ≤ ``len(keys)`` touched
+       partitions are read, however many the lake has.
+    2. The touched files are scanned with ``repo IN … AND path IN …``
+       pushed into the Parquet scan; on a ``cluster_by_key`` lake the
+       key-sorted row groups make this prune to the handful of groups
+       whose [min,max] straddle a requested key.
+    3. The pushed filter is a CROSS-PRODUCT superset (repo set × path
+       set); the exact pair match runs after it.  The superset result is
+       bounded by rows sharing a requested repo AND a requested path —
+       point-read sized, so the exact match is a driver-side vectorized
+       merge on the already-tiny table (annotated: post-filter frame,
+       not data-scale).
+
+    Respects ``asof_epoch`` (point-in-time point read).  Returns rows
+    sorted by ``(repo, path)`` for determinism."""
+    plan = plan_point_read(out_dir, keys, asof_epoch=asof_epoch)
+    out_schema = REPO_FILES_SCHEMA
+    if not plan["files"]:
+        empty = out_schema.empty_table()
+        return empty.select(columns) if columns is not None else empty
+    uniq = sorted(set(keys))
+    repo_set = sorted({r for r, _ in uniq})
+    path_set = sorted({p for _, p in uniq})
+    expr = pc.field("repo").isin(repo_set) & pc.field("path").isin(path_set)
+    # exact match needs the key columns regardless of the projection
+    read_cols = (
+        sorted(set(columns) | {"repo", "path"}) if columns is not None else None
+    )
+    ds = read_lake(
+        out_dir,
+        columns=read_cols,
+        filter=expr,
+        asof_epoch=asof_epoch,
+        _parts=set(plan["parts"]),
+    )
+    tbl = pa.concat_tables(
+        ray.get(ds.to_arrow_refs()), promote_options="permissive"
+    )
+    if len(tbl):
+        df = tbl.to_pandas()  # point-read sized (superset of matches)
+        want = pd.DataFrame(uniq, columns=["repo", "path"])
+        df = df.merge(want, on=["repo", "path"], how="inner")
+        df = df.sort_values(["repo", "path"], kind="stable").reset_index(drop=True)
+        tbl = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+    if columns is not None:
+        tbl = tbl.select(columns)
+    return tbl
 
 
 def lake_lag(log_dir: str, out_dir: str) -> dict[str, Any]:

@@ -153,3 +153,23 @@ def test_cli_export_with_pending(tmp_path):
         return pd.concat(dfs).sort_values(["repo", "path"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(load(out), load(out2))
+
+
+def test_cli_get_point_read(tmp_path):
+    from sql_etl_pipeline_ray.sources.datagen import (
+        ChangeLogSpec, generate_change_log, replay_oracle,
+    )
+
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    run_cli("gen-data", log, "--events", "2000", "--keys", "200", "--buckets", "4")
+    run_cli("--num-cpus", "4", "replay", log, lake, "--partitions", "4")
+
+    want = replay_oracle(generate_change_log(ChangeLogSpec(n_events=2000, n_keys=200)))
+    row = want.iloc[11]
+    got = run_cli(
+        "--num-cpus", "4", "get", lake, row["repo"], row["path"],
+        "--columns", "content,lsn",
+    )
+    assert got["found"] and len(got["partition_probed"]) == 1
+    assert got["partitions_total"] == 4
+    assert got["rows"] == [{"content": row["content"], "lsn": int(row["lsn"])}]

@@ -642,3 +642,50 @@ def test_lake_lag_footer_only_report(log_dir, tmp_path):
     replay(log_dir, out, ReplayConfig(num_partitions=4), resume=True)
     lag2 = lake_lag(log_dir, out)
     assert lag2["caught_up"] and lag2["lsn_lag"] == 0
+
+
+def test_lake_get_point_read(log_dir, tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import lake_get, plan_point_read
+
+    out = str(tmp_path / "lake")
+    replay(log_dir, out, ReplayConfig(num_partitions=8))
+    events = read_log_files(log_dir).to_pandas()
+    want = replay_oracle(read_log_files(log_dir))
+    live = want.set_index(["repo", "path"]).sort_index()
+    dead = sorted(
+        set(zip(events.repo, events.path)) - set(live.index)
+    )  # keys whose last event deleted them
+
+    # single live key: exactly its oracle row, touched ONE partition
+    k0 = live.index[7]
+    plan = plan_point_read(out, [k0])
+    assert plan["total_partitions"] == 8 and len(plan["parts"]) == 1
+    got = lake_get(out, [k0]).to_pandas()
+    assert len(got) == 1
+    row = live.loc[k0]
+    assert got.loc[0, "content"] == row["content"]
+    assert got.loc[0, "lsn"] == row["lsn"]
+    assert got.loc[0, "content_sha256"] == row["content_sha256"]
+
+    # deleted + never-inserted keys yield no rows (not stale versions)
+    assert len(lake_get(out, [dead[0], ("no/such", "repo.py")])) == 0
+
+    # multi-key batch with mixed live/dead: exactly the live subset,
+    # sorted by (repo, path); cross-product superset must not leak —
+    # request keys spanning several repos and paths
+    some = [live.index[i] for i in (0, 3, 11, 55, 200)] + dead[:2]
+    got = lake_get(out, some).to_pandas()
+    exp = live.loc[[k for k in some if k in live.index]].reset_index()
+    exp = exp.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    # requested pairs only — no (repo_i, path_j) cross-match rows
+    assert set(zip(got.repo, got.path)) <= set(some)
+
+    # projection keeps working (key columns added internally, then cut)
+    got = lake_get(out, [k0], columns=["content", "lsn"])
+    assert got.column_names == ["content", "lsn"] and len(got) == 1
+
+    # empty lake
+    assert len(lake_get(str(tmp_path / "nolake"), [k0])) == 0
