@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # changefeed (lake_diff include_before), MV ⊕ signed-delta groupby —
         # pinned equal to a full recompute by tests/test_ivm.py
         "cdc_mv_repo_stats": IVM.mv_repo_stats_incremental,
+        # bottom-k (KMV) sample quantile sketch: approximate quantiles with
+        # an EXACT SQL oracle (deterministic hash sample + integer rank)
+        "events_value_quantile_sketch": T.events_value_quantile_sketch,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -832,6 +835,39 @@ def oracle_sql() -> dict[str, str]:
                    md.madc / 100.0 AS mad
             FROM d JOIN md USING (user_id)
             WHERE md.madc > 0 AND d.dev > 3 * md.madc
+        """,
+        # bottom-k (KMV) quantile sketch replayed EXACTLY: same splitmix64
+        # hash (the HLL trick), same ORDER BY h LIMIT k sample (hash is a
+        # bijection over unique ids — no ties), same all-integer rank rule
+        # ceil(qn*n/qd) = (qn*n + qd - 1) // qd; the returned values are
+        # untouched input doubles, so they hash bit-equal
+        "events_value_quantile_sketch": f"""
+            WITH h0 AS (
+              SELECT value,
+                     CAST((CAST(event_id AS UBIGINT)::HUGEINT
+                           + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z
+              FROM events),
+            h1 AS (SELECT value,
+                          {_mulmod64("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z
+                   FROM h0),
+            h2 AS (SELECT value,
+                          {_mulmod64("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z
+                   FROM h1),
+            hf AS (SELECT value, xor(z, z >> 31) AS h FROM h2),
+            s AS (SELECT value FROM hf ORDER BY h LIMIT 4096),
+            n AS (SELECT COUNT(*) AS k FROM s),
+            r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rk
+                  FROM s),
+            qs(qn, qd, q) AS (
+              SELECT * FROM (VALUES (1, 2, CAST(0.5 AS DOUBLE)),
+                                    (9, 10, CAST(0.9 AS DOUBLE)),
+                                    (99, 100, CAST(0.99 AS DOUBLE)))),
+            sel AS (SELECT q, GREATEST((qn * k + qd - 1) // qd, 1) AS rk
+                    FROM qs, n)
+            SELECT sel.q AS q, r.value AS value_approx
+            FROM sel JOIN r ON r.rk = sel.rk
+            ORDER BY q
         """,
         # point-in-time state at L = floor(max(event_id) * 0.6): one
         # correctly-rounded multiply, so both engines derive the same L

@@ -179,6 +179,56 @@ def monthly_uniques_hll(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+QUANTILE_SKETCH_K = 4096
+QUANTILE_SKETCH_QS = [(1, 2), (9, 10), (99, 100)]  # p50 / p90 / p99
+
+
+def events_value_quantile_sketch(
+    sf_dir: str, k: int = QUANTILE_SKETCH_K
+) -> pa.Table:
+    """Approximate quantiles of ``events.value`` via a bottom-k (KMV)
+    sample sketch — the SCALE sibling of the exact path
+    (``orders_value_percentiles``): the exact plan shuffles one row per
+    DISTINCT value, which for an arbitrary double column is the data
+    itself; this plan ships ≤k (hash, value) pairs per block, a driver
+    merge of O(blocks·k), and never shuffles the corpus at all.
+
+    Per-batch ``bottomk_partial`` keeps the k smallest splitmix64(id)
+    hashes; bottom-k merge is associative, so the final sample is
+    independent of batching — and DuckDB can replay hash + ORDER BY h
+    LIMIT k + the integer rank rule exactly, giving this approximate
+    operator an exact value oracle (the HLL trick, stages/sketch.py).
+    Standard error of a rank is sqrt(q(1-q)/k) ≈ 0.8% at k=4096; pinned
+    against exact quantiles in ``tests/test_sketch.py``."""
+    from ..stages.sketch import bottomk_merge, bottomk_partial, bottomk_quantiles
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+
+    def partials(tbl: pa.Table) -> pa.Table:
+        h, v = bottomk_partial(
+            tbl["event_id"].to_numpy(), tbl["value"].to_numpy(), k
+        )
+        return pa.table({"h": h, "v": v})
+
+    # ≤ k rows per block by construction — the to_pandas() is a bounded
+    # sketch merge (O(blocks·k)), not a data materialization
+    parts = events.map_batches(partials, batch_format="pyarrow").to_pandas()
+    _, sample = bottomk_merge(
+        [(parts["h"].to_numpy(np.uint64), parts["v"].to_numpy())], k
+    )
+    vals = bottomk_quantiles(sample, QUANTILE_SKETCH_QS)
+    return pa.table(
+        {
+            "q": pa.array(
+                [qn / qd for qn, qd in QUANTILE_SKETCH_QS], pa.float64()
+            ),
+            "value_approx": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Stopword-marker language ID (heuristic — rows-only check; the
     deterministic behavior is pinned by unit tests instead of SQL)."""

@@ -1,4 +1,5 @@
-"""Cardinality sketches: HyperLogLog for approximate COUNT(DISTINCT).
+"""Mergeable sketches: HyperLogLog for approximate COUNT(DISTINCT) and a
+bottom-k (KMV) sample sketch for approximate quantiles.
 
 The reference computes exact distincts in SQL (COUNT(DISTINCT ...)); the
 engine's exact path is the two-level groupby (``monthly_sales_trends``).
@@ -44,6 +45,64 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
     rho = (acc + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rho)
     return regs
+
+
+def bottomk_partial(
+    ids: np.ndarray, values: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One batch's bottom-k sample sketch: the ≤k (hash, value) pairs with
+    the smallest ``splitmix64(id)``.
+
+    Keeping the k smallest hashes of a FIXED hash function is the KMV /
+    bottom-k sketch (Bar-Yossef et al., RANDOM 2002; Cohen & Kaplan,
+    PODC 2007): the global bottom-k set is a uniform size-k sample
+    without replacement of the distinct ids, and merging two sketches is
+    just "concat, keep k smallest" — associative and commutative, so any
+    batch/block split of the input yields the IDENTICAL final sample.
+    Deterministic (no RNG state), which is what lets an approximate
+    quantile carry an exact SQL oracle: DuckDB replays the same hash and
+    takes the same ORDER BY h LIMIT k."""
+    if not len(ids):
+        return np.empty(0, np.uint64), values[:0]
+    h = _splitmix64(ids.astype(np.int64).view(np.uint64))
+    if len(h) > k:
+        sel = np.argpartition(h, k)[:k]
+        return h[sel], values[sel]
+    return h, values
+
+
+def bottomk_merge(
+    partials: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge bottom-k partials: concat, keep the k smallest hashes,
+    returned hash-sorted.  splitmix64 is a bijection on uint64 and ids
+    are unique, so there are no hash ties and the result is unique."""
+    if not partials:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    h = np.concatenate([p[0] for p in partials])
+    v = np.concatenate([p[1] for p in partials])
+    if len(h) > k:
+        sel = np.argpartition(h, k)[:k]
+        h, v = h[sel], v[sel]
+    order = np.argsort(h)
+    return h[order], v[order]
+
+
+def bottomk_quantiles(
+    sample_values: np.ndarray, qs: list[tuple[int, int]]
+) -> np.ndarray:
+    """Quantile estimates from a bottom-k sample by an INTEGER rank rule
+    shared verbatim with the SQL oracle: for q = qn/qd over n sample
+    rows, take the value at 1-based rank ``max(ceil(qn*n/qd), 1)`` of the
+    value-sorted sample — all-integer ceil ``(qn*n + qd - 1) // qd``, so
+    no float q*n can straddle an ulp differently on the two engines."""
+    v = np.sort(sample_values, kind="stable")
+    n = len(v)
+    out = np.empty(len(qs), dtype=v.dtype if n else np.float64)
+    for i, (qn, qd) in enumerate(qs):
+        rk = max((qn * n + qd - 1) // qd, 1)
+        out[i] = v[rk - 1] if n else np.nan
+    return out
 
 
 def hll_merge(reg_arrays) -> np.ndarray:

@@ -68,3 +68,77 @@ def test_libm_log_matches_duckdb_ln_on_all_linear_counting_inputs():
         f"SELECT v, ln({float(m)} / v) FROM (SELECT UNNEST(generate_series(1, {m - 1})) v)"
     ).fetchall()
     assert all(l == math.log(m / v) for v, l in rows)
+
+
+def test_bottomk_merge_is_batch_invariant():
+    """The final bottom-k sample must be IDENTICAL for any split of the
+    input into batches (associative merge) — this is what makes the
+    sketch's SQL oracle exact despite Ray's nondeterministic batching."""
+    from sql_etl_pipeline_ray.stages.sketch import bottomk_merge, bottomk_partial
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(20_000).astype(np.int64)
+    vals = rng.normal(size=len(ids))
+    k = 512
+    whole = bottomk_merge([bottomk_partial(ids, vals, k)], k)
+    for nsplit in (2, 7, 64):
+        parts = [
+            bottomk_partial(i, v, k)
+            for i, v in zip(np.array_split(ids, nsplit), np.array_split(vals, nsplit))
+        ]
+        split = bottomk_merge(parts, k)
+        np.testing.assert_array_equal(whole[0], split[0])
+        np.testing.assert_array_equal(whole[1], split[1])
+
+
+def test_bottomk_quantile_rank_error_bound():
+    """The estimated quantile's TRUE rank fraction must sit within a few
+    standard errors (sqrt(q(1-q)/k)) of q — the KMV sample guarantee."""
+    from sql_etl_pipeline_ray.stages.sketch import (
+        bottomk_merge, bottomk_partial, bottomk_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 200_000, 4096
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.lognormal(mean=1.0, sigma=1.5, size=n)  # heavy-tailed
+    _, sample = bottomk_merge([bottomk_partial(ids, vals, k)], k)
+    assert len(sample) == k
+    qs = [(1, 2), (9, 10), (99, 100)]
+    est = bottomk_quantiles(sample, qs)
+    srt = np.sort(vals)
+    for (qn, qd), e in zip(qs, est):
+        q = qn / qd
+        true_rank = np.searchsorted(srt, e, side="right") / n
+        se = np.sqrt(q * (1 - q) / k)
+        assert abs(true_rank - q) <= 5 * se + 1.0 / k, (q, true_rank, se)
+
+
+def test_bottomk_quantiles_tiny_and_empty():
+    from sql_etl_pipeline_ray.stages.sketch import bottomk_quantiles
+
+    one = bottomk_quantiles(np.array([3.5]), [(1, 2), (99, 100)])
+    np.testing.assert_array_equal(one, [3.5, 3.5])
+    assert np.isnan(bottomk_quantiles(np.array([]), [(1, 2)])).all()
+
+
+def test_events_quantile_sketch_close_to_exact():
+    import duckdb
+
+    import sql_etl_pipeline_ray.pipelines.training_data as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.events_value_quantile_sketch(sf).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT quantile_disc(value, [0.5, 0.9, 0.99]) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    # sf0.001 events (~1k rows) fit inside k=4096 -> the "sample" is the
+    # whole table and the sketch must be EXACT at the rank rule's grid
+    assert n <= 4096
+    vals = duckdb.sql(
+        f"SELECT value FROM '{sf}/events.parquet' ORDER BY value"
+    ).df()["value"].to_numpy()
+    for q, e in zip(got["q"], got["value_approx"]):
+        rk = max(int(np.ceil(q * n - 1e-9)), 1)
+        assert e == vals[rk - 1], (q, e)
