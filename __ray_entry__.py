@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bottom-k (KMV) sample quantile sketch: approximate quantiles with
         # an EXACT SQL oracle (deterministic hash sample + integer rank)
         "events_value_quantile_sketch": T.events_value_quantile_sketch,
+        # BPE-ish pretokenizer token counts (GPT-2 regex; the brief's
+        # "whitespace + a BPE-ish regex" token-counting pair)
+        "doc_bpe_tokens": T.doc_bpe_tokens,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -496,6 +499,7 @@ _HLL_NUM = repr(float((1 << 64) * _HLL_M * _HLL_M))
 
 
 from sql_etl_pipeline_ray.stages.text import PII_PATTERNS as _PII
+from sql_etl_pipeline_ray.stages.text import BPE_PRETOKEN_PATTERN as _BPE_PAT
 
 # Shared by doc_quality_score and docs_quality_quantile_gate: exactly the
 # stages/text.py:QualityScore arithmetic (token/punct counts, 6-decimal
@@ -1118,6 +1122,23 @@ def oracle_sql() -> dict[str, str]:
                     END, 1), 6) AS mean_token_len
             FROM documents
         """,
+        # the GPT-2 pretokenizer regex verbatim (quotes doubled for SQL);
+        # Python re and DuckDB RE2 agree on it codepoint-for-codepoint
+        # (adversarial strings pinned in tests/test_text.py)
+        "doc_bpe_tokens": (
+            lambda pat: rf"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '{pat}')) AS bpe_token_count,
+              CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                        - LENGTH(REGEXP_REPLACE(TRIM(text), '\s', '', 'g')) + 1
+              END AS ws_token_count,
+              ROUND(LENGTH(text) * 1.0
+                    / GREATEST(len(regexp_extract_all(text, '{pat}')), 1), 6)
+                AS chars_per_token
+            FROM documents
+        """
+        )(_BPE_PAT.replace("'", "''")),
         "doc_quality_score": _QUALITY_SCORE_SQL,
         "doc_stopword_stats": _STOPWORD_STATS_SQL,
         # repetition signals: token explode + grouped counts, 2-grams via

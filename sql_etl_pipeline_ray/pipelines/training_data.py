@@ -23,6 +23,7 @@ from ..stages import dedup as D
 from ..stages import multimodal as MM
 from ..stages import similarity as SIM
 from ..stages.text import (
+    BpePretokenStats,
     Fingerprint,
     LangId,
     QualityScore,
@@ -58,6 +59,15 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     in an actor pool — regexes compiled once per actor)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         TokenStats, batch_format="pandas", concurrency=autoscale_pool()
+    )
+
+
+def doc_bpe_tokens(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish pretokenizer token counts (GPT-2 pretokenizer regex) next
+    to whitespace tokens — the LLM-budget length unit; SQL-oracled via
+    the identical RE2 pattern (``len(regexp_extract_all(...))``)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpePretokenStats, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 

@@ -71,6 +71,49 @@ class TokenStats:
         return out
 
 
+# GPT-2-style pretokenizer (Radford et al. 2019, public regex), ASCII
+# word/number classes so Python re and DuckDB RE2 agree codepoint-for-
+# codepoint (verified over adversarial strings in tests/test_text.py):
+# contraction suffixes, space-prefixed letter runs, digit runs, symbol
+# runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+)
+
+
+class BpePretokenStats:
+    """BPE-ish token counting: the number of pretokenizer matches — the
+    unit actual BPE vocabularies are trained over, and a far better
+    length signal for LLM data budgeting than whitespace tokens (code
+    and punctuation-dense text split much finer).  Regex compiled once
+    per actor; counting is one vectorized ``str.count`` per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pattern = re.compile(BPE_PRETOKEN_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        bpe = s.str.count(self.pattern).astype(np.int64)
+        trimmed = s.str.strip()
+        ws = np.where(
+            trimmed.str.len() == 0, 0, trimmed.str.count(r"\s+") + 1
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "bpe_token_count": bpe,
+                "ws_token_count": ws,
+                # chars per BPE token ≈ compression ratio of the corpus
+                "chars_per_token": (
+                    s.str.len().astype(np.int64) / np.maximum(bpe, 1)
+                ).round(6),
+            }
+        )
+
+
 class QualityScore:
     """Composite 0-100 quality score with pass/fail gate.
 

@@ -1,0 +1,46 @@
+
+
+def test_bpe_pretoken_regex_agrees_with_duckdb_re2():
+    """The doc_bpe_tokens oracle replays BPE_PRETOKEN_PATTERN in DuckDB
+    RE2 — pin that both regex engines count the same matches on
+    adversarial inputs (contractions, quotes, unicode, whitespace runs,
+    code)."""
+    import re
+
+    import duckdb
+
+    from sql_etl_pipeline_ray.stages.text import BPE_PRETOKEN_PATTERN
+
+    rx = re.compile(BPE_PRETOKEN_PATTERN)
+    cases = [
+        "def f_0_v1996():\n    return offset stream(actor)\n",
+        "It's   the 3rd test-case, isn't it? 100%!",
+        "", " ", "   \t\n ", "a", "'", "''", "'s", "x's",
+        "don't CAN'T won't o'clock rock'n'roll",
+        "snake_case camelCase kebab-case x86_64",
+        "unicode café naïve 東京 — em–dash … ellipsis",
+        "a'b'c'd 'leading trailing' mixed'", "1'000'000",
+        "!!!???...,,,;;;:::", "\t\t\t", "a b",  # nbsp is \s in both
+    ]
+    for t in cases:
+        py = len(rx.findall(t))
+        dk = duckdb.sql(
+            "SELECT len(regexp_extract_all(?, ?))",
+            params=[t, BPE_PRETOKEN_PATTERN],
+        ).fetchone()[0]
+        assert py == dk, (t, py, dk)
+
+
+def test_bpe_pretoken_stats_kernel():
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.stages.text import BpePretokenStats
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["It's a test.", "", "  x  "]}
+    )
+    out = BpePretokenStats()(df)
+    # "It's a test." -> It / 's / ' a' / ' test' / '.' = 5
+    assert out["bpe_token_count"].tolist() == [5, 0, 3]  # ws, x, ws
+    assert out["ws_token_count"].tolist() == [3, 0, 1]
+    assert out.loc[0, "chars_per_token"] == round(12 / 5, 6)
