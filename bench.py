@@ -208,6 +208,8 @@ def run_bench() -> dict:
     timed("docs_pii_redact", T.docs_pii_redact)
     timed("docs_top_tfidf_terms", T.docs_top_tfidf_terms)
     timed("docs_dedup_near", T.docs_dedup_near)
+    # bottom-k quantile sketch: one linear pass, ≤k rows per block shuffled
+    timed("events_value_quantile_sketch", T.events_value_quantile_sketch)
 
     result = {
         "metric": "cdc_replay_wall_sec",
