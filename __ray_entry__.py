@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish pretokenizer token counts (GPT-2 regex; the brief's
         # "whitespace + a BPE-ish regex" token-counting pair)
         "doc_bpe_tokens": T.doc_bpe_tokens,
+        # grouped bottom-k quantile sketch (per event_type)
+        "events_type_value_quantiles": T.events_type_value_quantiles,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -872,6 +874,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT sel.q AS q, r.value AS value_approx
             FROM sel JOIN r ON r.rk = sel.rk
             ORDER BY q
+        """,
+        # grouped variant of the bottom-k sketch oracle: same hash, the
+        # sample is the k smallest hashes PER PARTITION (event_type), rank
+        # rule per partition — still bitwise exact
+        "events_type_value_quantiles": f"""
+            WITH h0 AS (
+              SELECT event_type, value,
+                     CAST((CAST(event_id AS UBIGINT)::HUGEINT
+                           + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z
+              FROM events),
+            h1 AS (SELECT event_type, value,
+                          {_mulmod64("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z
+                   FROM h0),
+            h2 AS (SELECT event_type, value,
+                          {_mulmod64("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z
+                   FROM h1),
+            hf AS (SELECT event_type, value, xor(z, z >> 31) AS h FROM h2),
+            smp AS (
+              SELECT event_type, value FROM hf
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY h) <= 1024),
+            n AS (SELECT event_type, COUNT(*) AS k FROM smp
+                  GROUP BY event_type),
+            r AS (SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value) AS rk
+                  FROM smp),
+            qs(qn, qd, q) AS (
+              SELECT * FROM (VALUES (1, 2, CAST(0.5 AS DOUBLE)),
+                                    (9, 10, CAST(0.9 AS DOUBLE)),
+                                    (99, 100, CAST(0.99 AS DOUBLE)))),
+            sel AS (SELECT n.event_type, q,
+                           GREATEST((qn * n.k + qd - 1) // qd, 1) AS rk
+                    FROM qs, n)
+            SELECT sel.event_type AS event_type, sel.q AS q,
+                   r.value AS value_approx
+            FROM sel JOIN r ON r.event_type = sel.event_type
+                           AND r.rk = sel.rk
+            ORDER BY event_type, q
         """,
         # point-in-time state at L = floor(max(event_id) * 0.6): one
         # correctly-rounded multiply, so both engines derive the same L

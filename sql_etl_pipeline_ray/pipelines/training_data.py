@@ -239,6 +239,61 @@ def events_value_quantile_sketch(
     )
 
 
+def events_type_value_quantiles(
+    sf_dir: str, k: int = 1024
+) -> pa.Table:
+    """GROUPED approximate quantiles (per event_type) — the shape where
+    the bottom-k sketch's mergeability earns its keep: each batch ships
+    ≤k (hash, value) pairs PER GROUP it saw, the per-group merge is one
+    ``groupby(type).map_groups`` over sketch-sized rows (≤ blocks·k per
+    group, never the group's data), and the result is batch-invariant so
+    the same exact SQL oracle applies per partition."""
+    from ..stages.sketch import bottomk_merge, bottomk_partial, bottomk_quantiles
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": [], "h": [], "v": []}
+        for et, g in df.groupby("event_type", sort=False):
+            h, v = bottomk_partial(
+                g["event_id"].to_numpy(), g["value"].to_numpy(), k
+            )
+            rows["event_type"].append(np.repeat(et, len(h)))
+            rows["h"].append(h)
+            rows["v"].append(v)
+        return pd.DataFrame(
+            {c: np.concatenate(rows[c]) for c in rows}
+            if rows["h"]
+            else {"event_type": [], "h": [], "v": []}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        _, sample = bottomk_merge(
+            [(g["h"].to_numpy(np.uint64), g["v"].to_numpy())], k
+        )
+        vals = bottomk_quantiles(sample, QUANTILE_SKETCH_QS)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "q": [qn / qd for qn, qd in QUANTILE_SKETCH_QS],
+                "value_approx": vals,
+            }
+        )
+
+    out = (
+        events.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Stopword-marker language ID (heuristic — rows-only check; the
     deterministic behavior is pinned by unit tests instead of SQL)."""

@@ -142,3 +142,23 @@ def test_events_quantile_sketch_close_to_exact():
     for q, e in zip(got["q"], got["value_approx"]):
         rk = max(int(np.ceil(q * n - 1e-9)), 1)
         assert e == vals[rk - 1], (q, e)
+
+
+def test_grouped_quantile_sketch_close_to_exact():
+    import duckdb
+
+    import sql_etl_pipeline_ray.pipelines.training_data as T
+
+    sf = "/root/testdata/sf0.01"
+    got = T.events_type_value_quantiles(sf).to_pandas()
+    # three q rows per event_type
+    assert (got.groupby("event_type").size() == 3).all()
+    exact = duckdb.sql(
+        f"""SELECT event_type, quantile_disc(value, 0.5) AS p50
+            FROM '{sf}/events.parquet' GROUP BY event_type"""
+    ).df().set_index("event_type")["p50"]
+    p50 = got[got["q"] == 0.5].set_index("event_type")["value_approx"]
+    # k=1024 per group -> se ~ 1.6% of rank; allow 10% value slack on
+    # these smooth-ish distributions
+    rel = ((p50 - exact.reindex(p50.index)).abs() / exact.reindex(p50.index))
+    assert (rel < 0.10).all(), rel
