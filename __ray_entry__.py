@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": T.ann_ivf_topk,
         "embedding_norms": T.embedding_norms,
         "multimodal_features": T.multimodal_features,
+        "multimodal_resized": T.multimodal_resized,
         "docs_systematic_sample": T.docs_systematic_sample,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_embedding_cosine": T.dedup_embedding_cosine,
@@ -1414,11 +1415,33 @@ def oracle_sql() -> dict[str, str]:
               len(embedding) AS dim
             FROM embeddings
         """,
+        # image rows now carry REAL binary-PPM payloads: bytes = header
+        # ("P6\n{w} {h}\n255\n" = 9 + digits) + 3*w*h raster; the stub
+        # rows stay utf-8 text bytes
         "multimodal_features": """
+            WITH m AS (
+              SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 32 + 8 AS h,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+                text
+              FROM documents)
+            SELECT doc_id AS media_id, media_type,
+              CASE WHEN media_type = 'image'
+                   THEN 9 + strlen(CAST(w AS VARCHAR))
+                        + strlen(CAST(h AS VARCHAR)) + 3 * w * h
+                   ELSE strlen(text) END AS payload_bytes,
+              media_type = 'image' AS decoded_real
+            FROM m
+        """,
+        # after the 16x16 resize every image payload is the fixed-header
+        # 13 + 3*256 = 781-byte PPM; other rows pass through
+        "multimodal_resized": """
             SELECT doc_id AS media_id,
               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS media_type,
-              strlen(text) AS payload_bytes
+              CASE WHEN doc_id % 3 = 0 THEN 781
+                   ELSE strlen(text) END AS payload_bytes,
+              doc_id % 3 = 0 AS decoded_real
             FROM documents
         """,
         "docs_systematic_sample": """

@@ -466,17 +466,37 @@ def embedding_norms(sf_dir: str) -> ray.data.Dataset:
 # ---- multimodal ----
 
 
-def multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """Binary-payload decode/featurize plumbing over a media table derived
-    deterministically from documents (decode itself is a marked stub —
-    media libs aren't in this container; the Ray plumbing is real)."""
+def _media(sf_dir: str) -> ray.data.Dataset:
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    media = MM.synthesize_media_table(docs)
-    return MM.multimodal_features(ray.data.from_arrow(media)).drop_columns(
+    return ray.data.from_arrow(MM.synthesize_media_table(docs))
+
+
+def multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Binary-payload decode/featurize over a media table derived
+    deterministically from documents.  REAL pixel decode + statistics
+    for the PPM image rows (pure numpy — no media library needed);
+    compressed codecs remain a marked stub path."""
+    return MM.multimodal_features(_media(sf_dir)).drop_columns(
         ["features"]
     )  # feature list column dropped for the rows-only driver check
+
+
+def multimodal_resized(sf_dir: str) -> ray.data.Dataset:
+    """Decode → nearest-neighbor resize → re-encode for image rows (REAL
+    for PPM), pass-through otherwise; then the featurizer over the
+    resized table — the media analogue of a two-stage actor-pool
+    pipeline.  Output keeps scalar columns only for the driver check."""
+    resized = _media(sf_dir).map_batches(
+        MM.ResizeImages,
+        fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=autoscale_pool(),
+        num_cpus=1,
+    )
+    return MM.multimodal_features(resized).drop_columns(["features"])
 
 
 def docs_systematic_sample(sf_dir: str) -> ray.data.Dataset:

@@ -275,11 +275,17 @@ def test_multimodal_plumbing_roundtrip():
     assert media.schema.field("payload").type == pa.large_binary()
     out = MM.multimodal_features(ray.data.from_arrow(media)).to_pandas()
     assert len(out) == len(docs)
-    # deterministic stub features: same payload → same features
-    f0 = out[out["media_id"] == 0]["features"].iloc[0]
+    # image rows take the REAL pixel path; the rest take the stub
+    assert (out["decoded_real"] == (out["media_id"] % 3 == 0)).all()
+    # media_id 0 is an image: features are real pixel stats of the
+    # deterministic gradient (blue channel constant 0 -> mean=std=0)
+    f0 = np.asarray(out[out["media_id"] == 0]["features"].iloc[0])
+    assert f0[2] == 0.0 and f0[5] == 0.0
+    # deterministic stub features: same payload -> same features
+    f1 = out[out["media_id"] == 1]["features"].iloc[0]
     d0 = MM.DecodeAndFeaturize()
-    again = d0._decode(docs.column("text")[0].as_py().encode(), "image")
-    assert np.allclose(np.asarray(f0), again)
+    again = d0._decode_stub(docs.column("text")[1].as_py().encode(), "audio")
+    assert np.allclose(np.asarray(f1), again)
     assert (out["payload_bytes"] > 0).all()
 
 
@@ -1045,3 +1051,65 @@ def test_decontaminate_strip_and_admit_increment(tmp_path):
     )
     adm = docs_admit_near_increment(sf2).to_pandas()
     assert set(adm["doc_id"]) == {3}
+
+
+def test_ppm_roundtrip_and_malformed():
+    img = MM.synth_image(7, 13, 9)
+    enc = MM.encode_ppm(img)
+    np.testing.assert_array_equal(MM.decode_ppm(enc), img)
+    # header variants: comments and extra whitespace
+    with_comment = b"P6\n# a comment\n13   9\n# more\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(MM.decode_ppm(with_comment), img)
+    import pytest
+
+    for bad in [b"P5\n1 1\n255\n\x00\x00\x00",          # wrong magic
+                b"P6\n2 2\n255\n\x00\x00\x00",           # truncated raster
+                b"P6\n1 1\n65535\n\x00\x00",              # wide maxval
+                b"P6\n"]:                                  # truncated header
+        with pytest.raises(ValueError):
+            MM.decode_ppm(bad)
+
+
+def test_resize_nearest_known_values():
+    # 2x2 distinct-color image -> 4x4: each source pixel becomes a 2x2 block
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], np.uint8
+    )
+    up = MM.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    np.testing.assert_array_equal(up[:2, :2], np.broadcast_to(img[0, 0], (2, 2, 3)))
+    np.testing.assert_array_equal(up[2:, 2:], np.broadcast_to(img[1, 1], (2, 2, 3)))
+    # downscale back recovers the original
+    np.testing.assert_array_equal(MM.resize_nearest(up, 2, 2), img)
+
+
+def test_decode_featurize_real_vs_stub_paths():
+    docs = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                     "text": ["aa", "bb", "cc", "dd"]})
+    media = MM.synthesize_media_table(docs)
+    out = MM.DecodeAndFeaturize()(media)
+    df = out.to_pandas()
+    assert df["decoded_real"].tolist() == [True, False, False, True]
+    # real features: blue channel of synth_image(0,...) is constant 0 ->
+    # mean_b == 0, std_b == 0; aspect = w/h
+    f0 = df.loc[0, "features"]
+    assert f0[2] == 0.0 and f0[5] == 0.0
+    assert f0[6] == (0 % 48 + 8) / (0 % 32 + 8)
+    # stub features deterministic and in [0, 1]
+    f1 = df.loc[1, "features"]
+    assert all(0.0 <= x <= 1.0 for x in f1)
+    again = MM.DecodeAndFeaturize()(media).to_pandas().loc[1, "features"]
+    np.testing.assert_array_equal(f1, again)
+
+
+def test_resize_stage_images_only():
+    docs = pa.table({"doc_id": pa.array([0, 1, 3], pa.int64()),
+                     "text": ["aa", "bb", "dd"]})
+    media = MM.synthesize_media_table(docs)
+    out = MM.ResizeImages(out_h=16, out_w=16)(media).to_pandas()
+    img_rows = out[out["media_type"] == "image"]
+    assert (img_rows["width"] == 16).all() and (img_rows["height"] == 16).all()
+    for p in img_rows["payload"]:
+        assert MM.decode_ppm(p).shape == (16, 16, 3)
+    other = out[out["media_type"] != "image"]
+    assert (other["payload"].map(lambda b: b.decode()) == ["bb"]).all()
