@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": T.embedding_norms,
         "multimodal_features": T.multimodal_features,
         "multimodal_resized": T.multimodal_resized,
+        "multimodal_frame_sample": T.multimodal_frame_sample,
         "docs_systematic_sample": T.docs_systematic_sample,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_embedding_cosine": T.dedup_embedding_cosine,
@@ -1415,34 +1416,49 @@ def oracle_sql() -> dict[str, str]:
               len(embedding) AS dim
             FROM embeddings
         """,
-        # image rows now carry REAL binary-PPM payloads: bytes = header
-        # ("P6\n{w} {h}\n255\n" = 9 + digits) + 3*w*h raster; the stub
-        # rows stay utf-8 text bytes
+        # every synthesized modality is REAL-decodable, with closed-form
+        # payload bytes: image = PPM header (9 + digits) + 3*w*h raster;
+        # audio = 44-byte WAV header + 2 bytes/sample over
+        # (id % 50 + 10) * 16 samples; video = (id % 4 + 2) frames of
+        # 8x6 PPM at 155 bytes each
         "multimodal_features": """
             WITH m AS (
               SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 32 + 8 AS h,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                     ELSE 'video' END AS media_type,
-                text
+                     ELSE 'video' END AS media_type
               FROM documents)
             SELECT doc_id AS media_id, media_type,
-              CASE WHEN media_type = 'image'
+              CASE media_type
+                   WHEN 'image'
                    THEN 9 + strlen(CAST(w AS VARCHAR))
                         + strlen(CAST(h AS VARCHAR)) + 3 * w * h
-                   ELSE strlen(text) END AS payload_bytes,
-              media_type = 'image' AS decoded_real
+                   WHEN 'audio'
+                   THEN 44 + 2 * ((doc_id % 50 + 10) * 16)
+                   ELSE 155 * (doc_id % 4 + 2) END AS payload_bytes,
+              TRUE AS decoded_real
             FROM m
         """,
-        # after the 16x16 resize every image payload is the fixed-header
-        # 13 + 3*256 = 781-byte PPM; other rows pass through
+        # after the 16x16 resize every frame is the fixed-header 781-byte
+        # PPM (images: one frame; videos: id % 4 + 2 frames); audio
+        # passes through untouched
         "multimodal_resized": """
             SELECT doc_id AS media_id,
               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                    ELSE 'video' END AS media_type,
-              CASE WHEN doc_id % 3 = 0 THEN 781
-                   ELSE strlen(text) END AS payload_bytes,
-              doc_id % 3 = 0 AS decoded_real
+              CASE doc_id % 3
+                   WHEN 0 THEN 781
+                   WHEN 1 THEN 44 + 2 * ((doc_id % 50 + 10) * 16)
+                   ELSE 781 * (doc_id % 4 + 2) END AS payload_bytes,
+              TRUE AS decoded_real
             FROM documents
+        """,
+        # every 2nd frame of each (id % 4 + 2)-frame video; each sampled
+        # frame re-encodes to the 155-byte 8x6 PPM
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id,
+              UNNEST(range(0, doc_id % 4 + 2, 2)) AS frame_idx,
+              155 AS payload_bytes, 8 AS width, 6 AS height
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "docs_systematic_sample": """
             SELECT * FROM documents WHERE doc_id % 10 = 3

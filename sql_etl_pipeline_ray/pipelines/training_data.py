@@ -483,6 +483,35 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     )  # feature list column dropped for the rows-only driver check
 
 
+def multimodal_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling over video payloads: every 2nd frame of each
+    concatenated-P6 stream becomes its own single-image row (REAL stream
+    parse + re-encode, pure numpy).  Scalar columns only for the driver
+    check — the payload survives as its byte count."""
+
+    def scalars(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.set_column(
+            tbl.column_names.index("payload"),
+            pa.field("payload_bytes", pa.int64()),
+            pc.binary_length(tbl.column("payload")).cast(pa.int64()),
+        )
+
+    return (
+        _media(sf_dir)
+        .map_batches(
+            MM.FrameSampleVideos,
+            fn_constructor_kwargs={"stride": 2},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=autoscale_pool(),
+            num_cpus=1,
+        )
+        .map_batches(scalars, batch_format="pyarrow")
+    )
+
+
 def multimodal_resized(sf_dir: str) -> ray.data.Dataset:
     """Decode → nearest-neighbor resize → re-encode for image rows (REAL
     for PPM), pass-through otherwise; then the featurizer over the

@@ -50,18 +50,17 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Decode binary PPM (P6) to an (H, W, 3) uint8 array with pure
-    numpy — a REAL pixel decode that needs no media library.  Handles
-    the format's comment lines and arbitrary whitespace between header
-    tokens; raises ValueError on anything malformed (truncated raster,
-    maxval != 255, wrong magic)."""
-    if not payload.startswith(b"P6"):
+def _parse_ppm_at(payload: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one P6 image starting at ``pos``; returns (image, next_pos).
+    Handles the format's comment lines and arbitrary whitespace between
+    header tokens; raises ValueError on anything malformed (truncated
+    raster, maxval != 255, wrong magic)."""
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header = magic, width, height, maxval as whitespace-separated
     # tokens, '#' comments running to end-of-line; raster starts after
     # the single whitespace byte following maxval
-    pos, tokens = 2, []
+    pos, tokens = pos + 2, []
     n = len(payload)
     while len(tokens) < 3:
         while pos < n and payload[pos : pos + 1].isspace():
@@ -83,7 +82,93 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     raster = payload[pos : pos + w * h * 3]
     if len(raster) != w * h * 3:
         raise ValueError("truncated PPM raster")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return (
+        np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3),
+        pos + w * h * 3,
+    )
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode one binary PPM (P6) to an (H, W, 3) uint8 array with pure
+    numpy — a REAL pixel decode that needs no media library."""
+    img, _ = _parse_ppm_at(payload, 0)
+    return img
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Decode a concatenated-P6 stream (this repo's synthetic 'video'
+    container: frames are back-to-back PPM images) into a frame list."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        img, pos = _parse_ppm_at(payload, pos)
+        frames.append(img)
+    return frames
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize mono int16 PCM as a canonical 44-byte-header WAV (RIFF)
+    file — the public format, no audio library involved."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono 16-bit PCM WAV with pure numpy/struct: returns
+    (samples int16, sample_rate).  Walks RIFF chunks (so extra chunks
+    like LIST are skipped, not assumed absent); raises ValueError on
+    compressed / non-mono / non-16-bit payloads."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+            fmt = rate
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(body) != size:
+                raise ValueError("truncated data chunk")
+            return np.frombuffer(body[: size - size % 2], dtype=np.int16), fmt
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> np.ndarray:
+    """Real signal statistics from decoded PCM: duration, RMS, peak,
+    zero-crossing rate, and a 4-bin spectral-free energy profile
+    (quartile RMS) — all vectorized numpy."""
+    f = np.zeros(dim, np.float64)
+    if not len(samples):
+        return f
+    x = samples.astype(np.float64) / 32768.0
+    f[0] = len(x) / rate  # seconds
+    f[1] = float(np.sqrt(np.mean(x * x)))  # rms
+    f[2] = float(np.abs(x).max())  # peak
+    f[3] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))  # zcr
+    for i, part in enumerate(np.array_split(x, 4)):
+        f[4 + i] = float(np.sqrt(np.mean(part * part))) if len(part) else 0.0
+    return f
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -107,24 +192,63 @@ def synth_image(media_id: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def synth_audio(media_id: int) -> np.ndarray:
+    """Deterministic short int16 waveform: a sawtooth whose period and
+    length derive from the id.  n_samples = (id % 50 + 10) * 16 — i.e.
+    10-59 ms at 16 kHz, so payloads stay small in tests."""
+    n = (media_id % 50 + 10) * 16
+    step = media_id % 31 + 1
+    return ((np.arange(n, dtype=np.int64) * step * 257) % 65536 - 32768).astype(
+        np.int16
+    )
+
+
+VIDEO_FRAME_W, VIDEO_FRAME_H = 8, 6
+
+
+def synth_video(media_id: int) -> bytes:
+    """Deterministic concatenated-P6 'video': (id % 4 + 2) gradient
+    frames of 8×6, each seeded by (id, frame_idx)."""
+    n_frames = media_id % 4 + 2
+    return b"".join(
+        encode_ppm(
+            synth_image(media_id * 1000 + f, VIDEO_FRAME_W, VIDEO_FRAME_H)
+        )
+        for f in range(n_frames)
+    )
+
+
 def synthesize_media_table(docs: pa.Table) -> pa.Table:
-    """Deterministic media rows derived from the documents table: image
-    rows carry REAL binary-PPM payloads (gradient images sized by id) so
-    the true decode path runs end-to-end; audio/video rows carry opaque
-    utf-8 bytes and exercise the stub path."""
+    """Deterministic media rows derived from the documents table — ALL
+    THREE modalities carry REAL decodable payloads (no media library in
+    the loop): images are binary PPM, audio is 16-bit PCM WAV, video is
+    a concatenated-PPM frame stream.  The stub path stays reachable for
+    payloads in codec formats this container cannot decode."""
     doc_id = docs.column("doc_id").to_numpy()
-    text = docs.column("text").to_pylist()
     mtype = np.where(
         doc_id % 3 == 0, "image", np.where(doc_id % 3 == 1, "audio", "video")
     )
-    widths = (doc_id % 48 + 8).astype(np.int32)
-    heights = (doc_id % 32 + 8).astype(np.int32)
-    payloads = [
-        encode_ppm(synth_image(int(i), int(w), int(h)))
-        if t == "image"
-        else s.encode()
-        for i, w, h, t, s in zip(doc_id, widths, heights, mtype, text)
-    ]
+    widths = np.where(
+        mtype == "image", doc_id % 48 + 8,
+        np.where(mtype == "video", VIDEO_FRAME_W, 0),
+    ).astype(np.int32)
+    heights = np.where(
+        mtype == "image", doc_id % 32 + 8,
+        np.where(mtype == "video", VIDEO_FRAME_H, 0),
+    ).astype(np.int32)
+    payloads, durations = [], []
+    for i, w, h, t in zip(doc_id, widths, heights, mtype):
+        i = int(i)
+        if t == "image":
+            payloads.append(encode_ppm(synth_image(i, int(w), int(h))))
+            durations.append(0)
+        elif t == "audio":
+            s = synth_audio(i)
+            payloads.append(encode_wav(s))
+            durations.append(len(s) * 1000 // 16000)
+        else:
+            payloads.append(synth_video(i))
+            durations.append((i % 4 + 2) * 33)
     return pa.table(
         {
             "media_id": pa.array(doc_id, pa.int64()),
@@ -132,7 +256,7 @@ def synthesize_media_table(docs: pa.Table) -> pa.Table:
             "payload": pa.array(payloads, pa.large_binary()),
             "width": pa.array(widths),
             "height": pa.array(heights),
-            "duration_ms": pa.array((doc_id * 33 % 60000).astype(np.int32)),
+            "duration_ms": pa.array(np.asarray(durations, np.int32)),
         }
     )
 
@@ -144,13 +268,17 @@ class DecodeAndFeaturize:
     batch.  Batch size MUST be small for wide binary rows (see
     ``multimodal_features``) so batch × concurrency fits worker heap.
 
-    Two decode paths share the output layout:
-    - P6 PPM payloads take the REAL path — ``decode_ppm`` pixels →
-      per-channel mean/std + aspect features (``decoded_real=True``).
-    - Everything else (JPEG/PNG/audio/video — codecs absent in this
-      container) takes the marked STUB path: a deterministic 8-float
-      digest of the payload bytes.  Real codec wiring replaces ONE
-      method (``_decode_stub``)."""
+    Decode routing (by content sniffing, so a mislabeled row cannot
+    crash the real path), all sharing the output layout:
+    - ``P6`` payloads → REAL pixel path (``decode_ppm_stream``): one
+      frame = image features; several = video (mean per-frame stats +
+      frame count).
+    - ``RIFF/WAVE`` payloads → REAL PCM path (``decode_wav`` →
+      ``audio_features``).
+    - Anything else (JPEG/PNG/MP3/H.264 — codecs absent in this
+      container) → marked STUB path: a deterministic 8-float digest of
+      the payload bytes.  Real codec wiring replaces ONE method
+      (``_decode_stub``)."""
 
     FEATURE_DIM = 8
 
@@ -182,7 +310,18 @@ class DecodeAndFeaturize:
         feats, real = [], []
         for p, t in zip(payloads, types):
             if p is not None and p.startswith(b"P6"):
-                feats.append(self._featurize_pixels(decode_ppm(p)))
+                frames = decode_ppm_stream(p)
+                if len(frames) == 1:
+                    feats.append(self._featurize_pixels(frames[0]))
+                else:
+                    per = np.stack(
+                        [self._featurize_pixels(f) for f in frames]
+                    ).mean(axis=0)
+                    per[7] = len(frames)
+                    feats.append(per)
+                real.append(True)
+            elif p is not None and p.startswith(b"RIFF"):
+                feats.append(audio_features(*decode_wav(p), dim=self.FEATURE_DIM))
                 real.append(True)
             else:
                 feats.append(self._decode_stub(p, t))
@@ -217,8 +356,13 @@ class ResizeImages:
         out_p, out_w, out_h = [], [], []
         for p, w, h in zip(payloads, widths, heights):
             if p is not None and p.startswith(b"P6"):
-                img = resize_nearest(decode_ppm(p), self.out_h, self.out_w)
-                out_p.append(encode_ppm(img))
+                # works for single images AND concatenated-frame streams
+                out_p.append(
+                    b"".join(
+                        encode_ppm(resize_nearest(f, self.out_h, self.out_w))
+                        for f in decode_ppm_stream(p)
+                    )
+                )
                 out_w.append(self.out_w)
                 out_h.append(self.out_h)
             else:
@@ -230,6 +374,45 @@ class ResizeImages:
         cols["width"] = pa.array(out_w, pa.int32())
         cols["height"] = pa.array(out_h, pa.int32())
         return pa.table(cols)
+
+
+class FrameSampleVideos:
+    """Actor-pool stage: sample every ``stride``-th frame out of video
+    payloads (concatenated-P6 streams) — one OUTPUT ROW PER SAMPLED
+    FRAME, each a standalone single-image PPM, so downstream image
+    stages (featurize, resize) consume frames like any other image.
+    Non-video rows are dropped: this is a frame-extraction operator."""
+
+    def __init__(self, stride: int = 2):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": [], "frame_idx": [], "payload": [], "width": [], "height": []}
+        for i, t, p in zip(ids, types, payloads):
+            if t != "video" or p is None or not p.startswith(b"P6"):
+                continue
+            for fi, frame in enumerate(decode_ppm_stream(p)):
+                if fi % self.stride:
+                    continue
+                out["media_id"].append(i)
+                out["frame_idx"].append(fi)
+                out["payload"].append(encode_ppm(frame))
+                out["height"].append(frame.shape[0])
+                out["width"].append(frame.shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "payload": pa.array(out["payload"], pa.large_binary()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+            }
+        )
 
 
 def multimodal_features(media: ray.data.Dataset) -> ray.data.Dataset:

@@ -275,17 +275,27 @@ def test_multimodal_plumbing_roundtrip():
     assert media.schema.field("payload").type == pa.large_binary()
     out = MM.multimodal_features(ray.data.from_arrow(media)).to_pandas()
     assert len(out) == len(docs)
-    # image rows take the REAL pixel path; the rest take the stub
-    assert (out["decoded_real"] == (out["media_id"] % 3 == 0)).all()
+    # all three synthesized modalities take a REAL decode path
+    assert out["decoded_real"].all()
     # media_id 0 is an image: features are real pixel stats of the
     # deterministic gradient (blue channel constant 0 -> mean=std=0)
     f0 = np.asarray(out[out["media_id"] == 0]["features"].iloc[0])
     assert f0[2] == 0.0 and f0[5] == 0.0
-    # deterministic stub features: same payload -> same features
-    f1 = out[out["media_id"] == 1]["features"].iloc[0]
+    # the stub path stays reachable for undecodable codecs and is
+    # deterministic: same payload -> same features
     d0 = MM.DecodeAndFeaturize()
-    again = d0._decode_stub(docs.column("text")[1].as_py().encode(), "audio")
-    assert np.allclose(np.asarray(f1), again)
+    stub = pa.table(
+        {
+            "media_id": pa.array([9], pa.int64()),
+            "media_type": ["image"],
+            "payload": pa.array([b"\xff\xd8JPEGish"], pa.large_binary()),
+        }
+    )
+    s1 = d0(stub).to_pandas()
+    assert not s1["decoded_real"].iloc[0]
+    np.testing.assert_array_equal(
+        s1["features"].iloc[0], d0(stub).to_pandas()["features"].iloc[0]
+    )
     assert (out["payload_bytes"] > 0).all()
 
 
@@ -1089,7 +1099,7 @@ def test_decode_featurize_real_vs_stub_paths():
     media = MM.synthesize_media_table(docs)
     out = MM.DecodeAndFeaturize()(media)
     df = out.to_pandas()
-    assert df["decoded_real"].tolist() == [True, False, False, True]
+    assert df["decoded_real"].all()  # PPM, WAV and P6-stream all real
     # real features: blue channel of synth_image(0,...) is constant 0 ->
     # mean_b == 0, std_b == 0; aspect = w/h
     f0 = df.loc[0, "features"]
@@ -1112,4 +1122,68 @@ def test_resize_stage_images_only():
     for p in img_rows["payload"]:
         assert MM.decode_ppm(p).shape == (16, 16, 3)
     other = out[out["media_type"] != "image"]
-    assert (other["payload"].map(lambda b: b.decode()) == ["bb"]).all()
+    # non-image rows pass through byte-identical (here: the WAV payload)
+    assert other["payload"].iloc[0] == bytes(
+        media.column("payload")[1].as_py()
+    )
+
+
+def test_wav_roundtrip_and_malformed():
+    import pytest
+
+    s = MM.synth_audio(5)
+    enc = MM.encode_wav(s, 16000)
+    dec, rate = MM.decode_wav(enc)
+    assert rate == 16000
+    np.testing.assert_array_equal(dec, s)
+    # extra RIFF chunk before data is skipped, not fatal
+    import struct
+    hdr, data = enc[:36], enc[36:]
+    padded = hdr + b"LIST" + struct.pack("<I", 4) + b"INFO" + data
+    dec2, _ = MM.decode_wav(padded)
+    np.testing.assert_array_equal(dec2, s)
+    for bad in [b"RIFX" + enc[4:],                      # wrong magic
+                enc[:40],                                 # truncated data
+                enc.replace(b"\x01\x00\x01\x00", b"\x01\x00\x02\x00", 1)]:  # stereo
+        with pytest.raises(ValueError):
+            MM.decode_wav(bad)
+
+
+def test_audio_features_known_signal():
+    # constant +1/-1 alternating square wave: rms=peak=1 (scaled), zcr=1
+    s = (np.tile([32767, -32768], 800)).astype(np.int16)
+    f = MM.audio_features(s, 16000)
+    assert f[0] == 1600 / 16000
+    assert abs(f[1] - 1.0) < 1e-4 and abs(f[2] - 1.0) < 1e-4
+    assert f[3] == 1.0
+
+
+def test_video_stream_roundtrip_and_frame_sample():
+    vid = MM.synth_video(8)  # 8 % 4 + 2 = 2 frames
+    frames = MM.decode_ppm_stream(vid)
+    assert len(frames) == 2
+    assert frames[0].shape == (MM.VIDEO_FRAME_H, MM.VIDEO_FRAME_W, 3)
+    # frames differ (blue channel seeded by frame idx)
+    assert not np.array_equal(frames[0], frames[1])
+
+    docs = pa.table({"doc_id": pa.array([2, 5, 0], pa.int64()),
+                     "text": ["v", "v", "img"]})
+    media = MM.synthesize_media_table(docs)
+    out = MM.FrameSampleVideos(stride=2)(media).to_pandas()
+    # doc 2 -> 4 frames -> idx 0,2 ; doc 5 -> 3 frames -> idx 0,2 ; doc 0 dropped
+    assert sorted(zip(out["media_id"], out["frame_idx"])) == [
+        (2, 0), (2, 2), (5, 0), (5, 2)
+    ]
+    for p in out["payload"]:
+        assert MM.decode_ppm(p).shape == (6, 8, 3)
+
+
+def test_featurizer_routes_all_three_modalities():
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": ["a", "b", "c"]})
+    out = MM.DecodeAndFeaturize()(MM.synthesize_media_table(docs)).to_pandas()
+    assert out["decoded_real"].all()
+    vid = out[out["media_type"] == "video"]["features"].iloc[0]
+    assert vid[7] == 2 % 4 + 2  # frame count rides in f[7]
+    aud = out[out["media_type"] == "audio"]["features"].iloc[0]
+    assert aud[0] == ((1 % 50 + 10) * 16) / 16000  # duration seconds
