@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": T.doc_bpe_tokens,
         # grouped bottom-k quantile sketch (per event_type)
         "events_type_value_quantiles": T.events_type_value_quantiles,
+        # token-budget curation: best docs until 60% of corpus tokens
+        "docs_token_budget_select": T.docs_token_budget_select,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -1184,6 +1186,20 @@ def oracle_sql() -> dict[str, str]:
         """
         )(_BPE_PAT.replace("'", "''")),
         "doc_quality_score": _QUALITY_SCORE_SQL,
+        # global-order budget gate as one window cumsum; the engine's
+        # histogram + boundary-tier prefix sum reproduces it exactly
+        "docs_token_budget_select": f"""
+            WITH q AS ({_QUALITY_SCORE_SQL}),
+            b AS (SELECT CAST(FLOOR(SUM(token_count) * 0.6) AS BIGINT)
+                    AS budget FROM q),
+            o AS (SELECT doc_id, token_count, quality_score,
+                    SUM(token_count) OVER (
+                      ORDER BY quality_score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM q)
+            SELECT doc_id, token_count, quality_score
+            FROM o, b WHERE cum <= budget
+        """,
         "doc_stopword_stats": _STOPWORD_STATS_SQL,
         # repetition signals: token explode + grouped counts, 2-grams via
         # the same list-comprehension UNNEST as the shingle oracles

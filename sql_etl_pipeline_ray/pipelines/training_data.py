@@ -483,6 +483,24 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     )  # feature list column dropped for the rows-only driver check
 
 
+def docs_token_budget_select(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget curation: keep the highest-quality documents until
+    60% of the corpus's tokens are spent — global (score DESC, doc_id)
+    order, no global sort (bounded score histogram + boundary-tier
+    prefix sum; see ``stages/curation.py:token_budget_select``)."""
+    stats = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            QualityScore, batch_format="pandas", concurrency=autoscale_pool()
+        )
+        .drop_columns(["passes_quality"])
+        .materialize()  # narrow (id, tokens, score) frame, ~24 B/doc
+    )
+    total = stats.sum("token_count")
+    budget = int(np.floor(total * 0.6))
+    return CU.token_budget_select(stats, budget)
+
+
 def multimodal_frame_sample(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over video payloads: every 2nd frame of each
     concatenated-P6 stream becomes its own single-image row (REAL stream

@@ -250,3 +250,98 @@ def pack_sequences(
         .map_groups(within, batch_format="pandas")
         .sort(id_col)
     )
+
+
+def token_budget_select(
+    stats: ray.data.Dataset,
+    budget_tokens: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "token_count",
+    id_col: str = "doc_id",
+    bucket_size: int = 1024,
+) -> ray.data.Dataset:
+    """Keep the best documents until a GLOBAL token budget is spent:
+    select rows in ``(score DESC, id ASC)`` order while the running sum
+    of ``tokens_col`` stays ≤ ``budget_tokens`` — the standard curation
+    step for hitting a pretraining token target, exactly the SQL window
+    ``SUM(tokens) OVER (ORDER BY score DESC, id) <= budget``.
+
+    No global sort.  Three bounded steps:
+
+    1. Score histogram: per-batch partial ``(score, Σtokens)`` rows →
+       one tiny groupby — shuffle is one 16-byte row per DISTINCT score
+       (same bounded-histogram idiom as ``orders_value_percentiles``).
+       The driver's descending cumsum over it finds the boundary score
+       s*: everything above s* fits, nothing below it does.
+    2. Rows with score > s* stream through a vectorized filter.
+    3. Only the s* TIER needs ordered arithmetic: a distributed prefix
+       sum by id-range buckets (the ``pack_sequences`` machinery —
+       bucket totals, driver exclusive-prefix, per-bucket cumsum) gates
+       the tier at the remaining budget.  Worst case (every doc the
+       same score) the tier is the corpus, but each ``map_groups``
+       group is still ≤ ``bucket_size`` docs.
+
+    Scores are compared on an exact integer grid (score·10⁴ — callers
+    pass 4-decimal-rounded scores, so distinct scores stay distinct),
+    which keeps the boundary decision bit-stable across engines.
+    ``stats`` should be the narrow (id, tokens, score) frame — tokens
+    of text, not the text — so materializing it twice costs ~24 B/doc."""
+    from ray.data.aggregate import Sum
+
+    def keyed(t: pa.Table) -> pa.Table:
+        sc = np.round(
+            t.column(score_col).to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        return t.append_column("score_int", pa.array(sc, pa.int64()))
+
+    # narrow columns only; two passes below read this, not the corpus
+    stats = stats.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    hist = (
+        stats.groupby("score_int")
+        .aggregate(Sum(tokens_col, alias_name="tok"))
+        .to_pandas()  # one row per DISTINCT score — bounded histogram
+        .sort_values("score_int", ascending=False)
+    )
+    if not len(hist):
+        return stats.drop_columns(["score_int"])
+    cum = hist["tok"].cumsum()
+    fits = cum <= budget_tokens
+    if fits.all():
+        return stats.drop_columns(["score_int"])  # budget covers everything
+    bi = int(np.argmin(fits.to_numpy()))  # first score tier that overflows
+    s_star = int(hist["score_int"].iloc[bi])
+    remaining = int(budget_tokens - (cum.iloc[bi - 1] if bi else 0))
+
+    kept_above = stats.filter(
+        expr=f"score_int > {s_star}"
+    ).drop_columns(["score_int"])
+    if remaining <= 0:
+        return kept_above
+
+    tier = stats.filter(expr=f"score_int == {s_star}")
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        b = t.column(id_col).to_numpy() // np.int64(bucket_size)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    tier = tier.map_batches(bucketed, batch_format="pyarrow")
+    btot = (
+        tier.groupby("bucket")
+        .aggregate(Sum(tokens_col, alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    excl = btot["tot"].cumsum().shift(fill_value=0)
+    base_ref = ray.put(
+        dict(zip(btot["bucket"].tolist(), np.asarray(excl, np.int64)))
+    )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        off0 = ray.get(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col)
+        cumt = off0 + g[tokens_col].to_numpy(np.int64).cumsum()
+        return g[cumt <= remaining].drop(columns=["bucket", "score_int"])
+
+    tier_kept = tier.groupby("bucket").map_groups(gate, batch_format="pandas")
+    return kept_above.union(tier_kept)

@@ -1187,3 +1187,50 @@ def test_featurizer_routes_all_three_modalities():
     assert vid[7] == 2 % 4 + 2  # frame count rides in f[7]
     aud = out[out["media_type"] == "audio"]["features"].iloc[0]
     assert aud[0] == ((1 % 50 + 10) * 16) / 16000  # duration seconds
+
+
+def _budget_oracle(df, budget):
+    o = df.sort_values(["quality_score", "doc_id"], ascending=[False, True])
+    keep = o[o["token_count"].cumsum() <= budget]
+    return set(keep["doc_id"])
+
+
+def test_token_budget_select_matches_window_cumsum_oracle():
+    from sql_etl_pipeline_ray.stages.curation import token_budget_select
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    # few distinct scores -> big boundary tier (stresses the tier path)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "token_count": rng.integers(1, 50, n).astype(np.int64),
+            "quality_score": np.round(rng.choice([1.25, 7.5, 33.0], n), 4),
+        }
+    )
+    total = int(df["token_count"].sum())
+    for frac in (0.0001, 0.3, 0.62, 0.999, 1.5):
+        budget = int(total * frac)
+        got = token_budget_select(
+            ray.data.from_pandas(df), budget, bucket_size=128
+        ).to_pandas()
+        assert set(got["doc_id"]) == _budget_oracle(df, budget), frac
+        assert got["token_count"].sum() <= budget or frac > 1
+
+
+def test_token_budget_select_boundary_exact():
+    from sql_etl_pipeline_ray.stages.curation import token_budget_select
+
+    # all the same score: pure tier path, keep doc_ids 0..k in id order
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "token_count": np.full(10, 7, np.int64),
+            "quality_score": np.full(10, 5.0),
+        }
+    )
+    got = token_budget_select(ray.data.from_pandas(df), 22).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2]  # 3*7=21 <= 22 < 28
+    # zero budget -> nothing; full budget -> everything
+    assert token_budget_select(ray.data.from_pandas(df), 0).count() == 0
+    assert token_budget_select(ray.data.from_pandas(df), 70).count() == 10
