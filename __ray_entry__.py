@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_quantiles": T.events_type_value_quantiles,
         # token-budget curation: best docs until 60% of corpus tokens
         "docs_token_budget_select": T.docs_token_budget_select,
+        # random-hyperplane LSH ANN (no-oracle like the IVF path:
+        # recall-pinned vs brute force in tests)
+        "ann_lsh_topk": T.ann_lsh_topk,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).

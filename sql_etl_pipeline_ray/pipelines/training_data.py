@@ -445,6 +445,12 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return SIM.ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
 
 
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH approximate top-10 (the no-training scale
+    path; recall vs brute force asserted in tests)."""
+    return SIM.lsh_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
+
 def embedding_norms(sf_dir: str) -> ray.data.Dataset:
     """Per-vector L2 norm (DuckDB-oracled via list_transform/list_sum)."""
 

@@ -1234,3 +1234,24 @@ def test_token_budget_select_boundary_exact():
     # zero budget -> nothing; full budget -> everything
     assert token_budget_select(ray.data.from_pandas(df), 0).count() == 0
     assert token_budget_select(ray.data.from_pandas(df), 70).count() == 10
+
+
+def test_lsh_recall_vs_brute_force():
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:2]]
+    )
+    bf = SIM.brute_force_topk(ds, q, k=10)
+    lsh = SIM.lsh_topk(ds, q, k=10)
+    for qi in (0, 1):
+        a = set(bf[bf["query_id"] == qi]["vec_id"])
+        b = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        assert len(a & b) / 10 >= 0.5, f"LSH recall too low for q{qi}"
+    # the query vector itself collides in every table -> always found
+    assert lsh[(lsh["query_id"] == 0) & (lsh["rank"] == 1)]["vec_id"].iloc[0] == 0
+    assert lsh[(lsh["query_id"] == 0) & (lsh["rank"] == 1)]["cosine_sim"].iloc[0] == 1.0
+    # determinism: a second run returns the identical frame
+    pd.testing.assert_frame_equal(lsh, SIM.lsh_topk(ds, q, k=10))
