@@ -146,6 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--partitions", type=int, required=True)
     rs.add_argument("--keep-epochs", type=int, default=1)
 
+    sd = sub.add_parser(
+        "schema-diff",
+        help="schema drift between two lake epochs from manifest "
+        "fingerprints (no data read)",
+    )
+    sd.add_argument("lake_dir")
+    sd.add_argument("--from-epoch", type=int, required=True)
+    sd.add_argument("--to-epoch", type=int, default=None)
+
     g = sub.add_parser(
         "get",
         help="point read: the live row for one (repo, path) key — routes "
@@ -226,6 +235,16 @@ def main(argv: list[str] | None = None) -> int:
         from .state import manifest as mf
 
         print(json.dumps(mf.vacuum(args.lake_dir, keep_epochs=args.keep_epochs)))
+        return 0
+
+    if args.cmd == "schema-diff":  # manifest metadata only — no Ray
+        from .pipelines.replay import lake_schema_diff
+
+        print(
+            json.dumps(
+                lake_schema_diff(args.lake_dir, args.from_epoch, args.to_epoch)
+            )
+        )
         return 0
 
     if args.cmd == "fsck" and not args.deep:

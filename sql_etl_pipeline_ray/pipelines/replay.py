@@ -1397,6 +1397,46 @@ def lake_get(
     return tbl
 
 
+def lake_schema_diff(
+    out_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> dict[str, Any]:
+    """Schema drift between two lake snapshots from MANIFEST METADATA
+    only (the per-partition (name, type) fingerprints each commit
+    records) — no Parquet footer or data reads, so it is free at any
+    lake size.  Each epoch's schema is the permissive union across
+    partitions (partitions evolve independently under resume); the
+    report lists added / removed columns and type changes (widenings
+    like string → large_string).  ``to_epoch=None`` means the current
+    snapshot.  Raises on a GC'd ``from_epoch`` rather than silently
+    diffing newer state (same contract as ``read_lake(asof_epoch=)``)."""
+    a = mf.read_all_manifests(out_dir, asof_epoch=from_epoch)
+    b = mf.read_all_manifests(out_dir, asof_epoch=to_epoch)
+    sa = {
+        f.name: str(f.type)
+        for f in _schema_from_fingerprints(list(a.values()))
+    }
+    sb = {
+        f.name: str(f.type)
+        for f in _schema_from_fingerprints(list(b.values()))
+    }
+    return {
+        "from_epoch": from_epoch,
+        "to_epoch": to_epoch if to_epoch is not None else max(
+            (m["epoch"] for m in b.values()), default=-1
+        ),
+        "added": {n: sb[n] for n in sorted(set(sb) - set(sa))},
+        "removed": {n: sa[n] for n in sorted(set(sa) - set(sb))},
+        "changed": {
+            n: [sa[n], sb[n]]
+            for n in sorted(set(sa) & set(sb))
+            if sa[n] != sb[n]
+        },
+        "unchanged": sum(
+            1 for n in set(sa) & set(sb) if sa[n] == sb[n]
+        ),
+    }
+
+
 def lake_lag(log_dir: str, out_dir: str) -> dict[str, Any]:
     """Replication-lag report from METADATA ONLY (manifests + Parquet
     footers — no event data is read, so it is safe to run every minute

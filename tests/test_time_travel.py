@@ -214,3 +214,44 @@ def test_lake_diff_across_schema_evolution(tmp_path):
         snap1.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_lake_schema_diff_reports_evolution(tmp_path):
+    """Metadata-only drift report: the resume past the evolution point
+    adds size_bytes and widens lang — visible from manifests alone."""
+    from sql_etl_pipeline_ray.pipelines.replay import lake_schema_diff
+
+    log = str(tmp_path / "log")
+    write_change_log(
+        ChangeLogSpec(
+            n_keys=150, n_events=1200, num_buckets=4, evolve_after_frac=0.5
+        ),
+        log,
+    )
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for k in range(2):  # pre-evolution prefix
+        shutil.copytree(
+            os.path.join(log, f"lsn_bucket={k}"),
+            os.path.join(partial, f"lsn_bucket={k}"),
+        )
+    out = str(tmp_path / "lake")
+    sink = SinkConfig(out_dir=out, keep_epochs=3)
+    replay(partial, out, ReplayConfig(num_partitions=4), sink=sink)
+    replay(log, out, ReplayConfig(num_partitions=4), sink=sink, resume=True)
+
+    d = lake_schema_diff(out, from_epoch=0)
+    assert d["from_epoch"] == 0 and d["to_epoch"] == 1
+    assert "size_bytes" in d["added"]
+    assert d["changed"].get("lang") == ["string", "large_string"]
+    assert not d["removed"]
+    assert d["unchanged"] >= 5  # repo/path/commit/content/lsn/sha at least
+
+    # same-epoch diff is empty
+    d0 = lake_schema_diff(out, from_epoch=0, to_epoch=0)
+    assert not d0["added"] and not d0["changed"] and not d0["removed"]
+
+    # past the GC horizon -> raises, never silently diffs newer state
+    mf.vacuum(out, keep_epochs=1)
+    with pytest.raises(Exception):
+        lake_schema_diff(out, from_epoch=0)
