@@ -1234,6 +1234,17 @@ def test_token_budget_select_boundary_exact():
     # zero budget -> nothing; full budget -> everything
     assert token_budget_select(ray.data.from_pandas(df), 0).count() == 0
     assert token_budget_select(ray.data.from_pandas(df), 70).count() == 10
+    # NEGATIVE scores flow through the filter expression correctly
+    neg = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "token_count": np.full(100, 3, np.int64),
+            "quality_score": np.round(np.linspace(-25.5, 10.0, 100), 4),
+        }
+    )
+    got = token_budget_select(ray.data.from_pandas(neg), 60).to_pandas()
+    assert set(got["doc_id"]) == _budget_oracle(neg, 60)
+    assert (got["quality_score"] > 0).all()  # best 20 of the ramp
 
 
 def test_lsh_recall_vs_brute_force():
