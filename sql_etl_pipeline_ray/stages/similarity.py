@@ -527,6 +527,46 @@ def embedding_near_dups_ivf(
     )
 
 
+def _lsh_planes(d: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """The fixed random-hyperplane matrix (d × L·b) — a pure function of
+    (d, n_bits, n_tables, seed), so signatures computed at ingest time
+    and at probe time agree by construction."""
+    return np.random.default_rng(seed).standard_normal((d, n_tables * n_bits))
+
+
+def _lsh_pack(m: np.ndarray, planes: np.ndarray, n_bits: int, n_tables: int) -> np.ndarray:
+    """(n, d) L2-normalized rows → (n, L) packed int64 table keys."""
+    bits = (m @ planes) > 0
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    return bits.reshape(len(m), n_tables, n_bits).astype(np.int64) @ weights
+
+
+def lsh_signatures(
+    embeddings: ray.data.Dataset,
+    n_bits: int = 6,
+    n_tables: int = 32,
+    seed: int = 42,
+    sig_col: str = "lsh_sig",
+) -> ray.data.Dataset:
+    """Append the persisted LSH signature column (``list<int64>`` of
+    length ``n_tables``) — write this ONCE at ingest and every later
+    ``lsh_topk`` probe skips the d × L·b matmul per row (measured: the
+    matmul is the dominant probe cost at few queries, see BASELINE.md).
+    Same (n_bits, n_tables, seed) must be used at probe time; signatures
+    are a pure function of the vector and those parameters."""
+
+    def add_sig(df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df["embedding"])
+        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+        planes = _lsh_planes(m.shape[1], n_bits, n_tables, seed)
+        sig = _lsh_pack(m, planes, n_bits, n_tables)
+        out = df.copy()
+        out[sig_col] = list(sig)
+        return out
+
+    return embeddings.map_batches(add_sig, batch_format="pandas")
+
+
 def lsh_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -534,6 +574,7 @@ def lsh_topk(
     n_bits: int = 6,
     n_tables: int = 32,
     seed: int = 42,
+    sig_col: str = "lsh_sig",
 ) -> pd.DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (Charikar,
     STOC 2002) — the LSH-bucketed sibling of ``ivf_topk`` with NO
@@ -554,20 +595,15 @@ def lsh_topk(
     ~8 — selective buckets, n/2^b candidates each), while the synthetic
     test embeddings' true neighbors sit near θ ≈ 1.25 and need SHORT
     ones (the 6/32 defaults, expected recall ≈ 0.9).  Deterministic for
-    a fixed seed; recall pinned vs brute force in tests."""
-    rng = np.random.default_rng(seed)
+    a fixed seed; recall pinned vs brute force in tests.
+
+    If the batch already carries a ``sig_col`` column (written at ingest
+    by ``lsh_signatures`` with the same parameters), the per-row
+    signature matmul is skipped — the persisted-index probe path."""
     d = queries.shape[1]
-    planes = rng.standard_normal((d, n_tables * n_bits))
-    weights = (1 << np.arange(n_bits, dtype=np.int64))
-
-    def signatures(m: np.ndarray) -> np.ndarray:
-        bits = (m @ planes) > 0  # (n, L*b)
-        return (
-            bits.reshape(len(m), n_tables, n_bits).astype(np.int64) @ weights
-        )  # (n, L) packed table keys
-
+    planes = _lsh_planes(d, n_bits, n_tables, seed)
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1)[:, None], 1e-12)
-    qsig = signatures(qn)  # (Q, L)
+    qsig = _lsh_pack(qn, planes, n_bits, n_tables)  # (Q, L)
     state_ref = ray.put((planes, qn, qsig))
 
     class LshScore:
@@ -577,11 +613,10 @@ def lsh_topk(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             m = _to_matrix(df["embedding"])
             m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
-            bits = (m @ self.planes) > 0
-            sig = (
-                bits.reshape(len(m), n_tables, n_bits).astype(np.int64)
-                @ weights
-            )
+            if sig_col in df.columns:  # persisted-index probe path
+                sig = np.stack(df[sig_col].to_numpy()).astype(np.int64)
+            else:
+                sig = _lsh_pack(m, self.planes, n_bits, n_tables)
             ids = df["vec_id"].to_numpy()
             parts = []
             for qi in range(len(self.qn)):

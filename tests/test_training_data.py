@@ -1266,3 +1266,25 @@ def test_lsh_recall_vs_brute_force():
     assert lsh[(lsh["query_id"] == 0) & (lsh["rank"] == 1)]["cosine_sim"].iloc[0] == 1.0
     # determinism: a second run returns the identical frame
     pd.testing.assert_frame_equal(lsh, SIM.lsh_topk(ds, q, k=10))
+
+
+def test_lsh_persisted_signatures_equal_inflight(tmp_path):
+    """Signatures written at ingest (Parquet round-trip) make lsh_topk
+    return the IDENTICAL frame to computing them in-flight."""
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:2]]
+    )
+    sig_dir = str(tmp_path / "sigged")
+    SIM.lsh_signatures(ds).write_parquet(sig_dir)
+    sigged = ray.data.read_parquet(sig_dir)
+    assert "lsh_sig" in sigged.schema().names
+    got = SIM.lsh_topk(sigged, q, k=10)
+    want = SIM.lsh_topk(ds, q, k=10)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
