@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # random-hyperplane LSH ANN (no-oracle like the IVF path:
         # recall-pinned vs brute force in tests)
         "ann_lsh_topk": T.ann_lsh_topk,
+        # multimodal trio moved up: upgraded this round from rows-only to
+        # exact SQL oracles (real PPM/WAV/frame-stream decode) — give the
+        # driver's 50-row cap a chance to verify them fully
+        "multimodal_features": T.multimodal_features,
+        "multimodal_resized": T.multimodal_resized,
+        "multimodal_frame_sample": T.multimodal_frame_sample,
         "bm25_scores": T.bm25_scores,
         # benchmark decontamination: broadcast bench n-gram set, actor-pool
         # membership count over the streaming corpus (no corpus shuffle).
@@ -186,9 +192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": T.ann_cosine_topk,
         "ann_ivf_topk": T.ann_ivf_topk,
         "embedding_norms": T.embedding_norms,
-        "multimodal_features": T.multimodal_features,
-        "multimodal_resized": T.multimodal_resized,
-        "multimodal_frame_sample": T.multimodal_frame_sample,
         "docs_systematic_sample": T.docs_systematic_sample,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_embedding_cosine": T.dedup_embedding_cosine,
