@@ -689,3 +689,28 @@ def test_lake_get_point_read(log_dir, tmp_path):
 
     # empty lake
     assert len(lake_get(str(tmp_path / "nolake"), [k0])) == 0
+
+
+def test_lake_get_on_evolved_lake(tmp_path):
+    """Point reads against a mixed-schema lake (partial-evolution resume)
+    surface evolved columns through the union-schema read path."""
+    from sql_etl_pipeline_ray.pipelines.replay import lake_get
+
+    log = str(tmp_path / "log")
+    write_change_log(
+        ChangeLogSpec(
+            n_keys=120, n_events=900, num_buckets=4, evolve_after_frac=0.5
+        ),
+        log,
+    )
+    out = str(tmp_path / "lake")
+    replay(log, out, ReplayConfig(num_partitions=4))
+    want = replay_oracle(read_log_files(log)).set_index(["repo", "path"])
+    assert "size_bytes" in want.columns
+    # a key whose live row carries the evolved column, and one without
+    with_sb = want[want["size_bytes"].notna()].index[0]
+    without = want[want["size_bytes"].isna()].index[0]
+    got = lake_get(out, [with_sb, without]).to_pandas().set_index(["repo", "path"])
+    assert got.loc[with_sb, "size_bytes"] == want.loc[with_sb, "size_bytes"]
+    assert pd.isna(got.loc[without, "size_bytes"])
+    assert got.loc[with_sb, "content"] == want.loc[with_sb, "content"]
