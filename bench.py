@@ -210,6 +210,11 @@ def run_bench() -> dict:
     timed("docs_dedup_near", T.docs_dedup_near)
     # bottom-k quantile sketch: one linear pass, ≤k rows per block shuffled
     timed("events_value_quantile_sketch", T.events_value_quantile_sketch)
+    # round-3 final additions: LSH ANN, token-budget curation gate, and
+    # the real-decode multimodal frame sampler
+    timed("ann_lsh_topk", T.ann_lsh_topk)
+    timed("docs_token_budget_select", T.docs_token_budget_select)
+    timed("multimodal_frame_sample", T.multimodal_frame_sample)
 
     result = {
         "metric": "cdc_replay_wall_sec",
