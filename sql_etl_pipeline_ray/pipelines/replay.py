@@ -1495,7 +1495,10 @@ def lake_lag(log_dir: str, out_dir: str) -> dict[str, Any]:
         "log_rows": log_rows,
         "pending_files": pending_files,
         "pending_rows_upper_bound": pending_rows_ub,
-        "caught_up": log_max <= applied_hwm,
+        # the row-bound term covers stats-less row groups (counted fully
+        # pending above): a log whose footers carry no lsn statistics
+        # must never claim catch-up off log_max's -1 sentinel
+        "caught_up": log_max <= applied_hwm and pending_rows_ub == 0,
     }
 
 

@@ -714,3 +714,23 @@ def test_lake_get_on_evolved_lake(tmp_path):
     assert got.loc[with_sb, "size_bytes"] == want.loc[with_sb, "size_bytes"]
     assert pd.isna(got.loc[without, "size_bytes"])
     assert got.loc[with_sb, "content"] == want.loc[with_sb, "content"]
+
+
+def test_lake_lag_statless_footers_never_claim_catchup(tmp_path):
+    """A foreign log whose Parquet footers carry NO lsn statistics must
+    report NOT caught up (its rows count as pending), never a false
+    all-clear off the -1 sentinel."""
+    from sql_etl_pipeline_ray.pipelines.replay import lake_lag
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    foreign = str(tmp_path / "foreign_log")
+    os.makedirs(foreign)
+    t = pa.table({"lsn": [1, 2, 3], "repo": ["a"] * 3, "path": ["p"] * 3})
+    pq.write_table(
+        t, os.path.join(foreign, "x.parquet"),
+        write_statistics=False,
+    )
+    lag = lake_lag(foreign, lake)
+    assert not lag["caught_up"]
+    assert lag["pending_rows_upper_bound"] == 3
