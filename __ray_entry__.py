@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_quantiles": T.events_type_value_quantiles,
         # token-budget curation: best docs until 60% of corpus tokens
         "docs_token_budget_select": T.docs_token_budget_select,
+        # semi-structured: JSON field extraction + rollup over events.props
+        "events_props_rollup": A.events_props_rollup,
         # random-hyperplane LSH ANN (no-oracle like the IVF path:
         # recall-pinned vs brute force in tests)
         "ann_lsh_topk": T.ann_lsh_topk,
@@ -832,6 +834,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY tf * idf_micro DESC, term) <= 3
+        """,
+        # JSON extraction replayed via DuckDB's json_extract; value summed
+        # in exact int cents on both engines, one final /100 division
+        "events_props_rollup": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100 AS sum_value
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+            GROUP BY 1 ORDER BY k
         """,
         # grouped median/MAD over int cents: every interpolation lands on
         # the quarter-integer grid (exact IEEE both engines), so the

@@ -1855,6 +1855,42 @@ def events_scd2_asof(sf_dir: str) -> ray.data.Dataset:
 MAD_K = 3  # flag |v - median| > K * MAD
 
 
+def events_props_rollup(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column (vectorized compiled-regex fast path with
+    a row-wise ``json.loads`` fallback for adversarial rows —
+    ``stages/text.py:json_int_column``) and roll up count + exact-cents
+    value per k.  The JSON never shuffles: extraction happens map-side
+    and only the (k, count, cents) partials move.  Oracled via DuckDB
+    ``json_extract``."""
+    from ..stages.text import json_int_column
+
+    ev = _t(sf_dir, "events", ["props", "value"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = json_int_column(df["props"], "k")
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame({"k": k, "cents": cents})
+        out = out[out["k"].notna()]
+        # per-batch partial: only distinct-k rows enter the exchange
+        g = out.groupby("k", sort=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum")
+        )
+        return g.reset_index().astype({"k": np.int64})
+
+    agg = (
+        ev.map_batches(extract, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["sum_value"] = agg.pop("cents").to_numpy(np.int64) / 100.0
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def events_value_outliers(sf_dir: str) -> ray.data.Dataset:
     """Per-key robust outlier detection: flag events whose value deviates
     more than ``MAD_K`` × MAD from their user's median — the holistic

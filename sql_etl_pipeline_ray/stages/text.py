@@ -71,6 +71,42 @@ class TokenStats:
         return out
 
 
+def json_int_column(s: pd.Series, key: str) -> pd.Series:
+    """Extract an integer field from a JSON string column, vectorized.
+
+    Fast path: one compiled-regex ``str.extract`` per batch — exact for
+    flat objects with unquoted integer values (this corpus's shape).
+    Rows the regex misses but that do mention the key (nested objects,
+    the value quoted, whitespace oddities) fall back to ``json.loads``
+    row-by-row — the RARE path, so the kernel stays vectorized on real
+    data while remaining correct on adversarial rows.  Missing key /
+    null / malformed JSON → <NA>."""
+    import json as _json
+    import re as _re
+
+    pat = rf'"{_re.escape(key)}"\s*:\s*(-?\d+)\s*[,}}]'
+    fast = s.str.extract(pat, expand=False)
+    # the regex has no notion of depth — a nested object's same-named
+    # field would shadow the top-level one, so only FLAT rows (exactly
+    # one '{') may take the fast path; nested rows go to json.loads
+    flat = s.str.count(r"\{") == 1
+    fast = fast.where(flat)
+    out = pd.array(fast, dtype="Int64")
+    retry = fast.isna() & s.notna() & s.str.contains(
+        f'"{_re.escape(key)}"', regex=False
+    )
+    if retry.any():
+        for i in np.flatnonzero(retry.to_numpy()):
+            try:
+                v = _json.loads(s.iloc[i]).get(key)
+                if isinstance(v, bool) or not isinstance(v, int):
+                    continue
+                out[i] = v
+            except (ValueError, AttributeError):
+                continue
+    return pd.Series(out, index=s.index)
+
+
 # GPT-2-style pretokenizer (Radford et al. 2019, public regex), ASCII
 # word/number classes so Python re and DuckDB RE2 agree codepoint-for-
 # codepoint (verified over adversarial strings in tests/test_text.py):

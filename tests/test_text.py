@@ -44,3 +44,31 @@ def test_bpe_pretoken_stats_kernel():
     assert out["bpe_token_count"].tolist() == [5, 0, 3]  # ws, x, ws
     assert out["ws_token_count"].tolist() == [3, 0, 1]
     assert out.loc[0, "chars_per_token"] == round(12 / 5, 6)
+
+
+def test_json_int_column_fast_and_fallback_paths():
+    import numpy as np
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.stages.text import json_int_column
+
+    s = pd.Series(
+        [
+            '{"k": 42}',            # fast path
+            '{"k":-7,"x":1}',       # negative, no spaces
+            '{"x": {"k": 5}, "k": 9}',  # nested decoy + real top-level
+            '{"k": "33"}',          # quoted -> json fallback -> not an int
+            '{"k": true}',          # bool is not an int
+            '{"k": 1.5}',           # float is not an int
+            '{"x": 1}',             # key missing
+            "not json at all",      # malformed
+            None,                   # null row
+            '{ "k" : 100 }',        # whitespace everywhere
+        ]
+    )
+    out = json_int_column(s, "k")
+    want = [42, -7, 9, pd.NA, pd.NA, pd.NA, pd.NA, pd.NA, pd.NA, 100]
+    got = [v if not pd.isna(v) else pd.NA for v in out]
+    assert all(
+        (g is pd.NA and w is pd.NA) or g == w for g, w in zip(got, want)
+    ), got
