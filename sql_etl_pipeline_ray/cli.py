@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--partitions", type=int, required=True)
     rs.add_argument("--keep-epochs", type=int, default=1)
 
+    rp = sub.add_parser(
+        "repair",
+        help="rebuild ONE partition from the full change log (the fix "
+        "for what fsck --deep finds) without re-replaying the rest",
+    )
+    rp.add_argument("log_dir")
+    rp.add_argument("lake_dir")
+    rp.add_argument("--part", type=int, required=True)
+    rp.add_argument("--keep-epochs", type=int, default=1)
+
     sd = sub.add_parser(
         "schema-diff",
         help="schema drift between two lake epochs from manifest "
@@ -284,6 +294,16 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.textlog import convert_text_log
 
             print(json.dumps(convert_text_log(args.src_dir, args.staging_dir)))
+        elif args.cmd == "repair":
+            from .pipelines.replay import fsck_lake, repair_partition
+
+            rep = repair_partition(
+                args.log_dir, args.lake_dir, args.part,
+                keep_epochs=args.keep_epochs,
+            )
+            rep["fsck_ok_after"] = fsck_lake(args.lake_dir)["ok"]
+            print(json.dumps(rep))
+            return 0 if rep["fsck_ok_after"] else 1
         elif args.cmd == "get":
             from .pipelines.replay import lake_get, plan_point_read
 

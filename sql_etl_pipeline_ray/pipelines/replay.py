@@ -1437,6 +1437,119 @@ def lake_schema_diff(
     }
 
 
+def repair_partition(
+    log_dir: str,
+    out_dir: str,
+    part: int,
+    compression: str = "zstd",
+    keep_epochs: int = 1,
+) -> dict[str, Any]:
+    """Surgical rebuild of ONE partition from the full change log — the
+    fix for what ``fsck_lake --deep`` finds (tampered/corrupt data file,
+    or a lost manifest), without re-replaying the other P-1 partitions.
+
+    The damaged partition's checkpoint is exactly what cannot be
+    trusted, so the scan takes the WHOLE log (no LSN pruning) and keeps
+    only rows routing to ``part`` under the lake's committed width and
+    hash version — a map-side filter, so the shuffle-free cost is one
+    full log read of the key/LSN columns plus one partition's fold.
+    The fold is the normal ``finalize_partition`` over the partition's
+    complete event history (no prior-state merge — prior state is the
+    thing being repaired), committed exactly-once at the next epoch via
+    the same manifest machinery as replay.  Works for a MISSING
+    partition too (epoch restarts at 0)."""
+    manifests = mf.read_all_manifests(out_dir)
+    if not manifests:
+        raise ValueError(f"no committed lake at {out_dir!r}")
+    versions = {m["stats"].get("key_hash_version", 1) for m in manifests.values()}
+    if versions != {KEY_HASH_VERSION}:
+        raise ValueError(
+            f"lake committed with key_hash_version={sorted(versions)}; "
+            f"this engine routes with {KEY_HASH_VERSION} — a repair would "
+            "rebuild the wrong key set. Full replay required."
+        )
+    num_partitions = next(iter(manifests.values()))["stats"].get(
+        "num_partitions", max(manifests) + 1
+    )
+    if not (0 <= part < num_partitions):
+        raise ValueError(f"part {part} outside 0..{num_partitions - 1}")
+    # schema union from the HEALTHY partitions' footers only — the
+    # damaged partition's files may be unreadable
+    healthy_files = [
+        os.path.join(mf.partition_dir(out_dir, p), f)
+        for p, m in manifests.items()
+        if p != part
+        for f in m["files"]
+    ]
+    extra_schemas = [
+        pa.schema(
+            [
+                fl
+                for fl in pq.ParquetFile(f).schema_arrow
+                if fl.name not in ("content_sha256",)
+            ]
+        )
+        for f in healthy_files
+    ]
+    scan = scan_change_log(log_dir, min_lsn=None, extra_schemas=extra_schemas)
+    event_schema = scan.schema
+    out_schema = output_schema_for(event_schema)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        for col in ("repo", "path", "op"):
+            if batch.schema.field(col).type != pa.string():
+                i = batch.schema.get_field_index(col)
+                batch = batch.set_column(
+                    i, pa.field(col, pa.string()), batch.column(col).cast(pa.string())
+                )
+        valid, _ = event_validity(batch)
+        if valid is not None:
+            batch = batch.filter(pa.array(valid))
+        for col in ("repo", "path"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, batch.schema.field(i), pc.utf8_trim_whitespace(batch.column(col))
+            )
+        kh = key_hash(batch.column("repo"), batch.column("path"))
+        keep = (kh % np.uint64(num_partitions)).astype(np.int64) == part
+        batch = batch.filter(pa.array(keep))
+        batch = conform_batch(batch, event_schema)
+        return batch.append_column(
+            KEY_HASH_COL, pa.array(kh[keep].view(np.int64))
+        )
+
+    picked = read_change_log(scan).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # one partition's complete history — the same size a single replay
+    # finalize task holds, assembled here for the one-partition fold
+    tables = [t for t in ray.get(picked.to_arrow_refs()) if len(t)]
+    history = (
+        pa.concat_tables(tables, promote_options="permissive")
+        if tables
+        else conform_batch(event_schema.empty_table(), event_schema).append_column(
+            KEY_HASH_COL, pa.array([], pa.int64())
+        )
+    )
+    final, stats = finalize_partition(history, out_schema)
+    args = {
+        "sink_dir": out_dir,
+        "num_partitions": num_partitions,
+        "prior_epochs": {
+            p: m["epoch"] for p, m in manifests.items()
+        },
+        "compression": compression,
+        "keep_epochs": keep_epochs,
+    }
+    metrics = _commit_with_metrics(part, final, stats, args)
+    return {
+        "part": part,
+        "rows": len(final),
+        "epoch": metrics["epoch"],
+        "events_in": metrics["events_in"],
+    }
+
+
 def lake_lag(log_dir: str, out_dir: str) -> dict[str, Any]:
     """Replication-lag report from METADATA ONLY (manifests + Parquet
     footers — no event data is read, so it is safe to run every minute
@@ -2085,6 +2198,14 @@ def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
             f"key_hash_version disagrees across manifests: {sorted(versions)}"
         )
     num_partitions = next(iter(widths), None)
+    if num_partitions is not None and len(manifests) < num_partitions:
+        missing = sorted(set(range(num_partitions)) - set(manifests))
+        # a replay commits EVERY partition (empty ones included), so a
+        # gap means lost manifests/dirs, not an empty key range
+        issues.append(
+            f"missing partitions (committed width {num_partitions}): "
+            f"{missing[:16]}{'…' if len(missing) > 16 else ''}"
+        )
     for part, m in sorted(manifests.items()):
         pdir = mf.partition_dir(out_dir, part)
         if m.get("part") != part:

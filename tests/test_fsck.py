@@ -91,3 +91,50 @@ def test_deep_detects_foreign_rows(tmp_path):
     deep = fsck_lake(lake, deep=True)
     assert not deep["ok"]
     assert any("route to other partitions" in i for i in deep["issues"])
+
+
+def test_repair_partition_fixes_tampered_and_missing(tmp_path):
+    """fsck finds it, repair_partition rebuilds exactly that partition
+    from the full log, fsck passes again and the lake equals the oracle."""
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.pipelines.replay import lake_table, repair_partition
+    from sql_etl_pipeline_ray.sources.datagen import generate_change_log, replay_oracle
+
+    lake = _lake(tmp_path)
+    spec = ChangeLogSpec(n_events=4000, n_keys=400, num_buckets=2)
+    want = replay_oracle(generate_change_log(spec))
+
+    # tamper partition 2's content (deep fsck catches it)
+    m = mf.read_manifest(lake, 2)
+    fp = os.path.join(mf.partition_dir(lake, 2), m["files"][0])
+    t = pq.read_table(fp)
+    col = t.column("content").to_pylist()
+    col[0] = (col[0] or "") + " TAMPERED"
+    t = t.set_column(t.schema.get_field_index("content"), "content", [col])
+    pq.write_table(t, fp, compression="zstd")
+    assert not fsck_lake(lake, deep=True)["ok"]
+
+    rep = repair_partition(str(tmp_path / "log"), lake, 2)
+    assert rep["part"] == 2 and rep["epoch"] == m["epoch"] + 1
+    deep = fsck_lake(lake, deep=True)
+    assert deep["ok"], deep["issues"]
+    got = lake_table(lake).to_pandas()[want.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # a LOST partition (manifest + files gone) rebuilds from epoch 0
+    import shutil
+
+    shutil.rmtree(mf.partition_dir(lake, 1))
+    assert not fsck_lake(lake)["ok"]
+    rep = repair_partition(str(tmp_path / "log"), lake, 1)
+    assert rep["epoch"] == 0 and rep["rows"] > 0
+    assert fsck_lake(lake, deep=True)["ok"]
+    got = lake_table(lake).to_pandas()[want.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # out-of-range partition refuses
+    import pytest
+
+    with pytest.raises(ValueError):
+        repair_partition(str(tmp_path / "log"), lake, 99)
