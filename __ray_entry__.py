@@ -38,9 +38,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tests/test_oracle_parity.py runs every entry, every round).
         # --- CDC core (the north-star capability) ---
         "cdc_replay": lambda sf: run_flagship(sf),
-        "cdc_lww_latest_event": A.cdc_lww_latest_event,
-        "cdc_lww_with_deletes": A.cdc_lww_with_deletes,
-        "cdc_incremental_highwater": A.cdc_incremental_highwater,
+        # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
+        #  r02 driver files — moved past the 50-row cap to free slots for
+        #  entries that have never had a driver row; see the tail block.)
         # --- round-3 additions (newest first for driver coverage) ---
         # BM25 retrieval scoring: two-pass (corpus stats → vectorized
         # score), score expression mirrors the SQL's parenthesization
@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # changefeed (lake_diff include_before), MV ⊕ signed-delta groupby —
         # pinned equal to a full recompute by tests/test_ivm.py
         "cdc_mv_repo_stats": IVM.mv_repo_stats_incremental,
+        # Gopher-rule composite quality gate (Rae et al. 2021): five
+        # signals + fused boolean in one scan, gate boolean SQL-oracled
+        "docs_gopher_gate": T.docs_gopher_gate,
+        # the ACTION sibling: corpus restricted to passing docs, signals
+        # consumed inside the map task (pre-shuffle valve at scale)
+        "docs_gopher_filter": T.docs_gopher_filter,
         # bottom-k (KMV) sample quantile sketch: approximate quantiles with
         # an EXACT SQL oracle (deterministic hash sample + integer rank)
         "events_value_quantile_sketch": T.events_value_quantile_sketch,
@@ -60,9 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget_select": T.docs_token_budget_select,
         # semi-structured: JSON field extraction + rollup over events.props
         "events_props_rollup": A.events_props_rollup,
-        # random-hyperplane LSH ANN (no-oracle like the IVF path:
-        # recall-pinned vs brute force in tests)
-        "ann_lsh_topk": T.ann_lsh_topk,
+        # (ann_lsh_topk — no SQL oracle, so its driver row is rows-only;
+        #  moved past the cap in favor of a fully-hashable entry.)
         # multimodal trio moved up: upgraded this round from rows-only to
         # exact SQL oracles (real PPM/WAV/frame-stream decode) — give the
         # driver's 50-row cap a chance to verify them fully
@@ -147,19 +152,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding clustering (fixed-point exact vector aggregation;
         # kmeans is iterative → no oracle, pinned by tests/test_clustering)
         "embedding_label_centroids": T.embedding_label_centroids,
-        "embedding_kmeans": T.embedding_kmeans,
-        "embedding_kmeans_pp": T.embedding_kmeans_pp,
         "docs_stratified_sample": T.docs_stratified_sample,
         # corpus curation: split / shuffle / packing (stages/curation)
         "docs_train_val_test_split": T.docs_train_val_test_split,
-        "docs_shuffled": T.docs_shuffled,
-        "docs_pack_sequences": T.docs_pack_sequences,
-        "docs_chunked": T.docs_chunked,
-        "dedup_incremental": T.dedup_incremental,
         "docs_curation_pipeline": T.docs_curation_pipeline,
+        "dedup_incremental": T.dedup_incremental,
+        "docs_pack_sequences": T.docs_pack_sequences,
+        "docs_shuffled": T.docs_shuffled,
+        "docs_chunked": T.docs_chunked,
         # bounded-shuffle top-k sketch (exact result: candidates proven
         # complete, then recounted) — shares top_terms's semantics/oracle
         "top_terms_bounded": T.top_terms_bounded,
+        # iterative kmeans (no oracle by design — pinned by
+        # tests/test_clustering.py against a single-process reference)
+        "embedding_kmeans": T.embedding_kmeans,
+        "embedding_kmeans_pp": T.embedding_kmeans_pp,
+        # --- CDC core siblings (r01+r02 driver-green; parity harness
+        # still runs them every round) ---
+        "cdc_lww_latest_event": A.cdc_lww_latest_event,
+        "cdc_lww_with_deletes": A.cdc_lww_with_deletes,
+        "cdc_incremental_highwater": A.cdc_incremental_highwater,
+        # random-hyperplane LSH ANN (no-oracle like the IVF path:
+        # recall-pinned vs brute force in tests)
+        "ann_lsh_topk": T.ann_lsh_topk,
         # --- analytics parity (SURVEY.md §2.2-2.8) ---
         "customer_order_metrics": A.customer_order_metrics,
         "customer_ltv_ranked": A.customer_ltv_ranked,
@@ -249,6 +264,71 @@ _STOPWORD_STATS_SQL = r"""
             END, 1), 6) AS stopword_ratio
     FROM documents
 """.replace("{pat}", r"\b(?:" + "|".join(sorted(_SW)) + r")\b")
+
+# Gopher composite gate: repetition CTEs shared with doc_repetition_stats,
+# thresholds mirrored verbatim from stages/text.py:GopherSignals class
+# constants; every comparison runs on the ROUND(...,6) value — the same
+# double the engine's half-away rha6 produces — so boundary docs gate
+# identically on both sides.
+from sql_etl_pipeline_ray.stages.text import GopherSignals as _GS
+
+_GOPHER_SIG_SQL = """
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    words AS (
+      SELECT doc_id, UNNEST(w) AS t FROM toks),
+    wc AS (
+      SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY 1, 2)
+      GROUP BY doc_id),
+    g2 AS (
+      SELECT doc_id, COUNT(DISTINCT g) AS d2 FROM (
+        SELECT doc_id,
+               UNNEST([w[i] || ' ' || w[i+1]
+                       FOR i IN generate_series(1, len(w) - 1)]) AS g
+        FROM toks WHERE len(w) >= 2)
+      GROUP BY doc_id),
+    sig AS (
+      SELECT t.doc_id,
+        CAST(len(t.w) AS BIGINT) AS word_count,
+        ROUND((LENGTH(t.text) - (len(t.w) - 1)) * 1.0 / len(t.w), 6)
+          AS mean_word_len,
+        ROUND(len(regexp_extract_all(lower(t.text), '{pat}')) * 1.0
+              / GREATEST(len(t.w), 1), 6) AS stopword_ratio,
+        ROUND(CASE WHEN len(t.w) - 1 > 0
+                   THEN (len(t.w) - 1 - COALESCE(g2.d2, 0)) * 1.0
+                        / (len(t.w) - 1)
+                   ELSE 0.0 END, 6) AS dup_2gram_frac,
+        ROUND(wc.maxc * 1.0 / wc.n, 6) AS max_word_ratio
+      FROM toks t
+      JOIN wc ON wc.doc_id = t.doc_id
+      LEFT JOIN g2 ON g2.doc_id = t.doc_id),
+    gated AS (
+      SELECT *,
+        (word_count >= {minw} AND word_count <= {maxw}
+         AND mean_word_len >= {minl} AND mean_word_len <= {maxl}
+         AND stopword_ratio >= {minsr}
+         AND dup_2gram_frac <= {maxd2}
+         AND max_word_ratio <= {maxwr}) AS passes_gopher
+      FROM sig)
+""".replace("{pat}", r"\b(?:" + "|".join(sorted(_SW)) + r")\b").format(
+    minw=_GS.MIN_WORDS, maxw=_GS.MAX_WORDS,
+    minl=_GS.MIN_MEAN_LEN, maxl=_GS.MAX_MEAN_LEN,
+    minsr=_GS.MIN_STOPWORD_RATIO, maxd2=_GS.MAX_DUP_2GRAM,
+    maxwr=_GS.MAX_WORD_RATIO,
+)
+
+_GOPHER_GATE_SQL = _GOPHER_SIG_SQL + """
+    SELECT doc_id, word_count, mean_word_len, stopword_ratio,
+           dup_2gram_frac, max_word_ratio, passes_gopher
+    FROM gated
+"""
+
+_GOPHER_FILTER_SQL = _GOPHER_SIG_SQL + """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN gated g ON g.doc_id = d.doc_id
+    WHERE g.passes_gopher
+"""
 
 # Lang-id oracle built from the SAME marker tables the Ray stage compiles
 # (stages/text.py:_LANG_MARKERS): per-language distinct-marker hit counts,
@@ -1220,6 +1300,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o, b WHERE cum <= budget
         """,
         "doc_stopword_stats": _STOPWORD_STATS_SQL,
+        "docs_gopher_gate": _GOPHER_GATE_SQL,
+        "docs_gopher_filter": _GOPHER_FILTER_SQL,
         # repetition signals: token explode + grouped counts, 2-grams via
         # the same list-comprehension UNNEST as the shingle oracles
         "doc_repetition_stats": """

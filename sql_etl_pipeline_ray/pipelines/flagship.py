@@ -85,8 +85,11 @@ def run_flagship(
     sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
 ) -> ray.data.Dataset:
     """Full engine over the derived log; returns the final lake Dataset."""
+    # pid in the default work dir: the rmtree+rebuild below is not safe
+    # against ANOTHER process running the flagship over the same sf_dir
+    # (observed: a concurrent pytest session yanked the log mid-feed).
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    work = work_dir or f"/tmp/cdc_flagship/{tag}"
+    work = work_dir or f"/tmp/cdc_flagship/{tag}-{os.getpid()}"
     log_dir = os.path.join(work, "log")
     lake_dir = os.path.join(work, "lake")
     shutil.rmtree(lake_dir, ignore_errors=True)
