@@ -25,6 +25,7 @@ from ..stages import similarity as SIM
 from ..stages.text import (
     BpePretokenStats,
     Fingerprint,
+    GopherSignals,
     LangId,
     QualityScore,
     RepetitionStats,
@@ -92,6 +93,36 @@ def doc_stopword_stats(sf_dir: str) -> ray.data.Dataset:
     English stopword table — one vectorized regex pass per batch)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         StopwordStats, batch_format="pandas", concurrency=autoscale_pool()
+    )
+
+
+def docs_gopher_gate(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-rule composite quality report: the five published filter
+    signals (word-count window, mean word length, stopword floor,
+    duplicate-2-gram and max-word-share ceilings) plus the fused boolean,
+    in ONE linear scan (stages/text.py:GopherSignals).  Exactly SQL-oracled
+    including the gate boolean."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        GopherSignals, batch_format="pandas", concurrency=autoscale_pool()
+    )
+
+
+def docs_gopher_filter(sf_dir: str) -> ray.data.Dataset:
+    """The ACTION sibling: the corpus restricted to Gopher-passing docs —
+    signals computed and consumed inside the same map stage, so rejected
+    rows never leave the task (at 100 TB the gate is a pre-shuffle valve,
+    not a post-hoc report join)."""
+
+    class Gate:
+        def __init__(self):
+            self.sig = GopherSignals()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = self.sig(df)["passes_gopher"].to_numpy()
+            return df.loc[keep, ["doc_id", "lang", "source", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]).map_batches(
+        Gate, batch_format="pandas", concurrency=autoscale_pool()
     )
 
 

@@ -289,6 +289,69 @@ class StopwordStats:
         )
 
 
+class GopherSignals:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1 — the
+    published rule family: word-count window, mean-word-length window,
+    stopword floor, repetition ceilings), reduced to deterministic
+    ``split(' ')``/regex arithmetic so every signal AND the final boolean
+    replay exactly in SQL.
+
+    One batch pass computes all five signals (the repetition kernel is
+    shared with :class:`RepetitionStats`); thresholds are class constants
+    mirrored verbatim in the DuckDB oracle.  All ratio comparisons happen
+    on the 6-dp half-away-rounded values — the identical doubles both
+    engines produce — so boundary docs gate the same way on both sides.
+    """
+
+    MIN_WORDS, MAX_WORDS = 15, 10_000
+    MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
+    MIN_STOPWORD_RATIO = 0.03
+    MAX_DUP_2GRAM = 0.10
+    MAX_WORD_RATIO = 0.20
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.rep = RepetitionStats(text_col)
+        # whole-word stopword alternation, compiled once per actor
+        self.stop_re = re.compile(
+            r"\b(?:" + "|".join(sorted(STOPWORDS_EN)) + r")\b"
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rha6 = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+        s = df[self.text_col].fillna("")
+        # split(' ') token model (matches RepetitionStats and the oracle's
+        # string_split): #separators == n-1 exactly, so the non-space char
+        # total is len(text) - (n-1) with no second scan.
+        n = s.str.split(" ").str.len().to_numpy(np.int64)
+        mean_len = rha6((s.str.len().to_numpy(np.int64) - (n - 1)) / n)
+        stop = s.str.lower().str.count(self.stop_re).to_numpy(np.int64)
+        stop_ratio = rha6(stop / np.maximum(n, 1))
+        rep = self.rep(df)
+        dup2 = rep["dup_2gram_frac"].to_numpy()
+        maxw = rep["max_word_ratio"].to_numpy()
+        passes = (
+            (n >= self.MIN_WORDS)
+            & (n <= self.MAX_WORDS)
+            & (mean_len >= self.MIN_MEAN_LEN)
+            & (mean_len <= self.MAX_MEAN_LEN)
+            & (stop_ratio >= self.MIN_STOPWORD_RATIO)
+            & (dup2 <= self.MAX_DUP_2GRAM)
+            & (maxw <= self.MAX_WORD_RATIO)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "word_count": n,
+                "mean_word_len": mean_len,
+                "stopword_ratio": stop_ratio,
+                "dup_2gram_frac": dup2,
+                "max_word_ratio": maxw,
+                "passes_gopher": passes,
+            }
+        )
+
+
 class Fingerprint:
     """Content fingerprints: sha256/md5 hex (oracle-checkable in DuckDB)
     plus a polynomial rolling hash (Karp-Rabin) over the raw bytes."""

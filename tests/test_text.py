@@ -72,3 +72,48 @@ def test_json_int_column_fast_and_fallback_paths():
     assert all(
         (g is pd.NA and w is pd.NA) or g == w for g, w in zip(got, want)
     ), got
+
+
+def test_gopher_signals_kernel_and_gate():
+    """GopherSignals: hand-computable signals on crafted docs, and the
+    gate boolean fires each rule independently."""
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.stages.text import GopherSignals
+
+    good = "the quick brown fox jumps over the lazy dog and then " \
+           "it runs far away from the noisy busy town at dusk"  # 22 words
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                good,                         # passes every rule
+                "short text here",            # < MIN_WORDS
+                " ".join(["the"] * 30),       # repetition: max_word_ratio=1
+                " ".join(f"w{i}" for i in range(30)),  # no stopwords
+            ],
+        }
+    )
+    out = GopherSignals()(df).set_index("doc_id")
+    assert bool(out.loc[0, "passes_gopher"])
+    assert not out.loc[1, "passes_gopher"] and out.loc[1, "word_count"] == 3
+    assert not out.loc[2, "passes_gopher"]
+    assert out.loc[2, "max_word_ratio"] == 1.0
+    # 29 bigrams, 1 distinct -> (29-1)/29, rounded half-away to 6dp
+    assert out.loc[2, "dup_2gram_frac"] == round(28 / 29, 6)
+    assert not out.loc[3, "passes_gopher"]
+    assert out.loc[3, "stopword_ratio"] == 0.0
+    # word model: split(' ') — mean word length excludes the separators
+    assert out.loc[0, "word_count"] == 22
+    total_chars = len(good) - (22 - 1)
+    assert out.loc[0, "mean_word_len"] == round(total_chars / 22, 6)
+
+
+def test_gopher_gate_splits_synthetic_corpus():
+    """The shipped thresholds must actually split the synthetic corpus
+    (a gate that passes or rejects everything is a dead operator)."""
+    from sql_etl_pipeline_ray.pipelines.training_data import docs_gopher_gate
+
+    out = docs_gopher_gate("/root/testdata/sf0.001").to_pandas()
+    rate = out["passes_gopher"].mean()
+    assert 0.05 < rate < 0.99, rate
