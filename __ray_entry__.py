@@ -18,7 +18,7 @@ from sql_etl_pipeline_ray.pipelines import ivm as IVM
 from sql_etl_pipeline_ray.pipelines import rollup as R
 from sql_etl_pipeline_ray.pipelines import temporal as TJ
 from sql_etl_pipeline_ray.pipelines import training_data as T
-from sql_etl_pipeline_ray.pipelines.flagship import run_flagship
+from sql_etl_pipeline_ray.pipelines.flagship import run_fanin_flagship, run_flagship
 
 
 def entry() -> Any:
@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tests/test_oracle_parity.py runs every entry, every round).
         # --- CDC core (the north-star capability) ---
         "cdc_replay": lambda sf: run_flagship(sf),
+        # multi-source fan-in: two independent LSN spaces merged under the
+        # composite (lsn, source) order, fed OUT OF ORDER (updates+deletes
+        # commit first; the inserts arrive a round later, below the
+        # committed watermark) — persisted tombstones + vector-clock
+        # resume converge to the same live state (pipelines/fanin.py)
+        "cdc_fanin": lambda sf: run_fanin_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -713,6 +719,24 @@ def oracle_sql() -> dict[str, str]:
                    text || ' [rev2]' AS content,
                    CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
                    sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        # fan-in live state: U (from source 'beta', source-LSN 3d+2) wins
+        # every surviving key under the composite order lsn' = lsn*2 + src
+        # (src alpha=0, beta=1 → 6d+5); deleted docs stay deleted because
+        # the late alpha insert at 6d+2 loses to the persisted tombstone
+        # at 6d+7.  Tombstone lakes also persist the winner's op.
+        "cdc_fanin": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(6 * doc_id + 5 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256,
+                   'U' AS op,
+                   'beta' AS source
             FROM documents
             WHERE doc_id % 10 <> 0
         """,

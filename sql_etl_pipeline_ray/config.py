@@ -94,6 +94,19 @@ class ReplayConfig:
     # Parallelism hint for read tasks; None lets Ray Data decide.
     read_concurrency: int | None = None
 
+    # Resume-time watermark pruning (skip files whose footer max-LSN and
+    # rows whose LSN sit at/below the per-partition checkpoints).  A pure
+    # OPTIMIZATION whose validity rests on the log being append-only in
+    # LSN; a multi-source fan-in feed (pipelines/fanin.py) interleaves
+    # per-source LSN spaces, so a late source legitimately delivers
+    # events BELOW another source's committed watermark — those must not
+    # be pruned.  Correctness with pruning off comes from the LWW fold
+    # being idempotent (re-applying an already-committed event re-picks
+    # the same winner) plus persisted tombstones (SinkConfig.
+    # keep_tombstones) so a late lower-LSN event can never resurrect a
+    # deleted key.
+    watermark_prune: bool = True
+
     # Exchange implementation for the (repo, path) hash shuffle:
     # - "late":    two-phase late materialization (default — phase 1
     #              shuffles only (lsn, op, repo, path) to pick winning LSNs,
@@ -146,6 +159,18 @@ class SinkConfig:
     # OFF to keep the ingest-bound headline unburdened; turn on for lakes
     # that serve selective key-range queries.
     cluster_by_key: bool = False
+
+    # Persist delete tombstones: the lake keeps op='D' rows (null content,
+    # null content_sha256) at the delete's LSN, and every row carries an
+    # ``op`` column.  Required whenever the feed is NOT append-only in
+    # LSN (multi-source fan-in): without the tombstone, a late event with
+    # a lower LSN than an applied delete would resurrect the key on the
+    # next resume fold.  ``read_lake``/``lake_table`` filter tombstones
+    # out by default (``include_tombstones=True`` to see them);
+    # ``gc_tombstones`` drops tombstones once every source's watermark
+    # has passed them.  The flag is sticky per lake — a resume must use
+    # the same setting the lake was committed with (guarded in replay).
+    keep_tombstones: bool = False
 
 
 def bench_cpus() -> int:

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import ReplayConfig
+from .fanin import replay_fanin
 from .replay import read_lake, replay
 
 
@@ -95,4 +96,65 @@ def run_flagship(
     shutil.rmtree(lake_dir, ignore_errors=True)
     build_change_log(sf_dir, log_dir)
     replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    return read_lake(lake_dir)
+
+
+def _build_split_log(sf_dir: str, log_dir: str, ops: list[str]) -> None:
+    """One SOURCE's slice of the derived log: only the events whose op is
+    in ``ops`` (each slice stays monotone in its own LSN space)."""
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def derive_slice(batch: pa.Table) -> pa.Table:
+        ev = _derive_events(batch)
+        return ev.filter(pc.is_in(ev.column("op"), pa.array(ops)))
+
+    ds.map_batches(
+        derive_slice, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+
+
+def run_fanin_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Multi-source fan-in over the same derived log, fed OUT OF ORDER.
+
+    The derivation is split into two sources with independent LSN spaces:
+    source ``alpha`` emits the I events, source ``beta`` the U and D
+    events.  Beta delivers FIRST (round 1 commits updates and delete
+    tombstones); alpha's inserts arrive in round 2 — every one of them
+    BELOW beta's committed watermark, the exact case a scalar-watermark
+    resume cannot handle.  The fan-in machinery (composite
+    ``lsn' = lsn*2 + src``, pruning off, persisted tombstones, vector
+    clock — ``pipelines/fanin.py``) must converge to the same live state
+    regardless: U wins every key at composite ``6*doc_id+5``; deleted
+    docs (doc_id % 10 == 0) stay deleted because the late insert folds
+    against the persisted tombstone at ``6*doc_id+7``.
+    """
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_fanin/{tag}-{os.getpid()}"
+    alpha, beta = os.path.join(work, "src_alpha"), os.path.join(work, "src_beta")
+    lake_dir = os.path.join(work, "lake")
+    staging = os.path.join(work, "staging")
+    for d in (lake_dir, staging):
+        shutil.rmtree(d, ignore_errors=True)
+    cfg = ReplayConfig(num_partitions=num_partitions)
+    # round 1: beta only (alpha exists but has no buckets yet)
+    shutil.rmtree(alpha, ignore_errors=True)
+    os.makedirs(alpha, exist_ok=True)
+    _build_split_log(sf_dir, beta, ["U", "D"])
+    replay_fanin(
+        [alpha, beta], lake_dir, cfg, staging_dir=staging,
+        source_names=["alpha", "beta"],
+    )
+    # round 2: alpha's inserts arrive late, below beta's watermark
+    _build_split_log(sf_dir, alpha, ["I"])
+    replay_fanin(
+        [alpha, beta], lake_dir, cfg, staging_dir=staging,
+        source_names=["alpha", "beta"],
+    )
     return read_lake(lake_dir)

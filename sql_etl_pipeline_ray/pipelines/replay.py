@@ -86,9 +86,13 @@ PHASE1_COLUMNS = ["lsn", "op", "repo", "path"]
 CONTENT_VALID_COL = "_content_valid"
 
 
-def output_schema_for(event_schema: pa.Schema) -> pa.Schema:
+def output_schema_for(event_schema: pa.Schema, keep_op: bool = False) -> pa.Schema:
     """Lake schema = REPO_FILES_SCHEMA with event-side widenings applied
-    (e.g. lang → large_string) plus evolved extra columns appended."""
+    (e.g. lang → large_string) plus evolved extra columns appended.
+
+    ``keep_op`` (tombstone lakes, SinkConfig.keep_tombstones): every row
+    additionally carries the winning event's ``op`` — 'D' rows ARE the
+    persisted tombstones readers filter by."""
     canonical_event = {f.name for f in CHANGE_EVENT_SCHEMA}
     fields = []
     for f in REPO_FILES_SCHEMA:
@@ -96,6 +100,8 @@ def output_schema_for(event_schema: pa.Schema) -> pa.Schema:
             fields.append(pa.field(f.name, event_schema.field(f.name).type, f.nullable))
         else:
             fields.append(f)
+    if keep_op:
+        fields.append(pa.field("op", pa.string()))
     extras = [f for f in event_schema if f.name not in canonical_event]
     return pa.schema(fields + extras)
 
@@ -123,6 +129,8 @@ def _commit_with_metrics(
     stats = dict(stats)
     stats["num_partitions"] = args["num_partitions"]
     stats["key_hash_version"] = KEY_HASH_VERSION
+    # sticky per lake: resume validates it against SinkConfig (see replay)
+    stats["keep_tombstones"] = bool(args.get("keep_tombstones", False))
     digest = table_digest(final, list(KEY_COLUMNS))
     epoch = args["prior_epochs"].get(part, -1) + 1
     m = mf.commit_partition(
@@ -148,9 +156,13 @@ def _prior_state_as_events(
 ) -> pa.Table:
     """Committed partition state → synthetic events for the merge fold.
 
-    Rows re-enter as op='I' at their stored LSN (all ≤ checkpoint, so any
-    newer event wins; a newer delete tombstones them).  ``_events=0`` keeps
-    lineage counters counting only NEW events."""
+    Rows re-enter at their stored LSN: op='I' for plain lakes (all rows
+    are live; any newer event wins, a newer delete tombstones them), or
+    the STORED op for tombstone lakes (SinkConfig.keep_tombstones) — the
+    persisted 'D' row must keep out-deleting late lower-LSN events.
+    ``_events=0`` keeps lineage counters counting only NEW events;
+    ``_had_insert=True`` keeps re-entered state out of the orphan
+    counters regardless of its stored op."""
     tables = [
         pq.read_table(os.path.join(mf.partition_dir(out_dir, part), f))
         for f in m["files"]
@@ -159,7 +171,7 @@ def _prior_state_as_events(
     n = len(prior)
     cols: dict[str, Any] = {}
     for f in schema:
-        if f.name == "op":
+        if f.name == "op" and "op" not in prior.column_names:
             cols["op"] = pa.array(["I"] * n, pa.string())
         elif f.name in prior.column_names:
             col = prior.column(f.name)
@@ -185,7 +197,9 @@ def _fold_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             args["sink_dir"], part, args["prior_manifests"][part], event_schema
         )
         tbl = pa.concat_tables([tbl, prior], promote_options="permissive")
-    final, stats = finalize_partition(tbl, out_schema)
+    final, stats = finalize_partition(
+        tbl, out_schema, keep_tombstones=args.get("keep_tombstones", False)
+    )
     return _commit_with_metrics(part, final, stats, args)
 
 
@@ -249,15 +263,20 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         events_in = int(pc.sum(pc.fill_null(tbl.column(EVENTS_COL), 1)).as_py())
     else:
         events_in = len(tbl)
-    if collision:
-        # hash collision inside this partition — exact sorted fold
+    keep_tomb = bool(args.get("keep_tombstones", False))
+
+    def exact_fold():
+        # exact sorted fold: handles hash collisions AND equal-LSN ties
+        # (op-order tiebreak per merge.py's documented contract)
         folded = fold_latest(tbl, keep_tombstones=True)
         is_del = op_equal(folded.column("op"), "D").to_numpy(zero_copy_only=False)
         had_insert = folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)
-        win_lsn = (
-            folded.filter(pa.array(~is_del)).column("lsn").to_numpy(zero_copy_only=False)
-        )
-        keys_seen = len(folded)
+        kept = folded if keep_tomb else folded.filter(pa.array(~is_del))
+        win_lsn = kept.column("lsn").to_numpy(zero_copy_only=False)
+        return is_del, had_insert, win_lsn, len(folded)
+
+    if collision:
+        is_del, had_insert, win_lsn, keys_seen = exact_fold()
     else:
         new_grp = np.concatenate(([True], ~same_kh))
         starts = np.flatnonzero(new_grp)
@@ -268,28 +287,32 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         counts = np.diff(np.append(starts, len(l_sorted)))
         win_idx = order[l_sorted == np.repeat(gmax, counts)]
         if len(win_idx) != len(starts):
-            # a max-LSN tie inside a group violates the unique-LSN
-            # contract — route through the exact sorted fold's tiebreak
-            raise ValueError(
-                f"partition {part}: duplicate max LSN within a key group "
-                f"({len(win_idx)} winners for {len(starts)} keys)"
-            )
-        row_del = op_equal(tbl.column("op"), "D").to_numpy(zero_copy_only=False)
-        if HAD_INSERT_COL in tbl.column_names:
-            hi_col = tbl.column(HAD_INSERT_COL)
-            if hi_col.null_count:
-                hi_col = pc.coalesce(hi_col, op_equal(tbl.column("op"), "I"))
-            row_had_i = hi_col.to_numpy(zero_copy_only=False)
+            # max-LSN tie inside a key group.  Unique LSNs are the
+            # steady-state contract, but a crash-window re-run of a fan-in
+            # round legitimately feeds an event AND its own committed
+            # prior row at the same composite LSN — resolve through the
+            # exact sorted fold's deterministic op tiebreak instead of
+            # failing the round.
+            is_del, had_insert, win_lsn, keys_seen = exact_fold()
+            row_del = None  # signal: stats below use the exact-fold values
         else:
-            row_had_i = op_equal(tbl.column("op"), "I").to_numpy(
-                zero_copy_only=False
-            )
-        had_insert = np.maximum.reduceat(
-            row_had_i[order].astype(np.int8), starts
-        ).astype(bool)
-        is_del = row_del[win_idx]
-        win_lsn = lsn_arr[win_idx][~is_del]
-        keys_seen = len(win_idx)
+            row_del = op_equal(tbl.column("op"), "D").to_numpy(zero_copy_only=False)
+        if row_del is not None:
+            if HAD_INSERT_COL in tbl.column_names:
+                hi_col = tbl.column(HAD_INSERT_COL)
+                if hi_col.null_count:
+                    hi_col = pc.coalesce(hi_col, op_equal(tbl.column("op"), "I"))
+                row_had_i = hi_col.to_numpy(zero_copy_only=False)
+            else:
+                row_had_i = op_equal(tbl.column("op"), "I").to_numpy(
+                    zero_copy_only=False
+                )
+            had_insert = np.maximum.reduceat(
+                row_had_i[order].astype(np.int8), starts
+            ).astype(bool)
+            is_del = row_del[win_idx]
+            win_lsn = lsn_arr[win_idx] if keep_tomb else lsn_arr[win_idx][~is_del]
+            keys_seen = len(win_idx)
     stats = {
         "events_in": events_in,
         "keys_seen": int(keys_seen),
@@ -298,7 +321,10 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         "orphan_deletes": int((is_del & ~had_insert).sum()),
         "max_lsn": int(pc.max(tbl.column("lsn")).as_py()),
         "min_lsn": int(pc.min(tbl.column("lsn")).as_py()),
-        "live_rows": int(len(win_lsn)),
+        # live = non-deleted keys; state = rows phase 2 must extract
+        # (includes D winners on tombstone lakes)
+        "live_rows": int(len(win_lsn)) - (int(is_del.sum()) if keep_tomb else 0),
+        "state_rows": int(len(win_lsn)),
     }
     # winners stay in the OBJECT STORE (ray.put from this actor): the
     # driver receives only the ref, never an O(live rows) array — at
@@ -312,18 +338,24 @@ def _commit_extracted_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]
     the checkpoint didn't prune a bucket), order by key, sha256, commit."""
     out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
     stats = args["stats_per_part"][part]
-    tbl = tbl.sort_by([("lsn", "ascending")])
+    # (lsn, op) sort + keep-LAST of each equal-LSN run: the same op-order
+    # tiebreak ('D' < 'I' < 'U', last wins) phase 1's fold applies, so a
+    # crash-window duplicate (event + its own committed prior row) or a
+    # contract-violating same-LSN pair commits the row phase 1 counted
+    tbl = tbl.sort_by([("lsn", "ascending"), ("op", "ascending")])
     lsns = tbl.column("lsn").to_numpy(zero_copy_only=False)
     if len(lsns):
-        keep = np.concatenate(([True], np.diff(lsns) != 0))
+        keep = np.concatenate((np.diff(lsns) != 0, [True]))
         if not keep.all():
             tbl = tbl.filter(pa.array(keep))
-    expected = stats["live_rows"]
+    expected = stats.get("state_rows", stats["live_rows"])
     if len(tbl) != expected:
         raise ValueError(
             f"partition {part}: extracted {len(tbl)} rows, phase-1 expected {expected}"
         )
-    final, _ = finalize_partition(tbl, out_schema)
+    final, _ = finalize_partition(
+        tbl, out_schema, keep_tombstones=args.get("keep_tombstones", False)
+    )
     return _commit_with_metrics(part, final, stats, args)
 
 
@@ -431,19 +463,33 @@ def _make_phase1_process(
     return process
 
 
-def _make_prior_phase1_process(num_partitions: int):
-    """Prior lake rows → phase-1 records: op='I' at their stored LSN,
-    _events=0 (lineage counts only NEW events)."""
+def _make_prior_phase1_process(num_partitions: int, keep_tombstones: bool = False):
+    """Prior lake rows → phase-1 records at their stored LSN, _events=0
+    (lineage counts only NEW events).
+
+    Plain lakes re-enter as op='I' (every stored row is live).  Tombstone
+    lakes (``keep_tombstones``) re-enter with their STORED op so a
+    persisted 'D' keeps out-deleting late lower-LSN events; their
+    ``_had_insert=True`` ships explicitly so re-entered 'U'/'D' state
+    never pollutes the orphan counters."""
 
     def process(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        if keep_tombstones and "op" in batch.column_names:
+            from ..schemas import encode_op
+
+            op_arr = encode_op(batch.column("op").cast(pa.string()))
+            if isinstance(op_arr, pa.ChunkedArray):
+                op_arr = op_arr.combine_chunks()
+        else:
+            # op code 'I' — matches phase 1's int8 encoding, and makes
+            # the derived had-insert flag (op == 'I') correctly True
+            # for established prior rows, so the column need not ship
+            op_arr = pa.array(np.full(n, OP_CODES["I"], dtype=np.int8))
         t = pa.table(
             {
                 "lsn": batch.column("lsn"),
-                # op code 'I' — matches phase 1's int8 encoding, and makes
-                # the derived had-insert flag (op == 'I') correctly True
-                # for established prior rows, so the column need not ship
-                "op": pa.array(np.full(n, OP_CODES["I"], dtype=np.int8)),
+                "op": op_arr,
                 "repo": batch.column("repo").cast(pa.string()),
                 "path": batch.column("path").cast(pa.string()),
             }
@@ -455,6 +501,8 @@ def _make_prior_phase1_process(num_partitions: int):
         # _events=0 MUST ship: prior rows are state, not new events, and
         # the consumer-side null fill is 1 (the new-event default).
         t = t.append_column(EVENTS_COL, pa.array(np.zeros(n, dtype=np.int64)))
+        if keep_tombstones:
+            t = t.append_column(HAD_INSERT_COL, pa.array(np.ones(n, dtype=bool)))
         return t
 
     return process
@@ -577,8 +625,12 @@ def _make_conform_winners(
         if prior:
             n = len(batch)
             if "op" in batch.column_names:
-                batch = batch.drop_columns(["op"])
-            batch = batch.append_column("op", pa.array(["I"] * n, pa.string()))
+                # tombstone lake: the stored op IS the row's state (a 'D'
+                # row must re-commit as a tombstone, not resurrect as 'I')
+                ops = batch.column("op").cast(pa.string())
+                batch = batch.drop_columns(["op"]).append_column("op", ops)
+            else:
+                batch = batch.append_column("op", pa.array(["I"] * n, pa.string()))
         batch = conform_batch(batch, event_schema)
         if verify_content and not prior and len(batch):
             bad = pc.and_(
@@ -882,7 +934,25 @@ def replay(
                 "would migrate keys across partitions and duplicate rows. "
                 "Re-run WITHOUT resume to rebuild the lake."
             )
-    ckpts = mf.checkpoints(manifests) if resume else None
+    if resume and manifests:
+        stored_tomb = {
+            m["stats"].get("keep_tombstones", False) for m in manifests.values()
+        }
+        if stored_tomb != {sink.keep_tombstones}:
+            # Mixing modes silently changes merge semantics: resuming a
+            # tombstone lake without the flag would re-enter 'D' rows as
+            # live 'I' state; resuming a plain lake WITH it can't supply
+            # the tombstones late events need to lose against.
+            raise ValueError(
+                f"lake was committed with keep_tombstones={sorted(stored_tomb)} "
+                f"but SinkConfig.keep_tombstones={sink.keep_tombstones}; "
+                "resume must keep the lake's setting"
+            )
+    # Watermark pruning is valid only for logs append-only in LSN
+    # (cfg.watermark_prune; fan-in feeds interleave per-source LSN spaces
+    # and turn it off — correctness then comes from fold idempotence +
+    # persisted tombstones).
+    ckpts = mf.checkpoints(manifests) if (resume and cfg.watermark_prune) else None
     # File-level pruning is safe ONLY when every partition has a committed
     # checkpoint: after a partial crash (some partitions never committed),
     # the survivors' high-water marks must not prune files that still hold
@@ -908,7 +978,7 @@ def replay(
 
     scan = scan_change_log(log_dir, min_lsn=min_lsn, extra_schemas=extra_schemas)
     event_schema = scan.schema
-    out_schema = output_schema_for(event_schema)
+    out_schema = output_schema_for(event_schema, keep_op=sink.keep_tombstones)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     # Blocks scale with data (~64 MiB each) but never below 4 waves per
@@ -946,6 +1016,7 @@ def replay(
         "compression": sink.compression,
         "cluster_by_key": sink.cluster_by_key,
         "keep_epochs": sink.keep_epochs,
+        "keep_tombstones": sink.keep_tombstones,
     }
 
     phase_times: dict[str, float] = {}
@@ -1079,13 +1150,16 @@ def _replay_late(
             check_content=cfg.content_check,
         )
         phase_times["events_rejected"] = _run_fused_feed(frag_items, feed1)
+    keep_tomb = bool(commit_args.get("keep_tombstones", False))
     if prior_files:
         dsp = ray.data.read_parquet(
-            prior_files, columns=["repo", "path", "lsn"],
+            prior_files,
+            columns=["repo", "path", "lsn"] + (["op"] if keep_tomb else []),
             override_num_blocks=num_actors,
         )
         feedp = make_feeder(
-            _make_prior_phase1_process(num_partitions), actors, num_partitions
+            _make_prior_phase1_process(num_partitions, keep_tombstones=keep_tomb),
+            actors, num_partitions,
         )
         dsp.map_batches(
             feedp, batch_format="pyarrow", zero_copy_batch=True,
@@ -1096,7 +1170,12 @@ def _replay_late(
     fn_ser = pickle.dumps(_winners_fn)
     phase1 = [
         r
-        for rows in ray.get([a.finalize.remote(fn_ser, {}) for a in actors])
+        for rows in ray.get(
+            [
+                a.finalize.remote(fn_ser, {"keep_tombstones": keep_tomb})
+                for a in actors
+            ]
+        )
         for r in rows
     ]
     if not phase1:
@@ -1222,6 +1301,7 @@ def read_lake(
     filter: Any | None = None,
     asof_epoch: int | None = None,
     _parts: set[int] | None = None,
+    include_tombstones: bool = False,
 ) -> ray.data.Dataset:
     """Read the committed lake (manifest-listed files ONLY).
 
@@ -1238,7 +1318,13 @@ def read_lake(
 
     ``_parts`` (internal, used by ``lake_get``) restricts the read to the
     named hash partitions — callers must guarantee every row they want
-    lives there (partition routing is ``key_hash % P``)."""
+    lives there (partition routing is ``key_hash % P``).
+
+    Tombstone lakes (``SinkConfig.keep_tombstones``) persist op='D' rows;
+    by default those are filtered at the scan (pushed as a Parquet
+    predicate, detected from the manifests — no extra I/O for plain
+    lakes).  ``include_tombstones=True`` returns them (op + null
+    content)."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     if _parts is not None:
         manifests = {p: m for p, m in manifests.items() if p in _parts}
@@ -1246,6 +1332,14 @@ def read_lake(
     if not files:
         # empty lake: a filter over zero rows is a no-op
         return ray.data.from_arrow(REPO_FILES_SCHEMA.empty_table())
+    has_tombstones = any(
+        m["stats"].get("keep_tombstones", False) for m in manifests.values()
+    )
+    if has_tombstones and not include_tombstones:
+        import pyarrow.dataset as _pads
+
+        live = _pads.field("op") != "D"
+        filter = live if filter is None else (filter & live)
     kwargs: dict[str, Any] = {}
     if filter is not None:
         kwargs["filter"] = filter
@@ -1493,7 +1587,10 @@ def repair_partition(
     ]
     scan = scan_change_log(log_dir, min_lsn=None, extra_schemas=extra_schemas)
     event_schema = scan.schema
-    out_schema = output_schema_for(event_schema)
+    keep_tomb = any(
+        m["stats"].get("keep_tombstones", False) for m in manifests.values()
+    )
+    out_schema = output_schema_for(event_schema, keep_op=keep_tomb)
 
     def pick(batch: pa.Table) -> pa.Table:
         for col in ("repo", "path", "op"):
@@ -1531,7 +1628,7 @@ def repair_partition(
             KEY_HASH_COL, pa.array([], pa.int64())
         )
     )
-    final, stats = finalize_partition(history, out_schema)
+    final, stats = finalize_partition(history, out_schema, keep_tombstones=keep_tomb)
     args = {
         "sink_dir": out_dir,
         "num_partitions": num_partitions,
@@ -1540,6 +1637,7 @@ def repair_partition(
         },
         "compression": compression,
         "keep_epochs": keep_epochs,
+        "keep_tombstones": keep_tomb,
     }
     metrics = _commit_with_metrics(part, final, stats, args)
     return {
@@ -1735,6 +1833,10 @@ def read_lake_with_pending(log_dir: str, out_dir: str) -> ray.data.Dataset:
     ]
 
     def conform(t: pa.Table) -> pa.Table:
+        # tombstone lake: committed 'D' rows are not part of the LIVE view
+        # (touched partitions drop them in the fold; base must match)
+        if "op" in t.column_names:
+            t = t.filter(pc.invert(op_equal(t.column("op"), "D")))
         o_schema = pa.ipc.read_schema(pa.BufferReader(out_schema_ipc))
         return conform_batch(t, o_schema)
 
@@ -1801,6 +1903,17 @@ def rescale_lake(
             f"source lake is partially committed ({len(manifests)}/"
             f"{src_parts} partitions have manifests) — no safe resume "
             "watermark exists; complete the replay before rescaling"
+        )
+    if any(m["stats"].get("keep_tombstones", False) for m in manifests.values()):
+        # A rescale streams the LIVE rows only; dropping tombstones (and
+        # the scalar-watermark resume math below) breaks the fan-in
+        # lake's out-of-order merge contract.  Not supported yet.
+        raise ValueError(
+            "rescale_lake does not support tombstone lakes "
+            "(SinkConfig.keep_tombstones): the rewrite would drop the "
+            "tombstones a fan-in resume depends on. GC tombstones after "
+            "all sources pass them (pipelines.fanin.gc_tombstones), then "
+            "rebuild at the new width with a full fan-in replay."
         )
     min_ckpt = min(m["max_lsn"] for m in manifests.values())
     ds = read_lake(src_dir)
@@ -2094,15 +2207,22 @@ def lake_diff(
     )
 
 
-def lake_table(out_dir: str, asof_epoch: int | None = None) -> pa.Table:
+def lake_table(
+    out_dir: str,
+    asof_epoch: int | None = None,
+    include_tombstones: bool = False,
+) -> pa.Table:
     """Driver-side Arrow view of the lake — small/test scales only."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         return REPO_FILES_SCHEMA.empty_table()
-    return pa.concat_tables(
+    t = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="permissive"
     ).sort_by([(k, "ascending") for k in KEY_COLUMNS])
+    if not include_tombstones and "op" in t.column_names:
+        t = t.filter(pc.invert(op_equal(t.column("op"), "D")))
+    return t
 
 
 @ray.remote
@@ -2143,11 +2263,17 @@ def _fsck_partition_deep(
                 f"partitions under num_partitions={num_partitions} "
                 "(foreign rows — wrong hash version or corrupted rescale)"
             )
-        # per-row invariant: content_sha256 == sha256(content)
+        # per-row invariant: content_sha256 == sha256(content); null-safe
+        # (tombstone rows carry null content AND null sha — both-null is a
+        # match, a null on one side only is not)
         if "content" in tbl.column_names and "content_sha256" in tbl.column_names:
             want = sha256_column(tbl.column("content"))
             got = tbl.column("content_sha256").combine_chunks()
-            if not pc.all(pc.equal(got, want)).as_py():
+            ok = pc.or_(
+                pc.fill_null(pc.equal(got, want), False),
+                pc.and_(pc.is_null(got), pc.is_null(want)),
+            )
+            if not pc.all(ok).as_py():
                 issues.append(f"part {part}: content_sha256 rows do not match content")
         # the checkpoint watermark bounds every surviving row's LSN
         if "lsn" in tbl.column_names:

@@ -216,15 +216,24 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
     return out
 
 
-def finalize_partition(tbl: pa.Table, output_schema: pa.Schema) -> tuple[pa.Table, dict]:
+def finalize_partition(
+    tbl: pa.Table, output_schema: pa.Schema, keep_tombstones: bool = False
+) -> tuple[pa.Table, dict]:
     """Final fold for one hash partition (+ optional prior state already
-    concatenated in as synthetic 'I' events at their stored LSN).
+    concatenated in as synthetic events at their stored LSN).
 
     Returns ``(final_rows, stats)`` where final_rows matches
     ``output_schema`` (repo, path, commit, lang, content, lsn,
     content_sha256, evolved extras) and stats carries the per-partition
     lineage counters (the reference's etl_log analogue,
     ``sql/etl_transformations.sql:313-323``).
+
+    With ``keep_tombstones=True`` (SinkConfig.keep_tombstones) delete
+    winners are PERSISTED as op='D' rows (null content / null sha) instead
+    of dropped, and ``output_schema`` is expected to carry the ``op``
+    column — the non-append-only (fan-in) merge depends on the tombstone's
+    LSN staying in the lake.  ``stats["live_rows"]`` stays the live count;
+    ``stats["state_rows"]`` is the committed row count incl. tombstones.
     """
     n_in = len(tbl)
     events_in = n_in
@@ -248,7 +257,10 @@ def finalize_partition(tbl: pa.Table, output_schema: pa.Schema) -> tuple[pa.Tabl
         "max_lsn": int(pc.max(tbl.column("lsn")).as_py()) if n_in else -1,
         "min_lsn": int(pc.min(tbl.column("lsn")).as_py()) if n_in else -1,
     }
-    live = folded.filter(pc.invert(is_del)) if len(folded) else folded
+    if keep_tombstones:
+        live = folded  # tombstones persist; sha256(null content) -> null
+    else:
+        live = folded.filter(pc.invert(is_del)) if len(folded) else folded
     live = live.append_column("content_sha256", sha256_column(live.column("content")))
     arrays = []
     for field in output_schema:
@@ -260,5 +272,6 @@ def finalize_partition(tbl: pa.Table, output_schema: pa.Schema) -> tuple[pa.Tabl
         else:
             arrays.append(pa.nulls(len(live), field.type))
     final = pa.Table.from_arrays(arrays, schema=output_schema)
-    stats["live_rows"] = len(final)
+    stats["state_rows"] = len(final)
+    stats["live_rows"] = len(final) - (stats["deleted_keys"] if keep_tombstones else 0)
     return final, stats

@@ -132,9 +132,12 @@ def test_fold_latest_below_max_tie_stays_fast_and_exact():
     assert out.column("op")[0].as_py() == "U"
 
 
-def test_winners_fn_raises_on_max_lsn_tie():
+def test_winners_fn_resolves_max_lsn_tie_via_exact_fold():
+    """A max-LSN tie inside a key group (crash-window fan-in re-run: an
+    event plus its own committed prior row at the same composite LSN) is
+    resolved by the exact sorted fold's op tiebreak, not an error — and
+    the winner count stays one per key."""
     import numpy as np
-    import pytest
 
     from sql_etl_pipeline_ray.pipelines.replay import _winners_fn
     from sql_etl_pipeline_ray.stages.merge import (
@@ -147,8 +150,18 @@ def test_winners_fn_raises_on_max_lsn_tie():
     tbl = tbl.append_column(KEY_HASH_COL, pa.array(np.array([7, 7], np.int64)))
     tbl = tbl.append_column(EVENTS_COL, pa.array([1, 1], pa.int64()))
     tbl = tbl.append_column(HAD_INSERT_COL, pa.array([True, True]))
-    with pytest.raises(ValueError, match="duplicate max LSN"):
-        _winners_fn(0, tbl, {})
+    out = _winners_fn(0, tbl, {})
+    assert out["stats"]["keys_seen"] == 1
+    assert out["stats"]["live_rows"] == 1
+    # tie between 'U' and a delete: ascending-op, last wins → 'U' survives
+    tbl2 = events([(3, "D", "a", "x"), (3, "U", "a", "x")])
+    tbl2 = tbl2.append_column(KEY_HASH_COL, pa.array(np.array([7, 7], np.int64)))
+    tbl2 = tbl2.append_column(EVENTS_COL, pa.array([1, 1], pa.int64()))
+    tbl2 = tbl2.append_column(HAD_INSERT_COL, pa.array([True, True]))
+    out2 = _winners_fn(0, tbl2, {})
+    assert out2["stats"]["keys_seen"] == 1
+    assert out2["stats"]["live_rows"] == 1
+    assert out2["stats"]["deleted_keys"] == 0
 
 
 def test_op_code_order_mirrors_string_order():
