@@ -18,7 +18,11 @@ from sql_etl_pipeline_ray.pipelines import ivm as IVM
 from sql_etl_pipeline_ray.pipelines import rollup as R
 from sql_etl_pipeline_ray.pipelines import temporal as TJ
 from sql_etl_pipeline_ray.pipelines import training_data as T
-from sql_etl_pipeline_ray.pipelines.flagship import run_fanin_flagship, run_flagship
+from sql_etl_pipeline_ray.pipelines.flagship import (
+    run_bootstrap_flagship,
+    run_fanin_flagship,
+    run_flagship,
+)
 
 
 def entry() -> Any:
@@ -44,6 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # committed watermark) — persisted tombstones + vector-clock
         # resume converge to the same live state (pipelines/fanin.py)
         "cdc_fanin": lambda sf: run_fanin_flagship(sf),
+        # initial-snapshot bootstrap (Debezium-style): bulk-load a
+        # consistent snapshot at watermark M with NO fold (one key-hash
+        # exchange, per-partition unique-key verify + direct commit),
+        # then replay(resume=True) folds only the log suffix above M
+        "cdc_snapshot_bootstrap": lambda sf: run_bootstrap_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -718,6 +727,21 @@ def oracle_sql() -> dict[str, str]:
                    lang,
                    text || ' [rev2]' AS content,
                    CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        # bootstrap live state: snapshot rows (lsn=doc_id ≤ M) overwritten
+        # by the post-watermark updates at M+1+2d; tenth docs deleted at
+        # M+2+2d.  M = MAX(doc_id) — the snapshot watermark.
+        "cdc_snapshot_bootstrap": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST((SELECT MAX(doc_id) FROM documents) + 1 + 2 * doc_id
+                        AS BIGINT) AS lsn,
                    sha256(text || ' [rev2]') AS content_sha256
             FROM documents
             WHERE doc_id % 10 <> 0

@@ -76,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
         "window for readers concurrent with a tail loop)",
     )
 
+    b = sub.add_parser(
+        "bootstrap",
+        help="bulk-load an initial snapshot into an EMPTY lake at a "
+        "watermark; follow with `replay --resume` for the log suffix",
+    )
+    b.add_argument("snapshot", help="Parquet path of the consistent snapshot")
+    b.add_argument("lake_dir")
+    b.add_argument(
+        "--snapshot-lsn", type=int, required=True,
+        help="log position the snapshot was taken at (everything at/below "
+        "is in the snapshot; the following replay applies only above it)",
+    )
+    b.add_argument("--partitions", type=int, default=16)
+
     t = sub.add_parser(
         "tail", help="micro-batch streaming: poll the log, resume-replay new buckets"
     )
@@ -288,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
                     keep_epochs=args.keep_epochs,
                 ),
                 resume=args.resume,
+            )
+            print(json.dumps(res.summary))
+        elif args.cmd == "bootstrap":
+            from .pipelines.bootstrap import bootstrap_snapshot
+
+            res = bootstrap_snapshot(
+                args.snapshot, args.lake_dir, args.snapshot_lsn,
+                num_partitions=args.partitions,
             )
             print(json.dumps(res.summary))
         elif args.cmd == "convert":

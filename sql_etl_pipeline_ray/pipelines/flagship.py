@@ -25,9 +25,11 @@ import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 
 from ..config import ReplayConfig
+from .bootstrap import bootstrap_snapshot
 from .fanin import replay_fanin
 from .replay import read_lake, replay
 
@@ -116,6 +118,81 @@ def _build_split_log(sf_dir: str, log_dir: str, ops: list[str]) -> None:
     ds.map_batches(
         derive_slice, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(log_dir)
+
+
+def run_bootstrap_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Initial-snapshot bootstrap then incremental CDC on top.
+
+    Snapshot = every document at its rev1 content, taken at watermark
+    ``M = max(doc_id)`` with per-row source positions ``lsn = doc_id``
+    (all ≤ M, unique).  The change log then delivers, per doc, an update
+    to rev2 at ``M + 1 + 2*doc_id`` and (for doc_id % 10 == 0) a delete
+    at ``M + 2 + 2*doc_id`` — all strictly above the watermark, so
+    ``replay(resume=True)`` folds them against the bulk-loaded state.
+    Final live rows: rev2 content at ``lsn = M + 1 + 2*doc_id`` for every
+    doc with doc_id % 10 != 0.
+    """
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_bootstrap/{tag}-{os.getpid()}"
+    lake_dir = os.path.join(work, "lake")
+    log_dir = os.path.join(work, "log")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    # snapshot watermark from one column of footer-light metadata read
+    m = int(pc.max(pq.read_table(docs, columns=["doc_id"]).column("doc_id")).as_py())
+
+    def snap_rows(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id")
+        ids = pc.cast(doc_id, pa.string())
+        n = len(batch)
+        return pa.table(
+            {
+                "repo": batch.column("source"),
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc_"] * n), ids, pa.array([".txt"] * n), ""
+                ),
+                "commit": pc.binary_join_element_wise(pa.array(["c1-"] * n), ids, ""),
+                "lang": batch.column("lang"),
+                "content": batch.column("text"),
+                "lsn": doc_id.cast(pa.int64()),
+            }
+        )
+
+    snapshot = ray.data.read_parquet(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(snap_rows, batch_format="pyarrow", zero_copy_batch=True)
+    bootstrap_snapshot(snapshot, lake_dir, snapshot_lsn=m, num_partitions=num_partitions)
+
+    def cdc_events(batch: pa.Table) -> pa.Table:
+        ev = _derive_events(batch)  # I/U/D at 3d+1 / 3d+2 / 3d+3
+        # re-position above the snapshot watermark: U → M+1+2d, D → M+2+2d;
+        # drop the I events (the snapshot already holds rev1)
+        keep = pc.invert(pc.equal(ev.column("op"), pa.scalar("I")))
+        ev = ev.filter(keep)
+        old = ev.column("lsn")  # 3d+2 (U) or 3d+3 (D) → d = (lsn-2)//3 etc.
+        is_u = pc.equal(ev.column("op"), pa.scalar("U"))
+        d = pc.divide(
+            pc.subtract(old, pc.if_else(is_u, pa.scalar(2, pa.int64()), pa.scalar(3, pa.int64()))),
+            pa.scalar(3, pa.int64()),
+        )
+        new_lsn = pc.add(
+            pc.add(pa.scalar(m, pa.int64()), pc.multiply(d, pa.scalar(2, pa.int64()))),
+            pc.if_else(is_u, pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())),
+        )
+        i = ev.schema.get_field_index("lsn")
+        return ev.set_column(i, pa.field("lsn", pa.int64()), new_lsn)
+
+    ray.data.read_parquet(
+        docs, columns=["doc_id", "text", "lang", "source"]
+    ).map_batches(cdc_events, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        log_dir
+    )
+    replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions), resume=True)
+    return read_lake(lake_dir)
 
 
 def run_fanin_flagship(
