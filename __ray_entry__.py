@@ -22,6 +22,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_bootstrap_flagship,
     run_fanin_flagship,
     run_flagship,
+    run_mor_flagship,
 )
 
 
@@ -53,6 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange, per-partition unique-key verify + direct commit),
         # then replay(resume=True) folds only the log suffix above M
         "cdc_snapshot_bootstrap": lambda sf: run_bootstrap_flagship(sf),
+        # merge-on-read delta commits: full replay of the low-LSN prefix,
+        # MOR resume of the suffix (delta files chained, prior state never
+        # re-read, write amplification ∝ increment), final state served by
+        # the READ-SIDE fold — same oracle as cdc_replay by construction
+        "cdc_replay_mor": lambda sf: run_mor_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -721,6 +727,20 @@ _HLL_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     sql = {
         "cdc_replay": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        # merge-on-read replay converges to the same final state as the
+        # copy-on-write replay by construction (the read fold IS the
+        # equivalence claim) — same oracle
+        "cdc_replay_mor": """
             SELECT source AS repo,
                    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    'c2-' || CAST(doc_id AS VARCHAR) AS "commit",

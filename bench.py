@@ -216,6 +216,53 @@ def run_bench() -> dict:
     timed("docs_token_budget_select", T.docs_token_budget_select)
     timed("multimodal_frame_sample", T.multimodal_frame_sample)
 
+    # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
+    # the last LSN bucket (~1/64 of the log) as an increment, once
+    # copy-on-write (touched partitions rewritten) and once merge-on-read
+    # (delta files chained; SinkConfig.merge_on_read).  The base lake is
+    # built untimed and cloned via hardlinks per rep (commits only ever
+    # os.replace NEW files, so hardlink clones never alias writes).
+    from sql_etl_pipeline_ray.config import SinkConfig
+
+    inc_bytes: dict[str, int] = {}
+
+    def _hardlink_clone(src: str, dst: str) -> None:
+        shutil.rmtree(dst, ignore_errors=True)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            os.makedirs(os.path.join(dst, rel), exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst, rel, f))
+
+    # numeric sort: the increment must be the HIGHEST-LSN bucket (resume's
+    # watermark pruning contractually assumes an append-only LSN feed)
+    buckets = sorted(
+        (d for d in os.listdir(log_dir) if d.startswith("lsn_bucket=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    prefix_log = f"/tmp/cdc_bench/log_prefix_{ncpu}"
+    shutil.rmtree(prefix_log, ignore_errors=True)
+    os.makedirs(prefix_log)
+    for d in buckets[:-1]:
+        os.symlink(os.path.join(log_dir, d), os.path.join(prefix_log, d))
+    inc_base = f"/tmp/cdc_bench/inc_base_{ncpu}"
+    shutil.rmtree(inc_base, ignore_errors=True)
+    replay(prefix_log, inc_base, ReplayConfig())  # untimed base build
+    for mode in ("cow", "mor"):
+        walls = []
+        for _ in range(2):
+            lk = f"/tmp/cdc_bench/inc_{mode}_{ncpu}"
+            _hardlink_clone(inc_base, lk)
+            t0 = time.time()
+            r = replay(
+                log_dir, lk, ReplayConfig(),
+                sink=SinkConfig(out_dir=lk, merge_on_read=(mode == "mor")),
+                resume=True,
+            )
+            walls.append(time.time() - t0)
+            inc_bytes[mode] = int(r.metrics["bytes_written"].sum())
+        queries[f"cdc_incremental_{mode}"] = round(min(walls), 3)
+
     result = {
         "metric": "cdc_replay_wall_sec",
         "value": round(t_replay, 3),
@@ -231,6 +278,10 @@ def run_bench() -> dict:
         # actor-side) — the scale-relevant number a wall clock can't show
         "p1_routed_mb": res.summary.get("p1_routed_mb"),
         "p2_routed_mb": res.summary.get("p2_routed_mb"),
+        # incremental write amplification: bytes committed applying the
+        # same 1/64-of-log increment, copy-on-write vs merge-on-read
+        "inc_bytes_written_cow": inc_bytes.get("cow"),
+        "inc_bytes_written_mor": inc_bytes.get("mor"),
         **host_calibration(),
     }
     ray.shutdown()

@@ -75,6 +75,30 @@ def main(argv: list[str] | None = None) -> int:
         help="epochs of data files retained through commits (2 = grace "
         "window for readers concurrent with a tail loop)",
     )
+    r.add_argument(
+        "--merge-on-read", action="store_true",
+        help="resume commits the increment as a delta file chained onto "
+        "each touched partition instead of rewriting it (write "
+        "amplification ∝ increment; readers fold; `compact` restores "
+        "plain files)",
+    )
+    r.add_argument(
+        "--max-delta-files", type=int, default=8,
+        help="chain bound for --merge-on-read: a partition exceeding it "
+        "compacts inline at commit",
+    )
+
+    cp = sub.add_parser(
+        "compact",
+        help="fold merge-on-read delta chains back into single base files "
+        "(one Ray task per chained partition, exactly-once commits)",
+    )
+    cp.add_argument("lake_dir")
+    cp.add_argument(
+        "--min-chain", type=int, default=2,
+        help="only partitions with at least this many chained files",
+    )
+    cp.add_argument("--keep-epochs", type=int, default=1)
 
     b = sub.add_parser(
         "bootstrap",
@@ -300,10 +324,24 @@ def main(argv: list[str] | None = None) -> int:
                     out_dir=args.lake_dir,
                     cluster_by_key=args.cluster_by_key,
                     keep_epochs=args.keep_epochs,
+                    merge_on_read=args.merge_on_read,
+                    max_delta_files=args.max_delta_files,
                 ),
                 resume=args.resume,
             )
             print(json.dumps(res.summary))
+        elif args.cmd == "compact":
+            from .pipelines.replay import compact_lake
+
+            print(
+                json.dumps(
+                    compact_lake(
+                        args.lake_dir,
+                        min_chain=args.min_chain,
+                        keep_epochs=args.keep_epochs,
+                    )
+                )
+            )
         elif args.cmd == "bootstrap":
             from .pipelines.bootstrap import bootstrap_snapshot
 

@@ -172,6 +172,31 @@ class SinkConfig:
     # the same setting the lake was committed with (guarded in replay).
     keep_tombstones: bool = False
 
+    # Merge-on-read delta commits: an incremental run (resume=True)
+    # commits ONLY the increment's folded winner rows — op retained,
+    # delete winners persisted as op='D' tombstone rows — as a delta
+    # file CHAINED onto the partition's committed files, instead of
+    # reading and rewriting the whole partition (copy-on-write).  Write
+    # amplification per resume drops from O(partition state) to
+    # O(increment), and the prior state is never read at commit time at
+    # all; readers fold base+deltas per partition by (key, max LSN) with
+    # the writer's own LWW kernel, so the folded view is row-identical
+    # to the copy-on-write lake (pinned in tests/test_mor.py).  The
+    # trade is read-side: a chained partition loses predicate pushdown
+    # for non-key filters (filters apply post-fold) and each read pays
+    # the fold until the chain is compacted.  ``max_delta_files`` bounds
+    # the chain: a resume that would push a partition's chain past it
+    # compacts INLINE instead (that partition's committer reads its own
+    # chain locally and writes a fresh base — still no cross-partition
+    # traffic); ``pipelines.replay.compact_lake`` / CLI ``compact``
+    # force compaction at any time.  Not sticky: MOR and COW resumes may
+    # alternate freely on tombstone lakes; a PLAIN lake with live chains
+    # refuses a COW resume (its base files carry no op column, so the
+    # bulk prior-state feed cannot see the chained tombstones) until
+    # compacted.
+    merge_on_read: bool = False
+    max_delta_files: int = 8
+
 
 def bench_cpus() -> int:
     """Parallelism level for bench runs (driver contract: RAY_GRAFT_CPUS)."""

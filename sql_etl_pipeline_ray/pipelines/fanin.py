@@ -275,25 +275,38 @@ def gc_tombstones(out_dir: str, compression: str = "zstd") -> dict[str, Any]:
     for part, m in sorted(manifests.items()):
         if not m["stats"].get("keep_tombstones", False):
             raise ValueError("gc_tombstones needs a tombstone lake")
-        if m["stats"].get("deleted_keys", 0) == 0:
+        chained = m.get("kind") == "delta" or len(m.get("files", [])) > 1
+        if not chained and m["stats"].get("deleted_keys", 0) == 0:
             continue
         pdir = mf.partition_dir(out_dir, part)
         tbl = pa.concat_tables(
             [pq.read_table(os.path.join(pdir, f)) for f in m["files"]],
             promote_options="permissive",
         )
+        if chained:
+            # merge-on-read chain: fold to the single-version row set first
+            # (a delta manifest's counters describe its increment, not the
+            # chain — recompute from the fold below); the rewrite also
+            # collapses the chain into a plain base file.
+            from .replay import _fold_chain_table
+
+            tbl = _fold_chain_table(tbl, keep_tombstones=True)
         dead = pc.and_(
             pc.equal(tbl.column("op"), pa.scalar("D")),
             pc.less(tbl.column("lsn"), pa.scalar(thr, pa.int64())),
         )
         n_dead = int(pc.sum(dead.cast(pa.int64())).as_py() or 0)
-        if n_dead == 0:
+        if n_dead == 0 and not chained:
             continue
         kept = tbl.filter(pc.invert(dead))
+        n_tomb = int(
+            pc.sum(pc.equal(kept.column("op"), pa.scalar("D")).cast(pa.int64())).as_py()
+            or 0
+        )
         stats = dict(m["stats"])
-        stats["deleted_keys"] = stats.get("deleted_keys", 0) - n_dead
+        stats["deleted_keys"] = n_tomb
         stats["state_rows"] = len(kept)
-        stats["keys_seen"] = stats.get("keys_seen", len(kept)) - n_dead
+        stats["keys_seen"] = len(kept)
         digest = table_digest(kept, ["repo", "path"])
         mf.commit_partition(
             out_dir, part, m["epoch"] + 1, kept, stats, digest,

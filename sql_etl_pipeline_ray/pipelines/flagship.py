@@ -101,6 +101,53 @@ def run_flagship(
     return read_lake(lake_dir)
 
 
+def run_mor_flagship(
+    sf_dir: str,
+    work_dir: str | None = None,
+    num_partitions: int = 8,
+    split_frac: float = 0.6,
+) -> ray.data.Dataset:
+    """Merge-on-read end-to-end: full replay of the log's low-LSN prefix,
+    then an incremental MOR resume of the suffix — delta files chained, no
+    compaction — and the READ-SIDE fold serves the final state.  Final
+    state is identical to ``run_flagship``'s by construction, so the same
+    DuckDB oracle verifies the whole delta-commit + fold path
+    (``SinkConfig.merge_on_read``; see tests/test_mor.py for the
+    equivalence and write-amplification pins)."""
+    from ..config import SinkConfig
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_mor/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lo_dir = os.path.join(work, "log_lo")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    # split threshold from footer-cheap metadata (one narrow column read)
+    max_id = pc.max(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id")
+    ).as_py()
+    thresh = 3 * int(max_id * split_frac)
+    shutil.rmtree(lo_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(log_dir)
+    ds.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t.column("lsn"), pa.scalar(thresh, pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(lo_dir)
+    replay(lo_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    replay(
+        log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions),
+        sink=SinkConfig(out_dir=lake_dir, merge_on_read=True),
+        resume=True,
+    )
+    return read_lake(lake_dir)
+
+
 def _build_split_log(sf_dir: str, log_dir: str, ops: list[str]) -> None:
     """One SOURCE's slice of the derived log: only the events whose op is
     in ``ops`` (each slice stays monotone in its own LSN space)."""

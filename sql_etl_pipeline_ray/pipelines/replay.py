@@ -118,7 +118,8 @@ class ReplayResult:
 
 
 def _commit_with_metrics(
-    part: int, final: pa.Table, stats: dict, args: dict
+    part: int, final: pa.Table, stats: dict, args: dict,
+    chain_files: list[str] | None = None, chain_rows: int = 0,
 ) -> dict[str, Any]:
     t_start = time.time()
     if args.get("cluster_by_key") and len(final):
@@ -137,14 +138,19 @@ def _commit_with_metrics(
         args["sink_dir"], part, epoch, final, stats, digest,
         compression=args["compression"],
         keep_epochs=args.get("keep_epochs", 1),
+        chain_files=chain_files,
+        chain_rows=chain_rows,
     )
     metrics = {
         **stats,
         "part": part,
         "epoch": epoch,
         "duration_s": round(time.time() - t_start, 4),
+        # files[-1] is the file THIS commit wrote (a delta commit's chain
+        # lists the untouched prior files first — those bytes were not
+        # written now, which is the whole point of merge-on-read)
         "bytes_written": os.path.getsize(
-            os.path.join(mf.partition_dir(args["sink_dir"], part), m["files"][0])
+            os.path.join(mf.partition_dir(args["sink_dir"], part), m["files"][-1])
         ),
     }
     mf.write_metrics(args["sink_dir"], part, metrics)
@@ -173,6 +179,17 @@ def _prior_state_as_events(
     for f in schema:
         if f.name == "op" and "op" not in prior.column_names:
             cols["op"] = pa.array(["I"] * n, pa.string())
+        elif f.name == "op":
+            # a merge-on-read CHAIN mixes op-less base files with op-bearing
+            # delta files — the permissive concat null-fills the base rows'
+            # op, and a null op would break the fold's tiebreak.  Base rows
+            # are live state: re-enter as 'I' (same contract as the op-less
+            # branch above); delta rows keep their stored op so persisted
+            # 'D' tombstones out-delete late lower-LSN events.
+            col = prior.column("op")
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols["op"] = pc.fill_null(col, "I") if col.null_count else col
         elif f.name in prior.column_names:
             col = prior.column(f.name)
             cols[f.name] = col.cast(f.type) if col.type != f.type else col
@@ -183,6 +200,126 @@ def _prior_state_as_events(
     t = t.append_column(HAD_INSERT_COL, pa.array([True] * n))
     kh = key_hash(t.column("repo"), t.column("path")).view(np.int64)
     return t.append_column(KEY_HASH_COL, pa.array(kh))
+
+
+def _fold_chain_table(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
+    """Fold a concatenated merge-on-read chain (base + delta files) to the
+    row set a copy-on-write commit of the same events would hold: max-LSN
+    winner per (repo, path) via the writer's own LWW kernel, null ``op``
+    (op-less base files of a plain lake) treated as live 'I' state, delete
+    winners dropped unless ``keep_tombstones``.  Engine-internal fold
+    columns never leak out."""
+    if len(tbl) == 0:
+        return tbl
+    if "op" not in tbl.column_names:
+        tbl = tbl.append_column("op", pa.array(["I"] * len(tbl), pa.string()))
+    elif tbl.column("op").null_count:
+        i = tbl.schema.get_field_index("op")
+        tbl = tbl.set_column(
+            i, tbl.schema.field(i), pc.fill_null(tbl.column("op"), "I")
+        )
+    folded = fold_latest(tbl, keep_tombstones=keep_tombstones)
+    drop = [
+        c for c in (EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL)
+        if c in folded.column_names
+    ]
+    return folded.drop_columns(drop) if drop else folded
+
+
+def _read_chain_folded(
+    pdir: str,
+    files: list[str],
+    keep_tombstones: bool,
+    prefold_filter: Any | None = None,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Read one partition's manifest file chain and fold it to final state.
+
+    ``prefold_filter`` is a pyarrow.dataset expression over the KEY
+    COLUMNS ONLY — key predicates keep or drop whole key groups, so they
+    commute with the per-key fold and can push into every file's Parquet
+    scan (this is what keeps ``lake_get`` a point read on a chained
+    partition).  Non-key predicates must NOT be passed here: filtering a
+    loser row's content before the fold would resurrect older versions.
+
+    ``columns`` prunes the per-file read; the fold's own needs (the key
+    columns, ``lsn``, ``op``) are always added, and columns a chain file
+    predates (schema evolution, op-less plain bases) are skipped per file
+    — the permissive concat null-fills them.
+    """
+    want = None
+    if columns is not None:
+        want = set(columns) | set(KEY_COLUMNS) | {"lsn", "op"}
+    tables = []
+    for f in files:
+        path = os.path.join(pdir, f)
+        pf_schema = pq.ParquetFile(path).schema_arrow
+        cols = (
+            [c for c in pf_schema.names if c in want]
+            if want is not None
+            else None
+        )
+        tables.append(pq.read_table(path, columns=cols, filters=prefold_filter))
+    tbl = pa.concat_tables(tables, promote_options="permissive")
+    return _fold_chain_table(tbl, keep_tombstones=keep_tombstones)
+
+
+def _chained_parts(manifests: dict[int, dict]) -> set[int]:
+    """Partitions whose current manifest is a merge-on-read delta chain."""
+    return {
+        p
+        for p, m in manifests.items()
+        if m.get("kind") == "delta" or len(m.get("files", [])) > 1
+    }
+
+
+def _commit_delta_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
+    """Phase-2 finalize, merge-on-read mode: the routed rows are the
+    INCREMENT's winner rows (delete winners included).  Commit them as a
+    delta file chained onto the partition's committed state — the prior
+    state is never read — unless the chain would exceed
+    ``SinkConfig.max_delta_files``, in which case compact inline: this
+    committer reads its OWN chain from the lake (partition-local I/O, no
+    cross-partition traffic), folds, and writes a fresh base."""
+    chain = args["prior_chains"][part]
+    stats = dict(args["stats_per_part"][part])
+    # The partition checkpoint must stay monotonic: under fan-in feeds
+    # (watermark_prune=False) an increment's max LSN can trail the chain's.
+    stats["max_lsn"] = max(int(chain["max_lsn"]), int(stats.get("max_lsn", -1)))
+    delta_schema = pa.ipc.read_schema(pa.BufferReader(args["delta_schema"]))
+    # keep_tombstones=True ALWAYS for the delta rows themselves: a delete
+    # winner must persist as an op='D' row or the read fold could never
+    # drop the base row it supersedes.
+    delta, _ = finalize_partition(tbl, delta_schema, keep_tombstones=True)
+    n_deltas = len(chain["files"]) - 1 + 1  # existing deltas + this one
+    if n_deltas > int(args.get("max_delta_files", 8)):
+        pdir = mf.partition_dir(args["sink_dir"], part)
+        prior = _read_chain_folded(
+            pdir, chain["files"], keep_tombstones=True
+        )
+        merged = pa.concat_tables([prior, delta], promote_options="permissive")
+        keep_tomb = bool(args.get("keep_tombstones", False))
+        base = _fold_chain_table(merged, keep_tombstones=keep_tomb)
+        out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
+        base = conform_batch(base, out_schema)
+        stats["compacted_chain"] = len(chain["files"]) + 1
+        stats["live_rows"] = len(base) - (
+            int(
+                pc.sum(
+                    pc.cast(op_equal(base.column("op"), "D"), pa.int64())
+                ).as_py()
+                or 0
+            )
+            if keep_tomb and len(base)
+            else 0
+        )
+        stats["state_rows"] = len(base)
+        return _commit_with_metrics(part, base, stats, args)
+    stats["kind"] = "delta"
+    return _commit_with_metrics(
+        part, delta, stats, args,
+        chain_files=chain["files"], chain_rows=int(chain["rows"]),
+    )
 
 
 def _fold_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
@@ -353,6 +490,8 @@ def _commit_extracted_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]
         raise ValueError(
             f"partition {part}: extracted {len(tbl)} rows, phase-1 expected {expected}"
         )
+    if args.get("merge_on_read") and part in args.get("prior_chains", {}):
+        return _commit_delta_fn(part, tbl, args)
     final, _ = finalize_partition(
         tbl, out_schema, keep_tombstones=args.get("keep_tombstones", False)
     )
@@ -905,6 +1044,18 @@ def replay(
             "quarantine_dir requires exchange='late' (the default); "
             f"exchange={cfg.exchange!r} cannot capture rejects idempotently"
         )
+    if (
+        sink is not None
+        and sink.merge_on_read
+        and cfg.exchange != "late"
+    ):
+        # Delta commits ride phase 2's extracted-winner path; the 'actor'
+        # and 'groupby' comparison modes fold prior state in one pass and
+        # would silently degrade MOR back to copy-on-write.
+        raise ValueError(
+            "SinkConfig.merge_on_read requires exchange='late' (the "
+            f"default); exchange={cfg.exchange!r} has no delta commit path"
+        )
     if sink is not None and sink.out_dir != out_dir:
         # Two sources of truth for the lake location is a silent-misroute
         # footgun (the manifests land where ``sink`` points while resume
@@ -947,6 +1098,24 @@ def replay(
                 f"lake was committed with keep_tombstones={sorted(stored_tomb)} "
                 f"but SinkConfig.keep_tombstones={sink.keep_tombstones}; "
                 "resume must keep the lake's setting"
+            )
+    mor = bool(sink.merge_on_read and resume and manifests)
+    if resume and manifests and not mor and not sink.keep_tombstones:
+        chained = sorted(_chained_parts(manifests))
+        if chained:
+            # A copy-on-write resume bulk-reads prior state with a fixed
+            # column list; a PLAIN lake's base files carry no ``op``
+            # column while its chained delta files do, so that read
+            # cannot see the chain's tombstones and a deleted key would
+            # resurrect.  (Tombstone lakes chain-resume fine either way —
+            # every file carries op.)  Refuse; compaction restores the
+            # single-file layout.
+            raise ValueError(
+                f"lake has merge-on-read delta chains on partitions "
+                f"{chained[:8]}{'…' if len(chained) > 8 else ''}; a plain "
+                "lake cannot resume copy-on-write over a chain. Resume "
+                "with SinkConfig(merge_on_read=True) or run "
+                "compact_lake() first."
             )
     # Watermark pruning is valid only for logs append-only in LSN
     # (cfg.watermark_prune; fan-in feeds interleave per-source LSN spaces
@@ -1018,12 +1187,30 @@ def replay(
         "keep_epochs": sink.keep_epochs,
         "keep_tombstones": sink.keep_tombstones,
     }
+    if mor:
+        # Merge-on-read: prior state never re-reads — neither phase feeds
+        # it.  Committers get each partition's chain metadata (files,
+        # physical rows, checkpoint) to chain deltas / bound the chain;
+        # delta files keep ``op`` regardless of the lake's tombstone mode.
+        commit_args["merge_on_read"] = True
+        commit_args["max_delta_files"] = sink.max_delta_files
+        commit_args["delta_schema"] = output_schema_for(
+            event_schema, keep_op=True
+        ).serialize().to_pybytes()
+        commit_args["prior_chains"] = {
+            part: {
+                "files": list(m.get("files", [])),
+                "rows": int(m.get("rows", 0)),
+                "max_lsn": int(m.get("max_lsn", -1)),
+            }
+            for part, m in manifests.items()
+        }
 
     phase_times: dict[str, float] = {}
     if cfg.exchange == "late":
         metrics_rows = _replay_late(
-            scan, prior_files, cfg, commit_args, num_blocks, num_partitions,
-            num_actors, event_schema, ckpts, phase_times,
+            scan, [] if mor else prior_files, cfg, commit_args, num_blocks,
+            num_partitions, num_actors, event_schema, ckpts, phase_times,
         )
     elif cfg.exchange == "actor":
         from ..stages.exchange import run_exchange
@@ -1074,6 +1261,21 @@ def replay(
         "num_blocks": int(num_blocks),
         **phase_times,
     }
+    if mor:
+        summary["merge_on_read"] = True
+        summary["partitions_delta_committed"] = (
+            int((metrics["kind"] == "delta").sum())
+            if "kind" in metrics
+            else 0
+        )
+        summary["partitions_compacted_inline"] = (
+            int(metrics["compacted_chain"].notna().sum())
+            if "compacted_chain" in metrics
+            else 0
+        )
+        summary["bytes_written"] = (
+            int(metrics["bytes_written"].sum()) if len(metrics) else 0
+        )
     os.makedirs(out_dir, exist_ok=True)
     # Every partition is now caught up to the scan's footer-stat max LSN
     # (this run applied ALL scanned events) — stamp the lake-level high
@@ -1150,7 +1352,13 @@ def _replay_late(
             check_content=cfg.content_check,
         )
         phase_times["events_rejected"] = _run_fused_feed(frag_items, feed1)
-    keep_tomb = bool(commit_args.get("keep_tombstones", False))
+    # Merge-on-read needs delete winners IN the winner set: they commit as
+    # delta tombstone rows (phase 2 must extract them), exactly like a
+    # tombstone lake's — so winner selection keeps them in both modes.
+    keep_tomb = bool(
+        commit_args.get("keep_tombstones", False)
+        or commit_args.get("merge_on_read", False)
+    )
     if prior_files:
         dsp = ray.data.read_parquet(
             prior_files,
@@ -1302,6 +1510,7 @@ def read_lake(
     asof_epoch: int | None = None,
     _parts: set[int] | None = None,
     include_tombstones: bool = False,
+    _key_filter: bool = False,
 ) -> ray.data.Dataset:
     """Read the committed lake (manifest-listed files ONLY).
 
@@ -1324,10 +1533,27 @@ def read_lake(
     by default those are filtered at the scan (pushed as a Parquet
     predicate, detected from the manifests — no extra I/O for plain
     lakes).  ``include_tombstones=True`` returns them (op + null
-    content)."""
+    content).
+
+    Merge-on-read lakes (``SinkConfig.merge_on_read``): partitions whose
+    manifest chains delta files are folded at read — one task per chained
+    partition reads its chain and applies the writer's LWW kernel, so the
+    result is row-identical to the copy-on-write lake.  On those
+    partitions ``filter`` applies POST-fold (a pre-fold value predicate
+    could drop a winner and resurrect an older version) unless
+    ``_key_filter=True`` asserts the expression touches key columns only
+    (key predicates keep/drop whole key groups, so they commute with the
+    fold and push into the chain scan — ``lake_get`` uses this).
+    Unchained partitions keep the plain pushdown path."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     if _parts is not None:
         manifests = {p: m for p, m in manifests.items() if p in _parts}
+    chained = _chained_parts(manifests)
+    if chained:
+        return _read_lake_chained(
+            out_dir, manifests, chained, columns=columns, filter=filter,
+            include_tombstones=include_tombstones, key_filter=_key_filter,
+        )
     files = mf.manifest_data_files(out_dir, manifests)
     if not files:
         # empty lake: a filter over zero rows is a no-op
@@ -1373,6 +1599,114 @@ def read_lake(
     if columns is not None:
         return ray.data.read_parquet(files, columns=columns, **kwargs)
     return ray.data.read_parquet(files, partitioning=None, **kwargs)
+
+
+def _read_lake_chained(
+    out_dir: str,
+    manifests: dict[int, dict],
+    chained: set[int],
+    columns: list[str] | None,
+    filter: Any | None,
+    include_tombstones: bool,
+    key_filter: bool,
+) -> ray.data.Dataset:
+    """``read_lake`` over a lake with merge-on-read delta chains: one fold
+    task per chained partition (its chain is partition-local, sized like
+    the finalize task that committed it), the plain pushdown read for
+    everything else, both conformed to one unified schema and unioned.
+    See ``read_lake`` for the filter-placement contract."""
+    import pyarrow.dataset as pads
+
+    simple_m = {p: m for p, m in manifests.items() if p not in chained}
+    simple_files = mf.manifest_data_files(out_dir, simple_m)
+    chain_paths = {
+        p: (mf.partition_dir(out_dir, p), list(manifests[p]["files"]))
+        for p in sorted(chained)
+    }
+    lake_tomb = any(
+        m["stats"].get("keep_tombstones", False) for m in manifests.values()
+    )
+    all_files = simple_files + [
+        os.path.join(d, f) for d, fs in chain_paths.values() for f in fs
+    ]
+    unified = pa.unify_schemas(
+        [pq.ParquetFile(f).schema_arrow for f in all_files],
+        promote_options="permissive",
+    )
+    if "op" in unified.names and not lake_tomb and not include_tombstones:
+        # a plain lake's logical schema has no op column — the delta
+        # files' op is merge bookkeeping, consumed by the fold
+        unified = pa.schema([f for f in unified if f.name != "op"])
+    if columns is not None:
+        by_name = {f.name: f for f in unified}
+        target = pa.schema([by_name[c] for c in columns])
+    else:
+        target = unified
+    target_ser = target.serialize().to_pybytes()
+    prefold = filter if (filter is not None and key_filter) else None
+    postfold = filter if (filter is not None and not key_filter) else None
+
+    descs = [
+        {"pdir": d, "files": fs} for d, fs in chain_paths.values()
+    ]
+
+    def fold_desc(df: pd.DataFrame) -> pa.Table:
+        tgt = pa.ipc.read_schema(pa.BufferReader(target_ser))
+        outs = []
+        for _, row in df.iterrows():
+            t = _read_chain_folded(
+                row["pdir"], list(row["files"]), keep_tombstones=True,
+                prefold_filter=prefold, columns=columns,
+            )
+            if len(t) and not include_tombstones and "op" in t.column_names:
+                t = t.filter(pc.invert(op_equal(t.column("op"), "D")))
+            if postfold is not None and len(t):
+                t = t.filter(postfold)
+            outs.append(conform_batch(t, tgt))
+        return pa.concat_tables(outs) if outs else tgt.empty_table()
+
+    folded = ray.data.from_items(descs).map_batches(
+        fold_desc, batch_format="pandas", batch_size=1
+    )
+    if not simple_files:
+        return folded
+
+    kwargs: dict[str, Any] = {}
+    simple_filter = filter
+    if lake_tomb and not include_tombstones:
+        live = pads.field("op") != "D"
+        simple_filter = live if simple_filter is None else (simple_filter & live)
+    if simple_filter is not None:
+        kwargs["filter"] = simple_filter
+    sub = pa.unify_schemas(
+        [pq.ParquetFile(f).schema_arrow for f in simple_files],
+        promote_options="permissive",
+    )
+
+    def conform_simple(t: pa.Table) -> pa.Table:
+        tgt = pa.ipc.read_schema(pa.BufferReader(target_ser))
+        if (
+            "op" in tgt.names
+            and ("op" not in t.column_names or t.column("op").null_count)
+        ):
+            # op-less base rows are live state: surface as 'I', not null
+            # (only reachable with include_tombstones on a plain lake)
+            col = (
+                pc.fill_null(t.column("op").cast(pa.string()), "I")
+                if "op" in t.column_names
+                else pa.array(["I"] * len(t), pa.string())
+            )
+            t = (
+                t.set_column(t.schema.get_field_index("op"), pa.field("op", pa.string()), col)
+                if "op" in t.column_names
+                else t.append_column("op", col)
+            )
+        return conform_batch(t, tgt)
+
+    simple = ray.data.read_parquet(
+        simple_files, partitioning=None, schema=sub, **kwargs
+    ).map_batches(conform_simple, batch_format="pyarrow", zero_copy_batch=True)
+    return simple.union(folded)
 
 
 def plan_point_read(
@@ -1476,6 +1810,9 @@ def lake_get(
         filter=expr,
         asof_epoch=asof_epoch,
         _parts=set(plan["parts"]),
+        # key-only predicate: commutes with the merge-on-read chain fold,
+        # so chained partitions stay point-read sized too
+        _key_filter=True,
     )
     tbl = pa.concat_tables(
         ray.get(ds.to_arrow_refs()), promote_options="permissive"
@@ -1825,10 +2162,11 @@ def read_lake_with_pending(log_dir: str, out_dir: str) -> ray.data.Dataset:
         fold_part, batch_format="pyarrow"
     )
 
+    chained = _chained_parts(manifests)
     base_files = [
         os.path.join(mf.partition_dir(out_dir, p), f)
         for p, m in manifests.items()
-        if p not in touched
+        if p not in touched and p not in chained
         for f in m["files"]
     ]
 
@@ -1840,16 +2178,32 @@ def read_lake_with_pending(log_dir: str, out_dir: str) -> ray.data.Dataset:
         o_schema = pa.ipc.read_schema(pa.BufferReader(out_schema_ipc))
         return conform_batch(t, o_schema)
 
-    if not base_files:
+    arms = [folded] if touched else []
+    # untouched merge-on-read chains still need the read-side fold
+    # (touched chains fold inside fold_part via _prior_state_as_events)
+    chained_untouched = chained - touched
+    if chained_untouched:
+        arms.append(
+            read_lake(out_dir, _parts=chained_untouched).map_batches(
+                conform, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if base_files:
+        unified = pa.unify_schemas(
+            [pq.ParquetFile(f).schema_arrow for f in base_files],
+            promote_options="permissive",
+        )
+        arms.append(
+            ray.data.read_parquet(
+                base_files, partitioning=None, schema=unified
+            ).map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    if not arms:
         return folded
-    unified = pa.unify_schemas(
-        [pq.ParquetFile(f).schema_arrow for f in base_files],
-        promote_options="permissive",
-    )
-    base = ray.data.read_parquet(
-        base_files, partitioning=None, schema=unified
-    ).map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
-    return base.union(folded) if touched else base
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.union(a)
+    return out
 
 
 def rescale_lake(
@@ -1982,6 +2336,103 @@ def rescale_lake(
     }
 
 
+@ray.remote
+def _compact_partition_task(
+    out_dir: str, part: int, manifest: dict, args_ser: bytes
+) -> dict[str, Any]:
+    import ray.cloudpickle as pickle
+
+    args = pickle.loads(args_ser)
+    pdir = mf.partition_dir(out_dir, part)
+    keep_tomb = bool(manifest["stats"].get("keep_tombstones", False))
+    folded = _read_chain_folded(
+        pdir, manifest["files"], keep_tombstones=keep_tomb
+    )
+    if not keep_tomb and "op" in folded.column_names:
+        folded = folded.drop_columns(["op"])  # restore the plain base layout
+    stats = {
+        "max_lsn": int(manifest.get("max_lsn", -1)),
+        "events_in": 0,
+        "live_rows": len(folded)
+        - (
+            int(pc.sum(pc.cast(op_equal(folded.column("op"), "D"), pa.int64())).as_py() or 0)
+            if keep_tomb and len(folded)
+            else 0
+        ),
+        "compacted_chain": len(manifest["files"]),
+        "state_rows": len(folded),
+    }
+    return _commit_with_metrics(part, folded, stats, args)
+
+
+def compact_lake(
+    out_dir: str,
+    min_chain: int = 2,
+    keep_epochs: int = 1,
+    parts: list[int] | None = None,
+) -> dict[str, Any]:
+    """Fold merge-on-read delta chains back into single base files — the
+    asynchronous compaction half of ``SinkConfig.merge_on_read`` (the
+    inline half is ``max_delta_files``).
+
+    One Ray task per chained partition: read its own chain (no
+    cross-partition traffic, the task holds exactly the state the
+    committing finalize task held), fold with the writer's LWW kernel,
+    drop tombstone rows and the ``op`` bookkeeping column on plain lakes,
+    and commit the result as the partition's next epoch through the same
+    exactly-once manifest CAS as replay — so a crashed or concurrent
+    compaction is safe, and time-travel to pre-compaction epochs keeps
+    working within ``keep_epochs``.  The checkpoint (``max_lsn``) is
+    carried over unchanged: compaction applies no events, and a
+    concurrent ``replay(resume=True)`` racing it is serialized per
+    partition by the epoch CAS (the loser raises ``ConcurrentCommitError``
+    and re-runs over the winner's state).
+
+    ``min_chain``: only partitions whose manifest lists at least this many
+    files are touched (2 = any chain; pass ``parts`` to force specific
+    partitions).  Returns per-partition counts.  Read amplification
+    restored: after compaction the partition is a plain file again —
+    predicate pushdown and fold-free reads come back.
+    """
+    import ray.cloudpickle as pickle
+
+    manifests = mf.read_all_manifests(out_dir)
+    if not manifests:
+        raise ValueError(f"no committed lake at {out_dir}")
+    todo = {
+        p: m
+        for p, m in manifests.items()
+        if len(m.get("files", [])) >= max(2, min_chain)
+        and (parts is None or p in set(parts))
+    }
+    if not todo:
+        return {"partitions_compacted": 0, "rows": 0, "files_folded": 0}
+    sample = next(iter(manifests.values()))
+    args = {
+        "sink_dir": out_dir,
+        "num_partitions": sample["stats"].get(
+            "num_partitions", max(manifests) + 1
+        ),
+        "prior_epochs": {p: m["epoch"] for p, m in manifests.items()},
+        "compression": "zstd",
+        "keep_epochs": keep_epochs,
+        "cluster_by_key": False,
+        "keep_tombstones": sample["stats"].get("keep_tombstones", False),
+    }
+    args_ser = pickle.dumps(args)
+    results = ray.get(
+        [
+            _compact_partition_task.remote(out_dir, p, m, args_ser)
+            for p, m in sorted(todo.items())
+        ]
+    )
+    return {
+        "partitions_compacted": len(results),
+        "rows": int(sum(r.get("state_rows", r.get("live_rows", 0)) for r in results)),
+        "files_folded": int(sum(len(m["files"]) for m in todo.values())),
+    }
+
+
 _TYPE_FROM_STR = {
     "string": pa.string(),
     "large_string": pa.large_string(),
@@ -2060,6 +2511,10 @@ def lake_diff(
         if to_epoch is None
         else mf.read_all_manifests(out_dir, asof_epoch=to_epoch)
     )
+    lake_tomb = any(
+        m["stats"].get("keep_tombstones", False)
+        for m in list(old_m.values()) + list(new_m.values())
+    )
     descs = []
     for part in sorted(set(old_m) | set(new_m)):
         om, nm = old_m.get(part), new_m.get(part)
@@ -2071,15 +2526,25 @@ def lake_diff(
                 "part": part,
                 "old_files": [os.path.join(pdir, f) for f in (om or {}).get("files", [])],
                 "new_files": [os.path.join(pdir, f) for f in (nm or {}).get("files", [])],
+                # merge-on-read chains fold to the copy-on-write row set
+                # before diffing (multiple versions per key otherwise
+                # explode the key join)
+                "old_fold": bool(om and len(om.get("files", [])) > 1),
+                "new_fold": bool(nm and len(nm.get("files", [])) > 1),
             }
         )
 
     # One output schema for every task, derived from the snapshots'
     # manifest fingerprints (no data reads): evolution means old/new epoch
     # files can disagree on columns, and per-task schemas would make the
-    # result Dataset's blocks un-unionable.
+    # result Dataset's blocks un-unionable.  A stored ``op`` column (delta
+    # chains, tombstone lakes) is merge bookkeeping, not row data — and it
+    # would collide with the diff's own leading ``op`` — so it never
+    # enters the row schema.
     involved = [m for m in list(old_m.values()) + list(new_m.values())]
-    union_schema = _schema_from_fingerprints(involved)
+    union_schema = pa.schema(
+        [f for f in _schema_from_fingerprints(involved) if f.name != "op"]
+    )
     out_fields = [pa.field("op", pa.string())] + list(union_schema)
     if include_before:
         out_fields += [
@@ -2091,12 +2556,17 @@ def lake_diff(
     schema_ser = out_schema.serialize().to_pybytes()
     n_row_fields = len(union_schema)
 
-    def _read_conform(files: list[str], schema: pa.Schema) -> pa.Table:
+    def _read_conform(
+        files: list[str], schema: pa.Schema, fold: bool = False
+    ) -> pa.Table:
         if not files:
             return schema.empty_table()
         t = pa.concat_tables(
             [pq.read_table(f) for f in files], promote_options="permissive"
         )
+        if fold:
+            # delta chain → the row set a copy-on-write commit would hold
+            t = _fold_chain_table(t, keep_tombstones=lake_tomb)
         cols = []
         for f in schema:
             if f.name in t.column_names:
@@ -2116,8 +2586,12 @@ def lake_diff(
         outs = []
         # metadata loop: one iteration per PARTITION descriptor, not per row
         for _, row in batch.iterrows():
-            old = _read_conform(list(row["old_files"]), row_schema)
-            new = _read_conform(list(row["new_files"]), row_schema)
+            old = _read_conform(
+                list(row["old_files"]), row_schema, fold=bool(row["old_fold"])
+            )
+            new = _read_conform(
+                list(row["new_files"]), row_schema, fold=bool(row["new_fold"])
+            )
             m = (
                 old.select(["repo", "path", "lsn"]).to_pandas()
                 .merge(
@@ -2214,14 +2688,30 @@ def lake_table(
 ) -> pa.Table:
     """Driver-side Arrow view of the lake — small/test scales only."""
     manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
-    files = mf.manifest_data_files(out_dir, manifests)
-    if not files:
+    chained = _chained_parts(manifests)
+    tables = []
+    for p, m in sorted(manifests.items()):
+        pdir = mf.partition_dir(out_dir, p)
+        if p in chained:
+            # merge-on-read chain: fold to the copy-on-write row set
+            tables.append(
+                _read_chain_folded(pdir, m["files"], keep_tombstones=True)
+            )
+        else:
+            tables.extend(
+                pq.read_table(os.path.join(pdir, f)) for f in m["files"]
+            )
+    if not tables:
         return REPO_FILES_SCHEMA.empty_table()
-    t = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="permissive"
-    ).sort_by([(k, "ascending") for k in KEY_COLUMNS])
+    t = pa.concat_tables(tables, promote_options="permissive").sort_by(
+        [(k, "ascending") for k in KEY_COLUMNS]
+    )
     if not include_tombstones and "op" in t.column_names:
         t = t.filter(pc.invert(op_equal(t.column("op"), "D")))
+    if chained and "op" in t.column_names and not any(
+        m["stats"].get("keep_tombstones", False) for m in manifests.values()
+    ) and not include_tombstones:
+        t = t.drop_columns(["op"])  # plain lake logical schema has no op
     return t
 
 
@@ -2246,7 +2736,11 @@ def _fsck_partition_deep(
     )
     if tbl is None:
         return issues
-    if table_digest(tbl, list(KEY_COLUMNS)) != manifest["digest"]:
+    # a delta manifest's digest covers the file THIS commit wrote (the
+    # chain's newest — it is what the concurrent-writer CAS compared);
+    # older chain files are covered by their own epochs' snapshot digests
+    digest_tbl = tables[-1] if manifest.get("kind") == "delta" else tbl
+    if table_digest(digest_tbl, list(KEY_COLUMNS)) != manifest["digest"]:
         issues.append(
             f"part {part}: content digest mismatch (data bytes do not "
             "match the committed manifest digest)"
@@ -2343,6 +2837,7 @@ def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
                 f"part {part}: id out of range for num_partitions={num_partitions}"
             )
         footer_rows = 0
+        is_delta = m.get("kind") == "delta"
         for f in m["files"]:
             fp = os.path.join(pdir, f)
             if not os.path.exists(fp):
@@ -2358,6 +2853,11 @@ def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
                 issues.append(f"part {part}: unreadable parquet footer {f}: {e}")
                 continue
             footer_rows += md.num_rows
+            # a delta manifest's fingerprint describes the file IT wrote
+            # (the chain's newest); older chain files legitimately carry
+            # earlier schemas (op-less plain bases, pre-evolution columns)
+            if is_delta and f != m["files"][-1]:
+                continue
             file_fields = {
                 (fld.name, str(fld.type)) for fld in pq.read_schema(fp)
             }

@@ -129,12 +129,30 @@ def commit_partition(
     digest: str,
     compression: str = "zstd",
     keep_epochs: int = 1,
+    chain_files: list[str] | None = None,
+    chain_rows: int = 0,
 ) -> dict[str, Any]:
     """Atomically commit one partition's full state for an epoch.
 
     Always whole-partition epochs, never appends (SURVEY.md §7 known-hard
     #1): the data file for epoch E fully replaces epoch E-1's; the manifest
     swap is the commit point.
+
+    ``chain_files`` switches to a MERGE-ON-READ DELTA commit
+    (``SinkConfig.merge_on_read``): ``table`` holds only the increment's
+    winner rows (op column retained, delete winners as op='D' tombstone
+    rows) and the manifest's ``files`` lists the prior state's whole
+    chain PLUS the new delta file, newest last.  Readers fold the chain
+    per key by max LSN (the same LWW kernel the writer uses), so the
+    folded view is row-identical to a copy-on-write commit of the same
+    events.  The manifest gains ``kind: "delta"``; ``rows`` counts
+    PHYSICAL chain rows (``chain_rows`` + the delta), not live keys —
+    the live count is unknowable without a fold, by design.  ``digest``
+    must be the DELTA table's digest (it tags the new file's name and is
+    what the concurrent-writer CAS compares); the chained prior files
+    stay referenced by the new manifest, so commit-time lazy GC and
+    ``vacuum`` keep them alive automatically.  The commit-point and CAS
+    semantics are byte-for-byte the base path's.
 
     ``keep_epochs``: how many epochs' data files survive GC (default 1 =
     current only).  A reader that loaded the previous manifest just before
@@ -172,12 +190,15 @@ def commit_partition(
         "part": part,
         "epoch": epoch,
         "max_lsn": stats.get("max_lsn", -1),
-        "files": [fname],
-        "rows": len(table),
+        "files": list(chain_files or []) + [fname],
+        "rows": chain_rows + len(table) if chain_files else len(table),
         "digest": digest,
         "schema_fingerprint": [(f.name, str(f.type)) for f in table.schema],
         "stats": stats,
     }
+    if chain_files:
+        manifest["kind"] = "delta"
+        manifest["delta_rows"] = len(table)
     payload = json.dumps(manifest, indent=1).encode()
     # Snapshot manifest FIRST, current-pointer second: the epoch manifest
     # (`manifest-e{N}.json`) is what time-travel reads resolve against, the
