@@ -23,6 +23,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_fanin_flagship,
     run_flagship,
     run_mor_flagship,
+    run_patch_flagship,
 )
 
 
@@ -59,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-read, write amplification ∝ increment), final state served by
         # the READ-SIDE fold — same oracle as cdc_replay by construction
         "cdc_replay_mor": lambda sf: run_mor_flagship(sf),
+        # op='P' partial updates (Debezium/Mongo partial-image shape):
+        # patches carry only changed columns (null = unchanged); the merge
+        # composes base image + patch stack per key column-wise
+        "cdc_replay_patches": lambda sf: run_patch_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -748,6 +753,20 @@ def oracle_sql() -> dict[str, str]:
                    text || ' [rev2]' AS content,
                    CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
                    sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        # patch flagship: inserts at 3d+1 (full row), a commit-only patch
+        # at 3d+2 (lang/content null = unchanged), deletes for tenth docs —
+        # final rows keep the ORIGINAL text/lang under the PATCHED commit
+        "cdc_replay_patches": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'p2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text AS content,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text) AS content_sha256
             FROM documents
             WHERE doc_id % 10 <> 0
         """,

@@ -248,20 +248,20 @@ def run_bench() -> dict:
     inc_base = f"/tmp/cdc_bench/inc_base_{ncpu}"
     shutil.rmtree(inc_base, ignore_errors=True)
     replay(prefix_log, inc_base, ReplayConfig())  # untimed base build
+    # single rep per mode: a COW increment costs a whole-lake rewrite
+    # (that IS the finding), so min-of-2 would add two more full-replay
+    # walls to the bench; the bytes numbers are deterministic either way
     for mode in ("cow", "mor"):
-        walls = []
-        for _ in range(2):
-            lk = f"/tmp/cdc_bench/inc_{mode}_{ncpu}"
-            _hardlink_clone(inc_base, lk)
-            t0 = time.time()
-            r = replay(
-                log_dir, lk, ReplayConfig(),
-                sink=SinkConfig(out_dir=lk, merge_on_read=(mode == "mor")),
-                resume=True,
-            )
-            walls.append(time.time() - t0)
-            inc_bytes[mode] = int(r.metrics["bytes_written"].sum())
-        queries[f"cdc_incremental_{mode}"] = round(min(walls), 3)
+        lk = f"/tmp/cdc_bench/inc_{mode}_{ncpu}"
+        _hardlink_clone(inc_base, lk)
+        t0 = time.time()
+        r = replay(
+            log_dir, lk, ReplayConfig(),
+            sink=SinkConfig(out_dir=lk, merge_on_read=(mode == "mor")),
+            resume=True,
+        )
+        queries[f"cdc_incremental_{mode}"] = round(time.time() - t0, 3)
+        inc_bytes[mode] = int(r.metrics["bytes_written"].sum())
 
     result = {
         "metric": "cdc_replay_wall_sec",

@@ -101,6 +101,74 @@ def run_flagship(
     return read_lake(lake_dir)
 
 
+def _derive_patch_events(batch: pa.Table) -> pa.Table:
+    """documents rows → I / P / (D) events exercising partial updates:
+
+      I @ lsn=3*doc_id+1  full row, commit='c1-<id>', content=text
+      P @ lsn=3*doc_id+2  commit='p2-<id>' ONLY (lang/content null=unchanged)
+      D @ lsn=3*doc_id+3  when doc_id % 10 == 0
+
+    ⇒ final state: every doc_id % 10 != 0 at its ORIGINAL text and lang
+    with the PATCHED commit id — SQL-trivial, so the DuckDB oracle checks
+    the whole compose path end-to-end."""
+    doc_id = batch.column("doc_id")
+    n = len(batch)
+    ids = pc.cast(doc_id, pa.string())
+    path = pc.binary_join_element_wise(
+        pa.array(["doc_"] * n), ids, pa.array([".txt"] * n), ""
+    )
+    base = pc.multiply(doc_id, pa.scalar(3, pa.int64()))
+
+    def ev(lsn_off, op, commit_prefix, lang, content):
+        return pa.table(
+            {
+                "lsn": pc.add(base, pa.scalar(lsn_off, pa.int64())),
+                "op": pa.array([op] * n, pa.string()),
+                "repo": batch.column("source"),
+                "path": path,
+                "commit": pc.binary_join_element_wise(
+                    pa.array([commit_prefix] * n), ids, ""
+                ),
+                "lang": lang,
+                "content": content,
+            }
+        )
+
+    inserts = ev(1, "I", "c1-", batch.column("lang"), batch.column("text"))
+    patches = ev(
+        2, "P", "p2-", pa.nulls(n, pa.string()), pa.nulls(n, pa.string())
+    )
+    ids_np = doc_id.to_numpy() if isinstance(doc_id, pa.Array) else doc_id.combine_chunks().to_numpy()
+    deletes = ev(
+        3, "D", "c2-", batch.column("lang"), pa.nulls(n, pa.string())
+    ).filter(pa.array(ids_np % 10 == 0))
+    return pa.concat_tables([inserts, patches, deletes])
+
+
+def run_patch_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Partial-update end-to-end: full-image inserts, op='P' patches that
+    change ONLY the commit id (null = unchanged), deletes — the merge
+    composes base+patch per key (``merge._compose_patches_exact``)."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_patch/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    ds.map_batches(
+        _derive_patch_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    return read_lake(lake_dir)
+
+
 def run_mor_flagship(
     sf_dir: str,
     work_dir: str | None = None,

@@ -67,6 +67,7 @@ from ..stages.merge import (
     EVENTS_COL,
     HAD_INSERT_COL,
     KEY_HASH_COL,
+    SORT_KEYS,
     finalize_partition,
     fold_latest,
 )
@@ -218,7 +219,7 @@ def _fold_chain_table(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
         tbl = tbl.set_column(
             i, tbl.schema.field(i), pc.fill_null(tbl.column("op"), "I")
         )
-    folded = fold_latest(tbl, keep_tombstones=keep_tombstones)
+    folded = fold_latest(tbl, keep_tombstones=keep_tombstones, compose_patches=True)
     drop = [
         c for c in (EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL)
         if c in folded.column_names
@@ -340,6 +341,60 @@ def _fold_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     return _commit_with_metrics(part, final, stats, args)
 
 
+def _patch_winners(part: int, tbl: pa.Table, events_in: int, keep_tomb: bool) -> dict[str, Any]:
+    """Phase-1 winner-set computation when op='P' partial updates are
+    present: a key's extraction set is no longer one row — it is the base
+    full image (last non-P event, whatever its op) PLUS every patch above
+    it, because phase 2 must ship all of them for the committer's
+    composition (``merge._compose_patches_exact``).  Patch-free keys keep
+    the existing single-winner semantics (D winners drop from the
+    extraction set on plain lakes exactly as before)."""
+    from ..stages.merge import _segment_last_mask
+
+    t = tbl.sort_by(SORT_KEYS)
+    n = len(t)
+    last, seg = _segment_last_mask(t)
+    starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+    idx = np.arange(n, dtype=np.int64)
+    is_p = op_equal(t.column("op"), "P").to_numpy(zero_copy_only=False)
+    is_d = op_equal(t.column("op"), "D").to_numpy(zero_copy_only=False)
+    lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+    base_idx = np.maximum.reduceat(np.where(~is_p, idx, -1), starts)
+    tmpl = np.flatnonzero(last)
+    seg_last_p = is_p[tmpl]  # segment's max-LSN row is a patch
+    pseg = seg_last_p[seg]
+    winners = np.zeros(n, dtype=bool)
+    winners |= pseg & (idx >= base_idx[seg])  # base (if any) + patches
+    patchless_tmpl = tmpl[~seg_last_p]
+    if keep_tomb:
+        winners[patchless_tmpl] = True
+    else:
+        winners[patchless_tmpl[~is_d[patchless_tmpl]]] = True
+    win_lsn = lsn[winners]
+    if HAD_INSERT_COL in t.column_names:
+        hi_col = t.column(HAD_INSERT_COL)
+        if hi_col.null_count:
+            hi_col = pc.coalesce(hi_col, op_equal(t.column("op"), "I"))
+        hi = hi_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        hi = op_equal(t.column("op"), "I").to_numpy(zero_copy_only=False).astype(np.int64)
+    had_insert = np.bincount(seg, weights=hi) > 0
+    deleted = is_d[tmpl] & ~seg_last_p  # final state = tombstone
+    stats = {
+        "events_in": events_in,
+        "keys_seen": int(len(tmpl)),
+        "deleted_keys": int(deleted.sum()),
+        "orphan_events_applied": int((~deleted & ~had_insert).sum()),
+        "orphan_deletes": int((deleted & ~had_insert).sum()),
+        "max_lsn": int(lsn.max()),
+        "min_lsn": int(lsn.min()),
+        "live_rows": int(len(tmpl)) - int(deleted.sum()),
+        "state_rows": int(winners.sum()),
+        "patched_keys": int(seg_last_p.sum()),
+    }
+    return {"part": part, "stats": stats, "winners_ref": ray.put(np.sort(win_lsn))}
+
+
 def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     """Phase-1 finalize: last-writer-wins over the key/LSN projection.
 
@@ -401,6 +456,9 @@ def _winners_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     else:
         events_in = len(tbl)
     keep_tomb = bool(args.get("keep_tombstones", False))
+    if bool(pc.any(op_equal(tbl.column("op"), "P")).as_py()):
+        # partial updates: the winner SET per key is base + patch stack
+        return _patch_winners(part, tbl, events_in, keep_tomb)
 
     def exact_fold():
         # exact sorted fold: handles hash collisions AND equal-LSN ties
@@ -509,6 +567,7 @@ def _make_phase1_process(
     combine: bool = False,
     combine_mode: str = "adaptive",
     strict: bool = False,
+    allow_patches: bool = True,
 ):
     ckpt_arr = None
     if checkpoints:
@@ -546,6 +605,20 @@ def _make_phase1_process(
                 raise reject_error(reasons, valid)
             nrej = int((~valid).sum())
             batch = batch.filter(pa.array(valid))
+        if not allow_patches and len(batch) and bool(
+            pc.any(op_equal(batch.column("op"), "P")).as_py()
+        ):
+            # Patch composition is only sound on feeds append-only in LSN
+            # (a patch can never be replayed INTO an already-composed
+            # stack); watermark_prune=False declares the feed is NOT —
+            # fail loudly, no partition has committed.
+            raise ValueError(
+                "op='P' partial-update events require an append-only-LSN "
+                "feed; this replay runs with watermark_prune=False "
+                "(fan-in / out-of-order mode), where composing a patch "
+                "stack is lossy. Route patches through an append-only "
+                "source."
+            )
         for col in ("repo", "path"):
             i = batch.schema.get_field_index(col)
             batch = batch.set_column(
@@ -751,6 +824,7 @@ def _make_conform_winners(
     num_partitions: int,
     prior: bool,
     verify_content: bool = False,
+    checkpoints: dict[int, int] | None = None,
 ):
     """Conform + route-key an ALREADY winner-filtered batch (phase-2 tail).
 
@@ -758,7 +832,24 @@ def _make_conform_winners(
     content gate (``_rg_content_valid``): winners are fully decoded here,
     so a null-content I/U row that slipped past the footer-stats heuristic
     is caught BEFORE any partition commits.  The check touches only winner
-    rows (~live fraction of the log), two kernels per batch."""
+    rows (~live fraction of the log), two kernels per batch.
+
+    ``checkpoints`` prunes log rows at/below the partition's committed
+    watermark, EXACTLY as phase 1 did before winner selection.  This is
+    not just symmetry: on resume, a winner's LSN often equals a
+    pre-checkpoint event's LSN (the prior state row re-enters at the LSN
+    of the event that produced it), so the raw event passes the
+    winner-membership filter too.  Pre-patch that duplicate was
+    byte-identical to the prior row and the committer's equal-LSN dedupe
+    could keep either; an op='P' event is NOT identical to the composed
+    row it produced — keeping the raw patch would erase the columns the
+    composition had inherited (caught by
+    tests/test_patch.py::test_patch_stack_split_across_cow_resume)."""
+    ckpt_arr = None
+    if checkpoints:
+        ckpt_arr = np.full(num_partitions, -1, dtype=np.int64)
+        for p_, l_ in checkpoints.items():
+            ckpt_arr[p_] = l_
 
     def process(batch: pa.Table) -> pa.Table:
         if prior:
@@ -773,7 +864,11 @@ def _make_conform_winners(
         batch = conform_batch(batch, event_schema)
         if verify_content and not prior and len(batch):
             bad = pc.and_(
-                pc.invert(pc.equal(batch.column("op"), pa.scalar("D"))),
+                pc.invert(
+                    pc.is_in(
+                        batch.column("op"), value_set=pa.array(["D", "P"])
+                    )
+                ),
                 pc.is_null(batch.column("content")),
             )
             n_bad = pc.sum(bad.cast(pa.int64())).as_py() or 0
@@ -793,6 +888,13 @@ def _make_conform_winners(
             )
         kh = key_hash(batch.column("repo"), batch.column("path"))
         parts = (kh % np.uint64(num_partitions)).astype(np.int64)
+        if ckpt_arr is not None and not prior and len(batch):
+            lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+            keep = lsn > ckpt_arr[parts]
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                parts = parts[keep]
+                kh = kh[keep]
         batch = batch.append_column(PART_COLUMN, pa.array(parts))
         batch = batch.append_column(KEY_HASH_COL, pa.array(kh.view(np.int64)))
         return batch
@@ -887,10 +989,12 @@ def _rg_content_valid(
     if not force_decode and st is not None and st.has_null_count:
         if st.null_count == 0:
             return None
-        n_d = pc.sum(
-            pc.equal(t.column("op"), pa.scalar("D")).cast(pa.int64())
+        n_exempt = pc.sum(
+            pc.is_in(t.column("op"), value_set=pa.array(["D", "P"])).cast(
+                pa.int64()
+            )
         ).as_py()
-        if st.null_count <= (n_d or 0):
+        if st.null_count <= (n_exempt or 0):
             return True  # ambiguous: optimistic, verified on winners in p2
     col = pf.read_row_group(rg, columns=["content"], use_threads=False).column(
         "content"
@@ -1219,6 +1323,7 @@ def replay(
             event_schema, num_partitions, checkpoints=ckpts,
             combine=cfg.combine_before_shuffle,
             strict=not cfg.drop_invalid,
+            allow_patches=cfg.watermark_prune,
         )
         ds = read_change_log(scan, num_blocks=num_blocks, concurrency=cfg.read_concurrency)
         metrics_rows = run_exchange(
@@ -1345,6 +1450,7 @@ def _replay_late(
                 num_partitions, ckpts, combine=cfg.phase1_combine,
                 combine_mode=cfg.phase1_combine_mode,
                 strict=not cfg.drop_invalid,
+                allow_patches=cfg.watermark_prune,
             ),
             actors,
             num_partitions,
@@ -1434,6 +1540,7 @@ def _replay_late(
             _make_conform_winners(
                 event_schema, num_partitions, prior=False,
                 verify_content=(cfg.content_check != "off"),
+                checkpoints=ckpts,
             ),
             actors2,
             num_partitions,
@@ -1487,6 +1594,7 @@ def _replay_groupby(
         event_schema, num_partitions, checkpoints=ckpts,
         combine=cfg.combine_before_shuffle,
         strict=not cfg.drop_invalid,
+        allow_patches=cfg.watermark_prune,
     )
 
     def partition_task(group: pa.Table) -> pa.Table:

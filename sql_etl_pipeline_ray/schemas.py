@@ -42,15 +42,25 @@ CHANGE_EVENT_SCHEMA = pa.schema(
     ]
 )
 
-VALID_OPS = ("I", "U", "D")
+# 'P' is a PARTIAL update (patch): null non-key columns mean "unchanged" —
+# the Debezium/Mongo partial-image shape.  The merge composes a key's
+# latest full image (last non-P event) with every patch above it,
+# column-wise last-non-null (stages/merge.py compose_patches).  Patches
+# require a feed append-only in LSN (ReplayConfig.watermark_prune): a
+# patch can never be replayed INTO an already-composed stack, so fan-in
+# feeds reject them.  A patch cannot set a column TO null (null means
+# unchanged by definition); content may legitimately be null on P like D.
+VALID_OPS = ("I", "U", "D", "P")
 
 # Phase-1 of the late exchange ships ``op`` as a 1-byte code instead of the
 # raw string column (5 B/row: 1 data byte + a 4-byte offset).  The code
-# order MIRRORS the string order ('D' < 'I' < 'U'), so every ascending
-# sort / last-wins tiebreak on op is encoding-agnostic.
-OP_CODES = {"D": 0, "I": 1, "U": 2}
+# order MIRRORS the string order ('D' < 'I' < 'P' < 'U'), so every
+# ascending sort / last-wins tiebreak on op is encoding-agnostic.  (Equal-
+# LSN ties are contract violations resolved deterministically; the D-low
+# rule — an upsert beats a delete at the same LSN — is unchanged.)
+OP_CODES = {"D": 0, "I": 1, "P": 2, "U": 3}
 # value_set for pc.index_in: position == code.
-OP_CODE_ORDER = pa.array(["D", "I", "U"])
+OP_CODE_ORDER = pa.array(["D", "I", "P", "U"])
 
 
 def op_equal(col: pa.ChunkedArray | pa.Array, op: str):

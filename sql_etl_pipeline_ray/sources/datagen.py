@@ -38,7 +38,7 @@ _WORDS = np.array(
     "scan filter merge batch shuffle commit index vector stream actor "
     "buffer column schema offset lineage digest replay window upsert".split()
 )
-_OPS = np.array(["I", "U", "D"], dtype=object)
+_OPS = np.array(["I", "U", "D", "P"], dtype=object)
 
 
 @dataclass
@@ -53,6 +53,11 @@ class ChangeLogSpec:
     orphan_frac: float = 0.01  # events targeting never-inserted keys
     evolve_after_frac: float | None = None  # e.g. 0.6 → schema evolves at 60% LSN
     content_pad: int = 0  # max extra repeated filler lines per row (sizes content)
+    # fraction of would-be updates emitted as op='P' PARTIAL updates
+    # (null = unchanged: the patch carries a new commit id; lang/content
+    # stay null).  0.0 adds no RNG draws, so existing seeds/logs are
+    # byte-stable.
+    patch_frac: float = 0.0
 
 
 def _keys(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -78,8 +83,8 @@ def _keys(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _plan(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray]:
     """Global event plan: (key_id, op_code) per event — two int arrays only.
 
-    op codes: 0=I, 1=U, 2=D.  First event per key is an insert, except a
-    small orphan set whose keys never see an insert."""
+    op codes: 0=I, 1=U, 2=D, 3=P (partial update).  First event per key is
+    an insert, except a small orphan set whose keys never see an insert."""
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
     key_ids = rng.integers(0, spec.n_keys, n)
@@ -95,6 +100,11 @@ def _plan(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray]:
     orphan = first_mask & (rng.random(n) < spec.orphan_frac)
     op_code[first_mask & ~orphan] = 0
     op_code[orphan] = np.where(rng.random(int(orphan.sum())) < 0.5, 1, 2)
+    if spec.patch_frac:
+        # only full updates become patches (first-inserts and deletes keep
+        # their roles); drawn last so patch_frac=0 leaves the RNG stream —
+        # and therefore every existing log — untouched
+        op_code[(op_code == 1) & (rng.random(n) < spec.patch_frac)] = 3
     return key_ids, op_code
 
 
@@ -161,7 +171,9 @@ def _gen_rows(
     oc = op_code[idx]
     lsn = (idx + 1).astype(np.int64)
     content = _content_slice(kid, lsn, spec.content_pad)
-    content[oc == 2] = None
+    content[oc >= 2] = None  # deletes carry nothing; patches leave it unchanged
+    lang = pd.Series(lang_u[kid], dtype=object)
+    lang[oc == 3] = None  # a patch updates commit only; null = unchanged
     tbl = pa.table(
         {
             "lsn": lsn,
@@ -169,7 +181,7 @@ def _gen_rows(
             "repo": pa.array(repo_u[kid], type=pa.string()),
             "path": pa.array(path_u[kid], type=pa.string()),
             "commit": pa.array(_commits_slice(kid, lsn), type=pa.string()),
-            "lang": pa.array(lang_u[kid], type=pa.string()),
+            "lang": pa.array(lang, type=pa.string(), from_pandas=True),
             "content": pa.array(content, type=pa.string()),
         }
     )
@@ -177,6 +189,9 @@ def _gen_rows(
         size_bytes = np.where(
             lsn > evolve_lsn, pd.Series(content).fillna("").str.len().to_numpy(), -1
         )
+        # null on patches: size_bytes derives from content, which a patch
+        # leaves unchanged (a 0 here would "patch" the column to 0)
+        size_bytes = np.where(oc == 3, -1, size_bytes)
         sb = pa.array(
             np.where(size_bytes < 0, None, size_bytes), type=pa.int64(), from_pandas=True
         )
@@ -373,10 +388,27 @@ def replay_oracle(events: pa.Table) -> pd.DataFrame:
     df = events.to_pandas().sort_values("lsn")
     state: dict[tuple[str, str], dict] = {}
     extra_cols = [c for c in df.columns if c not in ("lsn", "op", "repo", "path", "commit", "lang", "content")]
+    def _sha(content):
+        return (
+            hashlib.sha256(content.encode()).hexdigest()
+            if isinstance(content, str)
+            else None
+        )
+
     for row in df.itertuples(index=False):
         key = (row.repo, row.path)
         if row.op == "D":
             state.pop(key, None)
+        elif row.op == "P":
+            # partial update: null = unchanged; applies over the current
+            # image (all-null if the key is absent — deleted or orphan)
+            prev = state.get(key, {})
+            rec = {"repo": row.repo, "path": row.path, "lsn": row.lsn}
+            for c in ("commit", "lang", "content", *extra_cols):
+                new = getattr(row, c)
+                rec[c] = new if not pd.isna(new) else prev.get(c)
+            rec["content_sha256"] = _sha(rec["content"])
+            state[key] = rec
         else:
             rec = {
                 "repo": row.repo,
@@ -385,9 +417,7 @@ def replay_oracle(events: pa.Table) -> pd.DataFrame:
                 "lang": row.lang,
                 "content": row.content,
                 "lsn": row.lsn,
-                "content_sha256": hashlib.sha256(row.content.encode()).hexdigest()
-                if isinstance(row.content, str)
-                else None,
+                "content_sha256": _sha(row.content),
             }
             for c in extra_cols:
                 rec[c] = getattr(row, c)

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import sha256_column
-from ..schemas import KEY_COLUMNS, op_equal
+from ..schemas import KEY_COLUMNS, OP_CODES, op_equal
 
 # Engine-internal columns added by the normalize stage / combiner.
 EVENTS_COL = "_events"  # events folded into this row (partial-agg count)
@@ -141,7 +141,111 @@ def _fold_latest_fast(tbl: pa.Table, keep_tombstones: bool) -> pa.Table | None:
     return out
 
 
-def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
+def _has_patches(tbl: pa.Table) -> bool:
+    """One kernel pass: any op='P' row in the batch?  Gates the patch
+    machinery so patch-free logs (the common case) pay a single equality
+    scan and keep every existing fast path."""
+    if "op" not in tbl.column_names or len(tbl) == 0:
+        return False
+    return bool(pc.any(op_equal(tbl.column("op"), "P")).as_py())
+
+
+def _compose_patches_exact(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
+    """Patch-aware exact fold: one row per key = its latest FULL image
+    (last non-P event, the "base") composed with every patch above it,
+    column-wise last-non-null.
+
+    Semantics (see schemas.VALID_OPS):
+    - base I/U: its values, overwritten by each higher patch's non-null
+      columns in LSN order.
+    - base D: the image resets to all-null before patches apply (a delete
+      destroys the row; patches above re-create it partially).  Composed
+      op becomes 'U' — a full image whose nulls are real.
+    - no base at all (orphan-patch key): patches compose into ONE op='P'
+      row.  'P' persists in tombstone lakes and merge-on-read deltas —
+      it tells a later fold (read-side chain fold, resume re-entry) that
+      the row is still partial and must compose with any base below it.
+    - keys without patches pass through EXACTLY as the patchless fold
+      would emit them (same bytes — pinned by tests), so mixing patched
+      and unpatched keys changes nothing for the latter.
+
+    Requires an append-only-LSN feed (guarded in replay): composing a
+    stack is lossy — a late patch with an LSN between two already-composed
+    events can never be applied in its true position afterwards.
+    """
+    tbl = tbl.sort_by(SORT_KEYS)
+    n = len(tbl)
+    last, seg = _segment_last_mask(tbl)
+    starts = np.flatnonzero(np.concatenate(([True], seg[1:] != seg[:-1])))
+    idx = np.arange(n, dtype=np.int64)
+    is_p = op_equal(tbl.column("op"), "P").to_numpy(zero_copy_only=False)
+    is_d = op_equal(tbl.column("op"), "D").to_numpy(zero_copy_only=False)
+    # base = last non-P row per segment (-1: all-P orphan stack)
+    base_idx = np.maximum.reduceat(np.where(~is_p, idx, -1), starts)
+    tmpl_idx = np.flatnonzero(last)  # winner template: the max-LSN row
+    seg_last_p = is_p[tmpl_idx]
+    # patched segments: last row is a patch (all-P segments included)
+    patched = seg_last_p
+    # rows feeding the composition: every patch above the base, plus the
+    # base itself UNLESS it is a delete (a delete's stored columns are
+    # not part of the re-created image)
+    kept = (idx > base_idx[seg]) | (
+        (idx == base_idx[seg]) & ~is_d
+    )
+    out = tbl.filter(pa.array(last))
+    compose_cols = [
+        c
+        for c in tbl.column_names
+        if c
+        not in (*KEY_COLUMNS, "lsn", "op", EVENTS_COL, HAD_INSERT_COL, KEY_HASH_COL)
+    ]
+    for name in compose_cols:
+        col = tbl.column(name)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        pick = np.maximum.reduceat(np.where(kept & valid, idx, -1), starts)
+        # unpatched segments keep their template value bit-for-bit
+        pick = np.where(patched, pick, tmpl_idx)
+        ind = pa.array(pick, mask=(pick < 0))
+        composed = col.take(ind)
+        i = out.schema.get_field_index(name)
+        out = out.set_column(i, out.schema.field(i), composed)
+    # composed op: orphan stack stays 'P'; a based stack becomes a full
+    # image 'U'; unpatched segments keep their template op
+    op_col = out.column("op")
+    if pa.types.is_integer(op_col.type):
+        u_val = pa.scalar(OP_CODES["U"], op_col.type)
+        p_val = pa.scalar(OP_CODES["P"], op_col.type)
+    else:
+        u_val, p_val = pa.scalar("U"), pa.scalar("P")
+    orphan = patched & (base_idx < 0)  # base_idx is already per-segment
+    new_op = pc.if_else(
+        pa.array(patched & ~orphan), u_val, op_col
+    )
+    new_op = pc.if_else(pa.array(orphan), p_val, new_op)
+    i = out.schema.get_field_index("op")
+    out = out.set_column(i, out.schema.field(i), new_op)
+    # partial-agg columns aggregate over the WHOLE segment
+    if EVENTS_COL in tbl.column_names:
+        ev = tbl.column(EVENTS_COL).to_numpy(zero_copy_only=False)
+        i = out.schema.get_field_index(EVENTS_COL)
+        out = out.set_column(
+            i, out.schema.field(i),
+            pa.array(np.bincount(seg, weights=ev).astype(np.int64)),
+        )
+    if HAD_INSERT_COL in tbl.column_names:
+        hi = tbl.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = out.schema.get_field_index(HAD_INSERT_COL)
+        out = out.set_column(
+            i, out.schema.field(i), pa.array(np.bincount(seg, weights=hi) > 0)
+        )
+    if not keep_tombstones:
+        out = out.filter(pc.invert(op_equal(out.column("op"), "D")))
+    return out
+
+
+def fold_latest(
+    tbl: pa.Table, keep_tombstones: bool, compose_patches: bool = False
+) -> pa.Table:
     """Collapse an event table to the max-LSN event per (repo, path).
 
     Vectorized: an int-only lexsort fast path (``_fold_latest_fast``) with
@@ -154,6 +258,22 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
     With ``keep_tombstones=True`` this is the COMBINER (a delete must keep
     winning until the final fold); with ``False`` it is the final fold and
     tombstoned keys are dropped.
+
+    ``compose_patches`` governs op='P' partial updates and MUST match the
+    caller's context:
+
+    - ``True`` — the caller holds a key's COMPLETE event set (per-partition
+      finalize over log+prior, merge-on-read chain fold) or a contiguous
+      LSN suffix of it (a resume increment under append-only feeds): the
+      patch stack composes into the final image
+      (``_compose_patches_exact``).
+    - ``False`` (default) — partial/subset folds (the pre-shuffle combiner,
+      the exchange actors' memory-pressure compaction): composing an
+      arbitrary LSN SUBSET is unsound (a full image composed from a
+      subset would mask patches interleaved in other subsets), so non-P
+      rows fold normally — dropping a non-P row below the subset's
+      latest non-P stays globally safe — and P rows pass through
+      untouched.
     """
     if len(tbl) == 0:
         return tbl
@@ -195,6 +315,18 @@ def fold_latest(tbl: pa.Table, keep_tombstones: bool) -> pa.Table:
             tbl = tbl.set_column(i, tbl.schema.field(i), pa.array(kh))
         else:
             tbl = tbl.append_column(KEY_HASH_COL, pa.array(kh))
+    if _has_patches(tbl):
+        if compose_patches:
+            return _compose_patches_exact(tbl, keep_tombstones)
+        # subset fold: P rows pass through untouched (see docstring); the
+        # non-P rows fold normally — recursion takes the patch-free path
+        pmask = op_equal(tbl.column("op"), "P")
+        p_rows = tbl.filter(pmask)
+        rest = tbl.filter(pc.invert(pmask))
+        if len(rest) == 0:
+            return tbl
+        folded = fold_latest(rest, keep_tombstones=keep_tombstones)
+        return pa.concat_tables([folded, p_rows], promote_options="permissive")
     fast = _fold_latest_fast(tbl, keep_tombstones)
     if fast is not None:
         return fast
@@ -240,7 +372,10 @@ def finalize_partition(
     if EVENTS_COL in tbl.column_names and n_in:
         # null _events = never-folded row = exactly one event (see fold_latest)
         events_in = int(pc.sum(pc.fill_null(tbl.column(EVENTS_COL), 1)).as_py())
-    folded = fold_latest(tbl, keep_tombstones=True)
+    # compose_patches: finalize always holds the key's complete event set
+    # (log + prior state) or a contiguous increment suffix — the two
+    # contexts where patch composition is sound (see fold_latest)
+    folded = fold_latest(tbl, keep_tombstones=True, compose_patches=True)
     is_del = op_equal(folded.column("op"), "D") if len(folded) else pa.array([], pa.bool_())
     had_insert = (
         folded.column(HAD_INSERT_COL).to_numpy(zero_copy_only=False)

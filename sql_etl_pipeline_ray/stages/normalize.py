@@ -43,8 +43,9 @@ def event_validity(
 ) -> tuple[np.ndarray | None, np.ndarray | None]:
     """Vectorized hard-invariant check shared by EVERY exchange strategy.
 
-    One predicate, one place: op ∈ {I,U,D}, non-null lsn/repo/path, and
-    content present on I/U (a delete legitimately carries no content).
+    One predicate, one place: op ∈ {I,U,D,P}, non-null lsn/repo/path, and
+    content present on I/U (a delete legitimately carries no content, and
+    a partial update's null content means "unchanged").
     Divergence here is how replay strategies stop being byte-identical on
     dirty logs — the late strategy's phase 1 must reject exactly the rows
     the single-phase normalizer would, or the two pick different winners.
@@ -83,7 +84,13 @@ def event_validity(
                 content_valid = _np(pc.is_valid(batch.column("content")))
             else:
                 content_valid = np.zeros(n, dtype=bool)
-        ok_content = content_valid | _np(pc.equal(op, pa.scalar("D")))
+        # D carries no content by nature; P's null content means
+        # "unchanged" (partial update) — both are content-exempt
+        ok_content = (
+            content_valid
+            | _np(pc.equal(op, pa.scalar("D")))
+            | _np(pc.equal(op, pa.scalar("P")))
+        )
     valid = ok_lsn & ok_key & ok_op
     if ok_content is not None:
         valid &= ok_content
@@ -136,6 +143,7 @@ def make_normalizer(
     checkpoints: dict[int, int] | None = None,
     combine: bool = True,
     strict: bool = False,
+    allow_patches: bool = True,
 ):
     """Build the batch fn for ``ds.map_batches(fn, batch_format='pyarrow')``.
 
@@ -156,6 +164,15 @@ def make_normalizer(
             if strict:
                 raise reject_error(reasons, valid)
             batch = batch.filter(pa.array(valid))
+        if not allow_patches and len(batch) and bool(
+            pc.any(pc.equal(batch.column("op"), pa.scalar("P"))).as_py()
+        ):
+            # mirrors the late strategy's guard: patches require an
+            # append-only-LSN feed (see replay.py _make_phase1_process)
+            raise ValueError(
+                "op='P' partial-update events require an append-only-LSN "
+                "feed; this replay runs with watermark_prune=False"
+            )
         for col in ("repo", "path"):
             idx = batch.schema.get_field_index(col)
             batch = batch.set_column(

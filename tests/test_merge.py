@@ -166,12 +166,12 @@ def test_winners_fn_resolves_max_lsn_tie_via_exact_fold():
 
 def test_op_code_order_mirrors_string_order():
     """The int8 encoding phase 1 ships relies on code order == string order
-    ('D' < 'I' < 'U') so the exact fold's ascending-op tiebreak is
+    ('D' < 'I' < 'P' < 'U') so the exact fold's ascending-op tiebreak is
     encoding-agnostic."""
     from sql_etl_pipeline_ray.schemas import OP_CODES
 
     by_code = sorted(OP_CODES, key=OP_CODES.get)
-    assert by_code == sorted(OP_CODES) == ["D", "I", "U"]
+    assert by_code == sorted(OP_CODES) == ["D", "I", "P", "U"]
 
 
 def test_fold_latest_int8_op_tiebreak_matches_string():
