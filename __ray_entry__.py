@@ -24,6 +24,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_flagship,
     run_mor_flagship,
     run_patch_flagship,
+    run_txn_flagship,
 )
 
 
@@ -64,6 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # patches carry only changed columns (null = unchanged); the merge
         # composes base image + patch stack per key column-wise
         "cdc_replay_patches": lambda sf: run_patch_flagship(sf),
+        # transaction-consistent MULTI-TABLE replay: one multiplexed WAL
+        # (tbl/txn columns, Debezium txn-metadata model), unsealed
+        # watermark holds back the final (possibly torn) transaction,
+        # per-table demux + replay, atomic cross-table snapshot publish,
+        # exact-epoch pinned reads (pipelines/txn.py)
+        "cdc_multitable": lambda sf: run_txn_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -769,6 +776,34 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha256
             FROM documents
             WHERE doc_id % 10 <> 0
+        """,
+        # multi-table txn replay: txn d = {I files@4d+1, I meta@4d+2,
+        # U files@4d+3, D meta@4d+4 if d%10==0}; UNSEALED publish drops
+        # the max-doc_id transaction whole (the one-txn WAL lag), so both
+        # tables cut at doc_id <= MAX(doc_id)-1 — torn-tail rule included
+        # in the oracle
+        "cdc_multitable": """
+            WITH hwm AS (SELECT MAX(doc_id) - 1 AS h FROM documents)
+            SELECT 'files' AS tbl,
+                   source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'f2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(4 * doc_id + 3 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256
+            FROM documents, hwm WHERE doc_id <= h
+            UNION ALL
+            SELECT 'meta' AS tbl,
+                   source AS repo,
+                   'meta_' || CAST(doc_id AS VARCHAR) || '.json' AS path,
+                   'm1-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   '{"doc": ' || CAST(doc_id AS VARCHAR) || '}' AS content,
+                   CAST(4 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256('{"doc": ' || CAST(doc_id AS VARCHAR) || '}')
+                       AS content_sha256
+            FROM documents, hwm WHERE doc_id <= h AND doc_id % 10 <> 0
         """,
         # bootstrap live state: snapshot rows (lsn=doc_id ≤ M) overwritten
         # by the post-watermark updates at M+1+2d; tenth docs deleted at

@@ -350,3 +350,108 @@ def run_fanin_flagship(
         source_names=["alpha", "beta"],
     )
     return read_lake(lake_dir)
+
+
+def _derive_txn_events(batch: pa.Table) -> pa.Table:
+    """documents rows → one multi-statement TRANSACTION per doc, spanning
+    two logical tables (the multiplexed-WAL shape ``pipelines/txn.py``
+    consumes; reference analogue: the multi-table ETL loop
+    ``src/etl_pipeline.py:66-72`` + FK-joined upserts
+    ``sql/etl_transformations.sql:151-152``):
+
+      txn=d:  I 'files' @ 4d+1  (doc_<d>.txt, text,        commit f1-<d>)
+              I 'meta'  @ 4d+2  (meta_<d>.json, json blob,  commit m1-<d>)
+              U 'files' @ 4d+3  (text || ' [rev2]',         commit f2-<d>)
+              D 'meta'  @ 4d+4  when d % 10 == 0
+
+    Unsealed publish ⇒ the highest txn (max doc_id) is held back whole —
+    the one-transaction WAL lag ``txn_watermark`` documents."""
+    doc_id = batch.column("doc_id")
+    n = len(batch)
+    ids = pc.cast(doc_id, pa.string())
+    base = pc.multiply(doc_id, pa.scalar(4, pa.int64()))
+
+    def ev(off, op, tblname, path, commit_prefix, content):
+        return pa.table(
+            {
+                "lsn": pc.add(base, pa.scalar(off, pa.int64())),
+                "op": pa.array([op] * n, pa.string()),
+                "repo": batch.column("source"),
+                "path": path,
+                "commit": pc.binary_join_element_wise(
+                    pa.array([commit_prefix] * n), ids, ""
+                ),
+                "lang": batch.column("lang"),
+                "content": content,
+                "tbl": pa.array([tblname] * n, pa.string()),
+                "txn": doc_id,
+            }
+        )
+
+    fpath = pc.binary_join_element_wise(
+        pa.array(["doc_"] * n), ids, pa.array([".txt"] * n), ""
+    )
+    mpath = pc.binary_join_element_wise(
+        pa.array(["meta_"] * n), ids, pa.array([".json"] * n), ""
+    )
+    mjson = pc.binary_join_element_wise(
+        pa.array(['{"doc": '] * n), ids, pa.array(["}"] * n), ""
+    )
+    rev2 = pc.binary_join_element_wise(
+        batch.column("text"), pa.array([" [rev2]"] * n), ""
+    )
+    parts = [
+        ev(1, "I", "files", fpath, "f1-", batch.column("text")),
+        ev(2, "I", "meta", mpath, "m1-", mjson),
+        ev(3, "U", "files", fpath, "f2-", rev2),
+    ]
+    ids_np = (
+        doc_id.to_numpy()
+        if isinstance(doc_id, pa.Array)
+        else doc_id.combine_chunks().to_numpy()
+    )
+    del_mask = pa.array(ids_np % 10 == 0)
+    parts.append(
+        ev(4, "D", "meta", mpath, "m2-", pa.nulls(n, pa.string())).filter(del_mask)
+    )
+    return pa.concat_tables(parts)
+
+
+def run_txn_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Transaction-consistent multi-table replay end to end: multiplexed
+    WAL → txn watermark (UNSEALED: the final transaction is held back) →
+    per-table demux → two independent lake replays → atomic cross-table
+    snapshot → exact-epoch transactional read.  Returns both tables
+    unioned under a ``tbl`` discriminator so one DuckDB oracle verifies
+    the whole path, torn-tail rule included."""
+    from .txn import read_txn_tables, replay_txn
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_txn/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    root = os.path.join(work, "out")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(
+        _derive_txn_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    replay_txn(log_dir, root, ReplayConfig(num_partitions=num_partitions))
+    tables = read_txn_tables(root)
+
+    def tag_tbl(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.add_column(0, "tbl", pa.array([name] * len(t), pa.string()))
+
+        return fn
+
+    return tables["files"].map_batches(
+        tag_tbl("files"), batch_format="pyarrow"
+    ).union(
+        tables["meta"].map_batches(tag_tbl("meta"), batch_format="pyarrow")
+    )

@@ -1616,6 +1616,7 @@ def read_lake(
     columns: list[str] | None = None,
     filter: Any | None = None,
     asof_epoch: int | None = None,
+    pinned_epochs: dict[int, int] | None = None,
     _parts: set[int] | None = None,
     include_tombstones: bool = False,
     _key_filter: bool = False,
@@ -1652,8 +1653,22 @@ def read_lake(
     ``_key_filter=True`` asserts the expression touches key columns only
     (key predicates keep/drop whole key groups, so they commute with the
     fold and push into the chain scan — ``lake_get`` uses this).
-    Unchained partitions keep the plain pushdown path."""
-    manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
+    Unchained partitions keep the plain pushdown path.
+
+    ``pinned_epochs`` ({partition: epoch}) resolves each named partition to
+    EXACTLY that snapshot epoch — the transactional-read primitive (a
+    cross-table snapshot pins per-partition epochs at publish time; see
+    ``pipelines/txn.py``).  Unlike ``asof_epoch``'s largest-≤ rule it can
+    never be satisfied by a commit made after the pin (partitions epoch
+    independently, so a lagging counter could pass an ``asof`` bound).
+    Partitions absent from the map were absent at publish and are not
+    read.  Mutually exclusive with ``asof_epoch``."""
+    if pinned_epochs is not None:
+        if asof_epoch is not None:
+            raise ValueError("pinned_epochs and asof_epoch are mutually exclusive")
+        manifests = mf.manifests_at(out_dir, pinned_epochs)
+    else:
+        manifests = mf.read_all_manifests(out_dir, asof_epoch=asof_epoch)
     if _parts is not None:
         manifests = {p: m for p, m in manifests.items() if p in _parts}
     chained = _chained_parts(manifests)

@@ -328,6 +328,37 @@ def read_manifest(
         return json.load(f)
 
 
+def read_manifest_exact(out_dir: str, part: int, epoch: int) -> dict[str, Any]:
+    """The snapshot manifest of ``part`` at EXACTLY ``epoch``.
+
+    Transactional readers need this rather than ``asof_epoch``: partitions
+    commit with independent epoch counters, so "largest epoch ≤ E" can
+    resolve a partition whose counter LAGS the pin to a commit made AFTER
+    the pin was taken (e.g. a partition at epoch 0 when a cross-table
+    snapshot pinned epoch 3 lake-wide, then committed again at epoch 1 —
+    still ≤ 3, but newer state).  An exact pin cannot.  Raises when the
+    snapshot is missing (GC'd: raise ``SinkConfig.keep_epochs``)."""
+    p = os.path.join(partition_dir(out_dir, part), f"manifest-e{epoch}.json")
+    if not os.path.exists(p):
+        raise ValueError(
+            f"partition {part} has no retained snapshot at epoch {epoch} "
+            "(GC'd or never committed); raise SinkConfig.keep_epochs so "
+            "published epochs outlive the next commit"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def manifests_at(
+    out_dir: str, epochs: dict[int, int]
+) -> dict[int, dict[str, Any]]:
+    """Resolve a pinned {partition: epoch} map to its exact manifests."""
+    return {
+        int(p): read_manifest_exact(out_dir, int(p), int(e))
+        for p, e in epochs.items()
+    }
+
+
 def read_all_manifests(
     out_dir: str, asof_epoch: int | None = None
 ) -> dict[int, dict[str, Any]]:
