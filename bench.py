@@ -215,6 +215,11 @@ def run_bench() -> dict:
     timed("ann_lsh_topk", T.ann_lsh_topk)
     timed("docs_token_budget_select", T.docs_token_budget_select)
     timed("multimodal_frame_sample", T.multimodal_frame_sample)
+    # transaction-consistent multi-table replay: demux + two lake replays
+    # + atomic snapshot publish + pinned-epoch reads, end to end
+    from sql_etl_pipeline_ray.pipelines.flagship import run_txn_flagship
+
+    timed("cdc_multitable", run_txn_flagship)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

@@ -88,6 +88,23 @@ def main(argv: list[str] | None = None) -> int:
         "compacts inline at commit",
     )
 
+    tx = sub.add_parser(
+        "replay-txn",
+        help="transaction-consistent multi-table replay: demux a "
+        "multiplexed WAL (tbl/txn columns) per table, replay each lake, "
+        "publish one atomic cross-table snapshot (re-entrant; a crash "
+        "leaves readers on the previous snapshot)",
+    )
+    tx.add_argument("log_dir")
+    tx.add_argument("out_root")
+    tx.add_argument("--partitions", type=int, default=None)
+    tx.add_argument(
+        "--sealed", action="store_true",
+        help="the producer closed the log cleanly: publish the final "
+        "transaction too (default holds it back — the one-txn WAL lag)",
+    )
+    tx.add_argument("--keep-epochs", type=int, default=2)
+
     cp = sub.add_parser(
         "compact",
         help="fold merge-on-read delta chains back into single base files "
@@ -330,6 +347,22 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
             )
             print(json.dumps(res.summary))
+        elif args.cmd == "replay-txn":
+            from .config import ReplayConfig
+            from .pipelines.txn import replay_txn
+
+            res = replay_txn(
+                args.log_dir,
+                args.out_root,
+                ReplayConfig(num_partitions=args.partitions),
+                sealed=args.sealed,
+                keep_epochs=args.keep_epochs,
+            )
+            print(json.dumps({
+                "snapshot": res["snapshot"],
+                "demux": res["demux"],
+                "tables": sorted(res["replays"]),
+            }))
         elif args.cmd == "compact":
             from .pipelines.replay import compact_lake
 

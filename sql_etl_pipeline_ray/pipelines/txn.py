@@ -365,21 +365,37 @@ def replay_txn(
         )
     staging = os.path.join(out_root, "_staging")
     demux = demux_txn_log(log_dir, staging, sealed=sealed)
-    results: dict[str, ReplayResult] = {}
-    epochs: dict[str, dict[str, int]] = {}
-    for tbl in demux["tables"]:
+
+    def one_table(tbl: str) -> ReplayResult:
         lake = _table_lake_dir(out_root, tbl)
         resume = bool(mf.read_all_manifests(lake))
         sink = SinkConfig(
             out_dir=lake, keep_epochs=keep_epochs, **(sink_kwargs or {})
         )
-        results[tbl] = replay(
+        return replay(
             os.path.join(staging, tbl), lake, cfg, sink=sink, resume=resume
         )
-        epochs[tbl] = {
+
+    # Tables replay SEQUENTIALLY, deliberately: driver-thread-concurrent
+    # Dataset executions were A/B'd on a 20M-event 4-table WAL at 32 cpus
+    # (3 interleaved pairs) and measured SLOWER — par 20.4/20.7/22.9 s vs
+    # seq 16.4/17.8/19.3 s for replays+publish.  Each replay's exchange
+    # already saturates the cluster, so overlapping them just makes the
+    # actor pools and the object store fight; the per-replay pipeline
+    # floor is smaller than the contention cost.  A table failure aborts
+    # the run BEFORE the publish step — crash consistency holds either
+    # way, sequencing just makes the partial state simpler to reason
+    # about (tables before the failure are committed-but-unpublished).
+    results: dict[str, ReplayResult] = {
+        t: one_table(t) for t in demux["tables"]
+    }
+    epochs: dict[str, dict[str, int]] = {
+        tbl: {
             str(p): int(m["epoch"])
-            for p, m in mf.read_all_manifests(lake).items()
+            for p, m in mf.read_all_manifests(_table_lake_dir(out_root, tbl)).items()
         }
+        for tbl in demux["tables"]
+    }
     snapshot = _publish(
         out_root,
         {
