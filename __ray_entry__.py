@@ -23,6 +23,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_fanin_flagship,
     run_flagship,
     run_mor_flagship,
+    run_aggregate_flagship,
     run_patch_flagship,
     run_txn_flagship,
 )
@@ -71,6 +72,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-table demux + replay, atomic cross-table snapshot publish,
         # exact-epoch pinned reads (pipelines/txn.py)
         "cdc_multitable": lambda sf: run_txn_flagship(sf),
+        # aggregate-state ingest: events carry int64 deltas, the lake
+        # holds per-key SUM/MIN/MAX/COUNT with op='D' as a reset — the
+        # rollup-at-ingest model; exactly-once matters doubly (addition
+        # is not idempotent), pinned by tests/test_aggregate.py
+        "cdc_aggregate_ingest": lambda sf: run_aggregate_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -804,6 +810,35 @@ def oracle_sql() -> dict[str, str]:
                    sha256('{"doc": ' || CAST(doc_id AS VARCHAR) || '}')
                        AS content_sha256
             FROM documents, hwm WHERE doc_id <= h AND doc_id % 10 <> 0
+        """,
+        # aggregate ingest: per (event_type, user) the exact cents
+        # sum/min/max/count over events ABOVE the key's last reset
+        # (op='D' at event_id % 97 == 0); FLOOR(value*100) is the same
+        # IEEE f64 op on both engines, SUM cast back to BIGINT
+        "cdc_aggregate_ingest": """
+            WITH ev AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 97 = 0 THEN 'D' ELSE 'I' END AS op,
+                       event_type AS repo,
+                       'u' || CAST(user_id AS VARCHAR) AS path,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), resets AS (
+                SELECT repo, path, MAX(lsn) AS rl
+                FROM ev WHERE op = 'D' GROUP BY repo, path
+            ), live AS (
+                SELECT e.repo, e.path, e.lsn, e.cents
+                FROM ev e
+                LEFT JOIN resets r ON e.repo = r.repo AND e.path = r.path
+                WHERE e.op <> 'D' AND (r.rl IS NULL OR e.lsn > r.rl)
+            )
+            SELECT repo, path,
+                   CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                   MIN(cents) AS cents_min,
+                   MAX(cents) AS cents_max,
+                   COUNT(*) AS n_events,
+                   MAX(lsn) AS last_lsn
+            FROM live GROUP BY repo, path
         """,
         # bootstrap live state: snapshot rows (lsn=doc_id ≤ M) overwritten
         # by the post-watermark updates at M+1+2d; tenth docs deleted at

@@ -455,3 +455,66 @@ def run_txn_flagship(
     ).union(
         tables["meta"].map_batches(tag_tbl("meta"), batch_format="pyarrow")
     )
+
+
+def _derive_metric_events(batch: pa.Table) -> pa.Table:
+    """events rows → an additive metrics change log (aggregate ingest):
+    key = (event_type, user), delta = exact cents, a sprinkling of resets.
+
+      lsn = event_id
+      op  = 'D' (reset) when event_id % 97 == 0, else 'I'
+      cents = CAST(FLOOR(value * 100) AS BIGINT)   -- exact in IEEE f64
+
+    SQL-trivial, so the DuckDB oracle replays the whole reset-aware fold
+    (sum/min/max/count above each key's last reset)."""
+    import numpy as np
+
+    eid = batch.column("event_id")
+    n = len(batch)
+    eid_np = (
+        eid.to_numpy() if isinstance(eid, pa.Array)
+        else eid.combine_chunks().to_numpy()
+    )
+    is_d = eid_np % 97 == 0
+    val = batch.column("value").to_numpy() if isinstance(
+        batch.column("value"), pa.Array
+    ) else batch.column("value").combine_chunks().to_numpy()
+    cents = np.floor(val * 100.0).astype(np.int64)
+    return pa.table(
+        {
+            "lsn": eid,
+            "op": pa.array(np.where(is_d, "D", "I").astype(object)),
+            "repo": batch.column("event_type"),
+            "path": pc.binary_join_element_wise(
+                pa.array(["u"] * n),
+                pc.cast(batch.column("user_id"), pa.string()),
+                "",
+            ),
+            "cents": pa.array(np.where(is_d, None, cents), pa.int64()),
+        }
+    )
+
+
+def run_aggregate_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Aggregate-state ingest end to end: derive an additive metrics log
+    from the events table, replay it into a keyed rollup lake
+    (``pipelines/aggregate.py``), return the lake."""
+    from .aggregate import replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_agg/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+    ).map_batches(
+        _derive_metric_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    replay_aggregate(log_dir, lake_dir, ["cents"], num_partitions=num_partitions)
+    return read_lake(lake_dir)
