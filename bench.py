@@ -217,9 +217,14 @@ def run_bench() -> dict:
     timed("multimodal_frame_sample", T.multimodal_frame_sample)
     # transaction-consistent multi-table replay: demux + two lake replays
     # + atomic snapshot publish + pinned-epoch reads, end to end
-    from sql_etl_pipeline_ray.pipelines.flagship import run_txn_flagship
+    from sql_etl_pipeline_ray.pipelines.flagship import (
+        run_aggregate_flagship,
+        run_txn_flagship,
+    )
 
     timed("cdc_multitable", run_txn_flagship)
+    # aggregate-state ingest: narrow exchange + reset-aware reduceat fold
+    timed("cdc_aggregate_ingest", run_aggregate_flagship)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

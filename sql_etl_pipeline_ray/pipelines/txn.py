@@ -338,6 +338,34 @@ def _publish(out_root: str, snapshot: dict[str, Any]) -> dict[str, Any]:
     return snapshot
 
 
+def row_count_guard(max_drop_frac: float = 0.5):
+    """A stock WAP audit: refuse to publish when any table's row count
+    collapsed versus the previous published snapshot (the classic
+    fat-finger mass-delete gate).  Growth and small shrinkage pass;
+    a table dropping below ``(1 - max_drop_frac)`` of its published
+    count raises and the pointer never moves."""
+
+    def audit(
+        staged: dict[str, ray.data.Dataset],
+        previous: dict[str, ray.data.Dataset] | None,
+    ) -> None:
+        if previous is None:
+            return
+        for tbl, ds in staged.items():
+            if tbl not in previous:
+                continue
+            before = previous[tbl].count()
+            after = ds.count()
+            if before > 0 and after < before * (1.0 - max_drop_frac):
+                raise ValueError(
+                    f"audit failed: table {tbl!r} would shrink "
+                    f"{before} → {after} rows (more than "
+                    f"{max_drop_frac:.0%}); refusing to publish"
+                )
+
+    return audit
+
+
 def replay_txn(
     log_dir: str,
     out_root: str,
@@ -345,8 +373,22 @@ def replay_txn(
     sealed: bool = False,
     keep_epochs: int = 2,
     sink_kwargs: dict[str, Any] | None = None,
+    audit: Any | None = None,
 ) -> dict[str, Any]:
-    """Demux → per-table replay → atomic cross-table publish.
+    """Demux → per-table replay → AUDIT → atomic cross-table publish.
+
+    ``audit`` makes this a write-audit-publish (WAP) pipeline, the
+    lakehouse staging pattern: after every table has committed its new
+    epochs but BEFORE the snapshot pointer moves, ``audit(staged,
+    previous)`` runs over the exact would-be-published state (pinned-epoch
+    Datasets) and the currently-published state (None on the first
+    publish).  An audit that raises aborts the publish — transactional
+    readers stay on the previous snapshot; the staged epochs are not
+    rolled back but simply never referenced, and the next successful run
+    supersedes them (``keep_epochs`` GC sweeps their files).  Re-running
+    after fixing the feed converges as usual.  ``row_count_guard`` is a
+    stock audit; any callable with the same signature works (validation
+    rules over the Datasets, fsck, referential checks between tables).
 
     Re-entrant end to end: the demux skips complete buckets, each table's
     replay resumes from its own checkpoints (first run = full replay), and
@@ -396,6 +438,18 @@ def replay_txn(
         }
         for tbl in demux["tables"]
     }
+    if audit is not None:
+        staged = {
+            tbl: read_lake(
+                _table_lake_dir(out_root, tbl),
+                pinned_epochs={int(p): int(e) for p, e in pins.items()},
+            )
+            for tbl, pins in epochs.items()
+        }
+        previous = None
+        if read_txn_snapshot(out_root) is not None:
+            previous = read_txn_tables(out_root)
+        audit(staged, previous)  # raises → pointer never moves
     snapshot = _publish(
         out_root,
         {

@@ -83,6 +83,8 @@ def _oracle(rows: list[dict], txn_hwm: int) -> dict[str, dict[str, str]]:
 
 def _lake_state(ds) -> dict[str, str]:
     df = ds.to_pandas()
+    if len(df) == 0:
+        return {}
     return dict(zip(df["path"], df["content"]))
 
 
@@ -241,3 +243,61 @@ def test_keep_epochs_guard():
 def test_manifest_exact_epoch_raises_on_gcd(tmp_path):
     with pytest.raises(ValueError, match="no retained snapshot"):
         mf.read_manifest_exact(str(tmp_path), 0, 3)
+
+
+def test_wap_audit_blocks_publish_and_rerun_converges(tmp_path):
+    """Write-audit-publish: a failing audit aborts before the pointer
+    moves (readers keep the old snapshot); the stock row_count_guard
+    trips on a mass-delete increment; a later passing run publishes."""
+    from sql_etl_pipeline_ray.pipelines.txn import row_count_guard
+
+    rows = _events(10)
+    log, out = str(tmp_path / "log"), str(tmp_path / "out")
+    _write_log(rows, log)
+    replay_txn(log, out, sealed=True, audit=row_count_guard(0.5))
+    snap1 = read_txn_snapshot(out)
+    before = {t: _lake_state(d) for t, d in read_txn_tables(out).items()}
+
+    # increment: delete EVERY meta key (a fat-finger mass delete)
+    max_lsn = max(r["lsn"] for r in rows)
+    wipe = [dict(lsn=max_lsn + i + 1, op="D", tbl="meta", repo="r",
+                 path=f"m{t}", content=None, txn=10 + i)
+            for i, t in enumerate(range(10))]
+    _write_log(wipe, os.path.join(log, "wipe"), buckets=1)
+    with pytest.raises(ValueError, match="refusing to publish"):
+        replay_txn(log, out, sealed=True, audit=row_count_guard(0.5))
+    # pointer unmoved; transactional readers unaffected
+    assert read_txn_snapshot(out) == snap1
+    assert {t: _lake_state(d) for t, d in read_txn_tables(out).items()} == before
+
+    # the same state publishes fine when the operator accepts the drop
+    res = replay_txn(log, out, sealed=True, audit=row_count_guard(1.0))
+    assert res["snapshot"]["seq"] == snap1["seq"] + 1
+    after = read_txn_tables(out)
+    assert _lake_state(after["meta"]) == {}
+    assert _lake_state(after["files"]) == before["files"]
+
+
+def test_wap_audit_sees_staged_and_previous(tmp_path):
+    rows = _events(8)
+    log, out = str(tmp_path / "log"), str(tmp_path / "out")
+    _write_log(rows, log)
+    seen = {}
+
+    def probe(staged, previous):
+        seen["staged"] = sorted(staged)
+        seen["previous"] = previous
+
+    replay_txn(log, out, sealed=True, audit=probe)
+    assert seen["staged"] == ["files", "meta"]
+    assert seen["previous"] is None  # first publish
+    _write_log([dict(lsn=100, op="I", tbl="files", repo="r", path="fX",
+                     content="x", txn=50)], os.path.join(log, "g"), buckets=1)
+
+    def probe2(staged, previous):
+        assert previous is not None
+        # staged contains the new key, previous does not
+        assert "fX" in _lake_state(staged["files"])
+        assert "fX" not in _lake_state(previous["files"])
+
+    replay_txn(log, out, sealed=True, audit=probe2)
