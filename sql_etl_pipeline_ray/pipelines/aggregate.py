@@ -153,19 +153,107 @@ def _make_agg_router(
     return route
 
 
+HAD_RESET_COL = "had_reset"
+_MIN_IDENT = np.iinfo(np.int64).max
+_MAX_IDENT = np.iinfo(np.int64).min
+
+
+def fold_aggregate_chain(
+    tables: list[pa.Table], value_cols: list[str]
+) -> pa.Table:
+    """Fold a merge-on-read chain (base + deltas, oldest first) into the
+    partition's aggregate state.
+
+    Per key, in chain order: a delta row with ``had_reset`` REPLACES the
+    accumulator (the delta already aggregated everything after the
+    increment's last reset — including the post-reset adds, so the reset
+    row itself is KEPT, unlike the event fold's discarded 'D' rows);
+    otherwise it ⊕-merges.  Tombstone deltas (a key reset away entirely)
+    carry the ⊕-identity (sum 0, min int64-max, max int64-min, n 0) so
+    the reduction stays uniform; keys whose total count is 0 are dropped
+    at the end."""
+    seq_tabs = []
+    for i, t in enumerate(tables):
+        if HAD_RESET_COL not in t.column_names:
+            t = t.append_column(
+                HAD_RESET_COL, pa.array(np.zeros(len(t), dtype=bool))
+            )
+        seq_tabs.append(
+            t.append_column("__seq", pa.array(np.full(len(t), i, np.int64)))
+        )
+    chain = pa.concat_tables(seq_tabs, promote_options="permissive")
+    if len(chain) == 0:
+        return aggregate_schema(value_cols).empty_table()
+    chain = chain.sort_by(
+        [(k, "ascending") for k in KEY_COLUMNS] + [("__seq", "ascending")]
+    )
+    n = len(chain)
+    same = np.ones(n - 1, dtype=bool)
+    for k in KEY_COLUMNS:
+        col = chain.column(k).combine_chunks()
+        same &= pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(np.concatenate(([True], ~same)))
+    seg = np.cumsum(np.concatenate(([True], ~same))) - 1
+    pos = np.arange(n, dtype=np.int64)
+    reset = chain.column(HAD_RESET_COL).to_numpy(zero_copy_only=False).astype(bool)
+    rpos = np.where(reset, pos, np.int64(-1))
+    last_r = np.maximum.reduceat(rpos, starts)
+    keep = pos >= np.where(last_r[seg] >= 0, last_r[seg], 0)
+    kept = chain.filter(pa.array(keep))
+    k = len(kept)
+    seg_k = seg[keep]
+    starts_k = np.flatnonzero(np.concatenate(([True], seg_k[1:] != seg_k[:-1])))
+    first_idx = np.flatnonzero(keep)[starts_k]
+    ends_k = np.append(starts_k[1:], k) - 1
+    out_cols: dict[str, Any] = {
+        "repo": chain.column("repo").take(pa.array(first_idx)),
+        "path": chain.column("path").take(pa.array(first_idx)),
+    }
+    for c in value_cols:
+        s = kept.column(f"{c}_sum").to_numpy(zero_copy_only=False)
+        mn = kept.column(f"{c}_min").to_numpy(zero_copy_only=False)
+        mx = kept.column(f"{c}_max").to_numpy(zero_copy_only=False)
+        out_cols[f"{c}_sum"] = pa.array(np.add.reduceat(s, starts_k))
+        out_cols[f"{c}_min"] = pa.array(np.minimum.reduceat(mn, starts_k))
+        out_cols[f"{c}_max"] = pa.array(np.maximum.reduceat(mx, starts_k))
+    nn = kept.column("__n" if "__n" in kept.column_names else "n_events").to_numpy(
+        zero_copy_only=False
+    )
+    n_events = np.add.reduceat(nn, starts_k)
+    lsn_k = kept.column("last_lsn").to_numpy(zero_copy_only=False)
+    out_cols["n_events"] = pa.array(n_events)
+    out_cols["last_lsn"] = pa.array(lsn_k[ends_k])
+    out_schema = aggregate_schema(value_cols)
+    arrays = []
+    for f in out_schema:
+        col = out_cols[f.name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arrays.append(col.cast(f.type))
+    folded = pa.Table.from_arrays(arrays, schema=out_schema)
+    alive = n_events > 0
+    return folded.filter(pa.array(alive)) if not alive.all() else folded
+
+
 def _prior_as_rows(
     part: int, args: dict, value_cols: list[str]
 ) -> pa.Table | None:
     """Committed aggregate state as pseudo-event rows that fold with the
     increment: a state row contributes its stored sum/min/max/count at
     ``lsn = last_lsn`` (below every increment row by the watermark
-    contract, so an increment reset correctly discards it)."""
+    contract, so an increment reset correctly discards it).  Chained
+    (merge-on-read) partitions fold the chain first."""
     m = args["prior_manifests"].get(part)
     if m is None:
         return None
     pdir = mf.partition_dir(args["sink_dir"], part)
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in m["files"]]
-    prior = pa.concat_tables(tabs, promote_options="permissive")
+    if m.get("kind") == "delta":
+        prior = fold_aggregate_chain(tabs, value_cols)
+    else:
+        prior = pa.concat_tables(tabs, promote_options="permissive")
     if len(prior) == 0:
         return None
     cols: dict[str, Any] = {
@@ -194,9 +282,27 @@ def _prior_as_rows(
 def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     """Fold one partition: sort by (kh, key, lsn), mask everything at/
     below each key's last reset, segment-reduce, merge prior state,
-    exactly-once commit."""
+    exactly-once commit.
+
+    Merge-on-read (``SinkConfig.merge_on_read``): a resume commits ONLY
+    the increment's partial aggregates as a delta file chained onto the
+    committed state — the prior state is never read (write amplification
+    ∝ increment, the replay MOR contract ported to the additive fold).
+    Sound because ⊕ is associative between resets and each delta records
+    per key whether the increment RESET it (``had_reset`` → the read fold
+    replaces instead of merging; a key reset away entirely ships an
+    identity-encoded tombstone row).  Chains past ``max_delta_files``
+    compact inline (this committer folds its OWN chain — partition-local
+    I/O)."""
     value_cols = args["value_cols"]
     events_in = len(tbl)
+    prior_m = args["prior_manifests"].get(part)
+    mor = bool(args.get("merge_on_read")) and prior_m is not None
+    # chain bound matches the replay MOR rule (_commit_delta_fn): existing
+    # deltas + this one > max_delta_files → compact inline via a COW
+    # commit (prior chain folded below)
+    if mor and len(prior_m["files"]) > int(args.get("max_delta_files", 8)):
+        mor = False
     # widen raw events to contribution columns (sum=min=max=delta, n=1),
     # then append prior state rows (already in contribution form)
     if len(tbl):
@@ -216,11 +322,23 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         wide = pa.table(cols)
     else:
         wide = None
-    prior = _prior_as_rows(part, args, value_cols)
+    prior = None if mor else _prior_as_rows(part, args, value_cols)
     state_rows = len(prior) if prior is not None else 0
     parts = [t for t in (wide, prior) if t is not None and len(t)]
     out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
     if not parts:
+        if mor:
+            # empty increment for a chained partition: nothing to commit —
+            # the chain stays exactly as it was (no epoch bump, no empty
+            # delta to accumulate across idle resumes)
+            stats = _agg_stats(part, args, 0, 0, 0, 0, tbl)
+            return {
+                **stats,
+                "part": part,
+                "epoch": int(prior_m["epoch"]),
+                "duration_s": 0.0,
+                "bytes_written": 0,
+            }
         final = out_schema.empty_table()
         stats = _agg_stats(part, args, events_in, 0, 0, 0, tbl)
         return _commit_with_metrics(part, final, stats, args)
@@ -241,10 +359,37 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     kept = merged.filter(pa.array(keep))
     k = len(kept)
     if k == 0:
-        final = out_schema.empty_table()
         stats = _agg_stats(
             part, args, events_in, state_rows, 0, int((last_d >= 0).sum()), tbl
         )
+        if mor:
+            # every increment key was reset away: a tombstone-only delta
+            gone_all = np.flatnonzero(last_d >= 0)
+            lsn_all = merged.column("lsn").to_numpy(zero_copy_only=False)
+            ng = len(gone_all)
+            tomb_cols: dict[str, Any] = {
+                "repo": merged.column("repo").take(pa.array(seg_starts[gone_all])),
+                "path": merged.column("path").take(pa.array(seg_starts[gone_all])),
+            }
+            for c in value_cols:
+                tomb_cols[f"{c}_sum"] = pa.array(np.zeros(ng, np.int64))
+                tomb_cols[f"{c}_min"] = pa.array(np.full(ng, _MIN_IDENT, np.int64))
+                tomb_cols[f"{c}_max"] = pa.array(np.full(ng, _MAX_IDENT, np.int64))
+            tomb_cols["n_events"] = pa.array(np.zeros(ng, np.int64))
+            tomb_cols["last_lsn"] = pa.array(lsn_all[last_d[gone_all]])
+            tomb_cols[HAD_RESET_COL] = pa.array(np.ones(ng, bool))
+            delta_schema = pa.schema(
+                list(out_schema) + [pa.field(HAD_RESET_COL, pa.bool_())]
+            )
+            tomb = pa.table(
+                {f.name: tomb_cols[f.name] for f in delta_schema}
+            ).cast(delta_schema)
+            stats["kind"] = "delta"
+            return _commit_with_metrics(
+                part, tomb, stats, args,
+                chain_files=prior_m["files"], chain_rows=int(prior_m["rows"]),
+            )
+        final = out_schema.empty_table()
         return _commit_with_metrics(part, final, stats, args)
     seg_k = seg[keep]
     starts_k = np.flatnonzero(np.concatenate(([True], seg_k[1:] != seg_k[:-1])))
@@ -278,10 +423,48 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     # have no surviving rows
     seg_with_d = np.unique(seg[is_d])
     seg_alive = np.unique(seg_k)
-    reset_gone = int(len(np.setdiff1d(seg_with_d, seg_alive, assume_unique=True)))
+    gone = np.setdiff1d(seg_with_d, seg_alive, assume_unique=True)
+    reset_gone = int(len(gone))
     stats = _agg_stats(
         part, args, events_in, state_rows, len(final), reset_gone, tbl
     )
+    if mor:
+        # delta = surviving increment aggregates, flagged with whether the
+        # increment reset the key, plus identity-encoded tombstones for
+        # keys it reset away entirely (the read fold must kill their base)
+        seg_has_d = np.zeros(int(seg[-1]) + 1, dtype=bool)
+        seg_has_d[seg[is_d]] = True
+        delta = final.append_column(
+            HAD_RESET_COL, pa.array(seg_has_d[seg_k[starts_k]])
+        )
+        if reset_gone:
+            g_first = seg_starts[gone]
+            g_lastd = last_d[gone]
+            lsn_all = merged.column("lsn").to_numpy(zero_copy_only=False)
+            tomb_cols: dict[str, Any] = {
+                "repo": merged.column("repo").take(pa.array(g_first)),
+                "path": merged.column("path").take(pa.array(g_first)),
+            }
+            for c in value_cols:
+                tomb_cols[f"{c}_sum"] = pa.array(np.zeros(reset_gone, np.int64))
+                tomb_cols[f"{c}_min"] = pa.array(
+                    np.full(reset_gone, _MIN_IDENT, np.int64)
+                )
+                tomb_cols[f"{c}_max"] = pa.array(
+                    np.full(reset_gone, _MAX_IDENT, np.int64)
+                )
+            tomb_cols["n_events"] = pa.array(np.zeros(reset_gone, np.int64))
+            tomb_cols["last_lsn"] = pa.array(lsn_all[g_lastd])
+            tomb_cols[HAD_RESET_COL] = pa.array(np.ones(reset_gone, bool))
+            tomb = pa.table(
+                {f.name: tomb_cols[f.name] for f in delta.schema}
+            ).cast(delta.schema)
+            delta = pa.concat_tables([delta, tomb])
+        stats["kind"] = "delta"
+        return _commit_with_metrics(
+            part, delta, stats, args,
+            chain_files=prior_m["files"], chain_rows=int(prior_m["rows"]),
+        )
     return _commit_with_metrics(part, final, stats, args)
 
 
@@ -305,6 +488,7 @@ def _agg_stats(part, args, events_in, state_rows, live, deleted, tbl):
         "live_rows": int(live),
         "state_rows": int(state_rows),
         "mode": "aggregate",
+        "value_cols": list(args["value_cols"]),
     }
 
 
@@ -331,10 +515,10 @@ def replay_aggregate(
         raise ValueError(
             f"sink.out_dir={sink.out_dir!r} disagrees with out_dir={out_dir!r}"
         )
-    if sink.keep_tombstones or sink.merge_on_read:
+    if sink.keep_tombstones:
         raise ValueError(
-            "aggregate lakes support neither keep_tombstones nor "
-            "merge_on_read (state is a rollup, not row versions)"
+            "aggregate lakes do not support keep_tombstones (state is a "
+            "rollup, not row versions; resets are folded, not persisted)"
         )
     manifests = mf.read_all_manifests(out_dir)
     if not resume and manifests:
@@ -384,6 +568,8 @@ def replay_aggregate(
         "keep_epochs": sink.keep_epochs,
         "keep_tombstones": False,
         "value_cols": list(value_cols),
+        "merge_on_read": bool(sink.merge_on_read and resume),
+        "max_delta_files": sink.max_delta_files,
     }
     ds = read_change_log(scan, num_blocks=num_blocks)
     router = _make_agg_router(num_partitions, list(value_cols), ckpts)
@@ -407,3 +593,82 @@ def replay_aggregate(
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return ReplayResult(metrics=metrics, summary=summary)
+
+
+@ray.remote
+def _fold_chain_task(pdir: str, files: list[str], value_cols: list[str]) -> pa.Table:
+    tabs = [pq.read_table(os.path.join(pdir, f)) for f in files]
+    return fold_aggregate_chain(tabs, value_cols)
+
+
+def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
+    """Read a committed aggregate lake; merge-on-read chains are folded
+    per partition with the writer's ⊕ kernel (one Ray task per chained
+    partition; unchained partitions stream straight from their files)."""
+    manifests = mf.read_all_manifests(out_dir)
+    chained = {p for p, m in manifests.items() if m.get("kind") == "delta"}
+    value_cols = _value_cols_from(manifests)
+    plain_files = mf.manifest_data_files(
+        out_dir, {p: m for p, m in manifests.items() if p not in chained}
+    )
+    parts = []
+    if plain_files:
+        parts.append(ray.data.read_parquet(plain_files, partitioning=None))
+    if chained:
+        refs = [
+            _fold_chain_task.remote(
+                mf.partition_dir(out_dir, p), manifests[p]["files"], value_cols
+            )
+            for p in sorted(chained)
+        ]
+        parts.append(ray.data.from_arrow_refs(refs))
+    if not parts:
+        return ray.data.from_arrow(aggregate_schema(value_cols or []).empty_table())
+    ds = parts[0]
+    for extra in parts[1:]:
+        ds = ds.union(extra)
+    return ds
+
+
+def _value_cols_from(manifests: dict[int, dict]) -> list[str]:
+    for m in manifests.values():
+        vc = m["stats"].get("value_cols")
+        if vc:
+            return list(vc)
+    return []
+
+
+def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
+    """Fold merge-on-read chains back into single base files (exactly-once
+    commits at the next epoch; checkpoint/watermark carried unchanged)."""
+    from ..hashing import table_digest
+
+    manifests = mf.read_all_manifests(out_dir)
+    value_cols = _value_cols_from(manifests)
+    todo = {
+        p: m for p, m in manifests.items()
+        if m.get("kind") == "delta" and len(m["files"]) >= min_chain
+    }
+    compacted = 0
+    for p, m in sorted(todo.items()):
+        pdir = mf.partition_dir(out_dir, p)
+        folded = ray.get(
+            _fold_chain_task.remote(pdir, m["files"], value_cols)
+        )
+        stats = dict(m["stats"])
+        stats["live_rows"] = len(folded)
+        stats["state_rows"] = len(folded)
+        stats["compacted_chain"] = len(m["files"])
+        stats.pop("kind", None)
+        args = {
+            "sink_dir": out_dir,
+            "prior_epochs": {p: m["epoch"]},
+            "num_partitions": stats.get("num_partitions", max(manifests) + 1),
+            "compression": "zstd",
+            "cluster_by_key": False,
+            "keep_epochs": 1,
+            "keep_tombstones": False,
+        }
+        _commit_with_metrics(p, folded, stats, args)
+        compacted += 1
+    return {"partitions_compacted": compacted, "out_dir": out_dir}

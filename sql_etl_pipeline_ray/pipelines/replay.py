@@ -1672,6 +1672,16 @@ def read_lake(
     if _parts is not None:
         manifests = {p: m for p, m in manifests.items() if p in _parts}
     chained = _chained_parts(manifests)
+    if chained and any(
+        manifests[p]["stats"].get("mode") == "aggregate" for p in chained
+    ):
+        # aggregate chains fold with the ⊕ kernel (reset-aware partial
+        # aggregates), not the LWW max-LSN kernel this reader applies
+        raise ValueError(
+            "this is a merge-on-read AGGREGATE lake; read it with "
+            "pipelines.aggregate.read_aggregate_lake (or compact it with "
+            "compact_aggregate_lake first)"
+        )
     if chained:
         return _read_lake_chained(
             out_dir, manifests, chained, columns=columns, filter=filter,

@@ -172,3 +172,105 @@ def test_missing_value_column_raises(tmp_path):
     _write(rows, log, buckets=1)
     with pytest.raises(ValueError, match="value column"):
         replay_aggregate(log, str(tmp_path / "lake"), ["nope"])
+
+
+def _mor_sink(lake):
+    from sql_etl_pipeline_ray.config import SinkConfig
+    return SinkConfig(out_dir=lake, merge_on_read=True, keep_epochs=2)
+
+
+def test_mor_resume_equals_cow(tmp_path):
+    """A merge-on-read resume folds to the same state as copy-on-write,
+    while writing only the increment."""
+    from sql_etl_pipeline_ray.pipelines.aggregate import read_aggregate_lake
+
+    rows = _gen(4000, 250, seed=21)
+    full, prefix = str(tmp_path / "full"), str(tmp_path / "pre")
+    _write(rows, full, buckets=8)
+    _write(rows[:3000], prefix, buckets=6)
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for lake in (cow, mor):
+        replay_aggregate(prefix, lake, ["delta"], num_partitions=4)
+    replay_aggregate(full, cow, ["delta"], resume=True)
+    replay_aggregate(full, mor, ["delta"], resume=True, sink=_mor_sink(mor))
+    want = _oracle(rows)
+    got_cow = _lake_state(cow)
+    df = read_aggregate_lake(mor).to_pandas()
+    got_mor = {
+        (r.repo, r.path): (r.delta_sum, r.delta_min, r.delta_max,
+                           r.n_events, r.last_lsn)
+        for r in df.itertuples()
+    }
+    assert got_cow == want
+    assert got_mor == want
+    # the MOR lake actually chained (some partition has >1 file)
+    from sql_etl_pipeline_ray.state import manifest as mf2
+    kinds = {m.get("kind") for m in mf2.read_all_manifests(mor).values()}
+    assert "delta" in kinds
+
+
+def test_mor_reset_in_delta_kills_base_key(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.aggregate import read_aggregate_lake
+
+    rows1 = [(1, "I", "r", "a", 5), (2, "I", "r", "b", 9)]
+    rows2 = [(3, "D", "r", "a", None),                 # reset away entirely
+             (4, "D", "r", "b", None), (5, "I", "r", "b", 2)]  # reset + re-add
+    log = str(tmp_path / "log")
+    _write(rows1, log, buckets=1)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=2)
+    _write(rows2, os.path.join(log, "inc"), buckets=1)
+    replay_aggregate(log, lake, ["delta"], resume=True, sink=_mor_sink(lake))
+    df = read_aggregate_lake(lake).to_pandas()
+    st = {(r.repo, r.path): (r.delta_sum, r.n_events) for r in df.itertuples()}
+    assert st == {("r", "b"): (2, 1)}
+
+
+def test_mor_chain_compacts_inline_and_standalone(tmp_path):
+    from sql_etl_pipeline_ray.config import SinkConfig
+    from sql_etl_pipeline_ray.pipelines.aggregate import (
+        compact_aggregate_lake, read_aggregate_lake)
+    from sql_etl_pipeline_ray.state import manifest as mf2
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    rows = [(1, "I", "r", "k", 1)]
+    _write(rows, log, buckets=1)
+    replay_aggregate(log, lake, ["delta"], num_partitions=1)
+    sink = SinkConfig(out_dir=lake, merge_on_read=True, keep_epochs=2,
+                      max_delta_files=3)
+    # three increments chain (base + 3 deltas); the fourth would be a
+    # 4th delta > max_delta_files=3, so it compacts inline to a fresh base
+    for i in range(4):
+        _write([(2 + i, "I", "r", "k", 10 ** (i + 1))],
+               os.path.join(log, f"inc{i}"), buckets=1)
+        replay_aggregate(log, lake, ["delta"], resume=True, sink=sink)
+    m = mf2.read_all_manifests(lake)[0]
+    assert m.get("kind") != "delta" and len(m["files"]) == 1  # compacted
+    st = _lake_state(lake)
+    assert st[("r", "k")] == (11111, 1, 10000, 5, 5)
+    # chain again, then standalone compact
+    _write([(10, "I", "r", "k", 7)], os.path.join(log, "inc9"), buckets=1)
+    replay_aggregate(log, lake, ["delta"], resume=True, sink=sink)
+    assert mf2.read_all_manifests(lake)[0].get("kind") == "delta"
+    out = compact_aggregate_lake(lake)
+    assert out["partitions_compacted"] == 1
+    assert mf2.read_all_manifests(lake)[0].get("kind") != "delta"
+    assert _lake_state(lake)[("r", "k")] == (11118, 1, 10000, 6, 10)
+    # the folded view equals the plain read now
+    df = read_aggregate_lake(lake).to_pandas()
+    assert len(df) == 1 and df.iloc[0].delta_sum == 11118
+
+
+def test_read_lake_refuses_chained_aggregate(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.replay import read_lake as rl
+
+    rows1 = [(1, "I", "r", "a", 5)]
+    log = str(tmp_path / "log")
+    _write(rows1, log, buckets=1)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=1)
+    _write([(2, "I", "r", "a", 3)], os.path.join(log, "inc"), buckets=1)
+    replay_aggregate(log, lake, ["delta"], resume=True, sink=_mor_sink(lake))
+    with pytest.raises(ValueError, match="read_aggregate_lake"):
+        rl(lake).count()
