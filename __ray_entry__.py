@@ -23,6 +23,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_fanin_flagship,
     run_flagship,
     run_mor_flagship,
+    run_aggregate_distinct_flagship,
     run_aggregate_flagship,
     run_patch_flagship,
     run_txn_flagship,
@@ -77,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rollup-at-ingest model; exactly-once matters doubly (addition
         # is not idempotent), pinned by tests/test_aggregate.py
         "cdc_aggregate_ingest": lambda sf: run_aggregate_flagship(sf),
+        # aggregate ingest with DISTINCT-COUNT state: per-key HyperLogLog
+        # registers maintained as mergeable lake state (distinct_cols);
+        # the estimate is SQL-exact via the splitmix64 + integer harmonic
+        # sum replay (same machinery as monthly_uniques_hll)
+        "cdc_aggregate_distinct": lambda sf: run_aggregate_distinct_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -742,6 +748,50 @@ _HLL_SQL = f"""
 """
 
 
+_AGG_HLL_SQL = f"""
+    WITH o AS (
+      SELECT event_type AS path, CAST(user_id AS UBIGINT) AS x FROM events),
+    h0 AS (SELECT path, CAST((x::HUGEINT + 11400714819323198485)
+                             % 18446744073709551616 AS UBIGINT) AS z FROM o),
+    h1 AS (SELECT path, {_mulmod64("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z
+           FROM h0),
+    h2 AS (SELECT path, {_mulmod64("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z
+           FROM h1),
+    hf AS (SELECT path, xor(z, z >> 31) AS h FROM h2),
+    rr AS (SELECT path, CAST(h >> {64 - _HLL_P} AS BIGINT) AS idx,
+                  65 - LENGTH(bin(CAST((h::HUGEINT % {1 << (64 - _HLL_P)})
+                                       * {1 << _HLL_P}
+                                       + {1 << (_HLL_P - 1)} AS UBIGINT)))
+                    AS rho
+           FROM hf),
+    regs AS (SELECT path, idx, MAX(rho) AS mx FROM rr GROUP BY path, idx),
+    s AS (SELECT path,
+                 SUM(1::HUGEINT << (64 - mx))
+                   + ({_HLL_M} - COUNT(*)) * 18446744073709551616::HUGEINT
+                   AS S,
+                 {_HLL_M} - COUNT(*) AS zeros
+          FROM regs GROUP BY path),
+    est AS (SELECT path,
+           ROUND(CASE WHEN {_HLL_ALPHA} * ({_HLL_NUM} / CAST(S AS DOUBLE))
+                           <= {2.5 * _HLL_M} AND zeros > 0
+                      THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                      ELSE {_HLL_ALPHA} * ({_HLL_NUM} / CAST(S AS DOUBLE))
+                      END, 1) AS uid_distinct
+           FROM s),
+    sums AS (SELECT event_type AS path,
+                    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                        AS cents_sum,
+                    MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS cents_min,
+                    MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS cents_max,
+                    COUNT(*) AS n_events,
+                    MAX(event_id) AS last_lsn
+             FROM events GROUP BY event_type)
+    SELECT 'evt' AS repo, path, cents_sum, cents_min, cents_max,
+           n_events, last_lsn, uid_distinct
+    FROM sums JOIN est USING (path)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "cdc_replay": """
@@ -840,6 +890,12 @@ def oracle_sql() -> dict[str, str]:
                    MAX(lsn) AS last_lsn
             FROM live GROUP BY repo, path
         """,
+        # aggregate ingest with distinct state: per event_type the exact
+        # cents aggregates + approximate distinct users, the per-key HLL
+        # registers replayed exactly in SQL (splitmix64, bin()-clz,
+        # exact-integer harmonic sum — the monthly_uniques_hll machinery
+        # keyed by event_type)
+        "cdc_aggregate_distinct": _AGG_HLL_SQL,
         # bootstrap live state: snapshot rows (lsn=doc_id ≤ M) overwritten
         # by the post-watermark updates at M+1+2d; tenth docs deleted at
         # M+2+2d.  M = MAX(doc_id) — the snapshot watermark.

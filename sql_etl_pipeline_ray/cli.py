@@ -105,6 +105,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     tx.add_argument("--keep-epochs", type=int, default=2)
 
+    ag = sub.add_parser(
+        "replay-agg",
+        help="aggregate-state ingest: replay an int64-delta metrics log "
+        "into a keyed rollup lake (per-key SUM/MIN/MAX/COUNT, op='D' "
+        "resets; exactly-once)",
+    )
+    ag.add_argument("log_dir")
+    ag.add_argument("lake_dir")
+    ag.add_argument("--value-cols", required=True,
+                    help="comma-separated int64 delta columns")
+    ag.add_argument("--resume", action="store_true")
+    ag.add_argument("--partitions", type=int, default=None)
+    ag.add_argument(
+        "--merge-on-read", action="store_true",
+        help="resume commits the increment's partial aggregates as a "
+        "chained delta instead of rewriting partitions",
+    )
+
     cp = sub.add_parser(
         "compact",
         help="fold merge-on-read delta chains back into single base files "
@@ -363,6 +381,22 @@ def main(argv: list[str] | None = None) -> int:
                 "demux": res["demux"],
                 "tables": sorted(res["replays"]),
             }))
+        elif args.cmd == "replay-agg":
+            from .config import SinkConfig
+            from .pipelines.aggregate import replay_aggregate
+
+            res = replay_aggregate(
+                args.log_dir,
+                args.lake_dir,
+                [c.strip() for c in args.value_cols.split(",") if c.strip()],
+                num_partitions=args.partitions,
+                resume=args.resume,
+                sink=SinkConfig(
+                    out_dir=args.lake_dir,
+                    merge_on_read=args.merge_on_read,
+                ),
+            )
+            print(json.dumps(res.summary))
         elif args.cmd == "compact":
             from .pipelines.replay import compact_lake
 

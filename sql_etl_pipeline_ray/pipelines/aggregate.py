@@ -71,7 +71,11 @@ from .replay import ReplayResult, _commit_with_metrics
 _OPS = pa.array(["I", "U", "D"])
 
 
-def aggregate_schema(value_cols: list[str]) -> pa.Schema:
+def aggregate_schema(
+    value_cols: list[str],
+    distinct_cols: list[str] | None = None,
+    hll_p: int = 12,
+) -> pa.Schema:
     fields = [
         pa.field("repo", pa.string(), nullable=False),
         pa.field("path", pa.string(), nullable=False),
@@ -82,6 +86,10 @@ def aggregate_schema(value_cols: list[str]) -> pa.Schema:
             pa.field(f"{c}_min", pa.int64()),
             pa.field(f"{c}_max", pa.int64()),
         ]
+    for c in distinct_cols or []:
+        # per-key HLL registers: approximate COUNT(DISTINCT c) state,
+        # mergeable by elementwise max (MOR chains fold it like sums)
+        fields.append(pa.field(f"{c}_hll", pa.binary(1 << hll_p)))
     fields += [
         pa.field("n_events", pa.int64(), nullable=False),
         pa.field("last_lsn", pa.int64(), nullable=False),
@@ -89,8 +97,39 @@ def aggregate_schema(value_cols: list[str]) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _fsb_to_matrix(col: pa.ChunkedArray | pa.Array, m: int) -> np.ndarray:
+    """fixed_size_binary column → (n, m) uint8 matrix, zero-copy per chunk."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    mats = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        buf = ch.buffers()[1]
+        off = ch.offset * m
+        mats.append(
+            np.frombuffer(buf, dtype=np.uint8, count=len(ch) * m, offset=off
+                          ).reshape(len(ch), m)
+        )
+    if not mats:
+        return np.zeros((0, m), dtype=np.uint8)
+    return mats[0] if len(mats) == 1 else np.concatenate(mats)
+
+
+def _matrix_to_fsb(mat: np.ndarray) -> pa.Array:
+    """(n, m) uint8 matrix → fixed_size_binary(m) array, one buffer."""
+    n, m = mat.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(m), n, [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+    )
+
+
 def _make_agg_router(
-    num_partitions: int, value_cols: list[str], checkpoints: dict[int, int] | None
+    num_partitions: int, value_cols: list[str],
+    checkpoints: dict[int, int] | None,
+    distinct_cols: list[str] | None = None,
 ):
     """Normalize + route: trim keys, validate, int64-cast deltas, key-hash
     partition, checkpoint row prune.  Invalid events (bad op, null
@@ -119,10 +158,10 @@ def _make_agg_router(
             zero_copy_only=False
         )
         vals = {}
-        for c in value_cols:
+        for c in list(value_cols) + list(distinct_cols or []):
             col = batch.column(c).cast(pa.int64())
             # a reset's deltas are ignored; an add with a null delta is
-            # invalid (there is nothing to add)
+            # invalid (there is nothing to add/count)
             valid &= (
                 pc.is_valid(col).to_numpy(zero_copy_only=False) | is_d
             )
@@ -134,7 +173,7 @@ def _make_agg_router(
             "repo": pc.utf8_trim_whitespace(batch.column("repo").cast(pa.string())),
             "path": pc.utf8_trim_whitespace(batch.column("path").cast(pa.string())),
         }
-        for c in value_cols:
+        for c in list(value_cols) + list(distinct_cols or []):
             cols[c] = pc.fill_null(vals[c], 0)
         out = pa.table(cols)
         if rejects:
@@ -159,7 +198,8 @@ _MAX_IDENT = np.iinfo(np.int64).min
 
 
 def fold_aggregate_chain(
-    tables: list[pa.Table], value_cols: list[str]
+    tables: list[pa.Table], value_cols: list[str],
+    distinct_cols: list[str] | None = None,
 ) -> pa.Table:
     """Fold a merge-on-read chain (base + deltas, oldest first) into the
     partition's aggregate state.
@@ -182,8 +222,13 @@ def fold_aggregate_chain(
             t.append_column("__seq", pa.array(np.full(len(t), i, np.int64)))
         )
     chain = pa.concat_tables(seq_tabs, promote_options="permissive")
+    hll_m = None
+    if distinct_cols:
+        hll_m = chain.schema.field(f"{distinct_cols[0]}_hll").type.byte_width
     if len(chain) == 0:
-        return aggregate_schema(value_cols).empty_table()
+        return aggregate_schema(
+            value_cols, distinct_cols, (hll_m or 4096).bit_length() - 1
+        ).empty_table()
     chain = chain.sort_by(
         [(k, "ascending") for k in KEY_COLUMNS] + [("__seq", "ascending")]
     )
@@ -218,6 +263,12 @@ def fold_aggregate_chain(
         out_cols[f"{c}_sum"] = pa.array(np.add.reduceat(s, starts_k))
         out_cols[f"{c}_min"] = pa.array(np.minimum.reduceat(mn, starts_k))
         out_cols[f"{c}_max"] = pa.array(np.maximum.reduceat(mx, starts_k))
+    for c in distinct_cols or []:
+        # register max is the HLL merge — same reduceat shape, axis 0
+        mat = _fsb_to_matrix(kept.column(f"{c}_hll"), hll_m)
+        out_cols[f"{c}_hll"] = _matrix_to_fsb(
+            np.maximum.reduceat(mat, starts_k, axis=0)
+        )
     nn = kept.column("__n" if "__n" in kept.column_names else "n_events").to_numpy(
         zero_copy_only=False
     )
@@ -225,7 +276,10 @@ def fold_aggregate_chain(
     lsn_k = kept.column("last_lsn").to_numpy(zero_copy_only=False)
     out_cols["n_events"] = pa.array(n_events)
     out_cols["last_lsn"] = pa.array(lsn_k[ends_k])
-    out_schema = aggregate_schema(value_cols)
+    out_schema = aggregate_schema(
+        value_cols, distinct_cols,
+        (hll_m.bit_length() - 1) if hll_m else 12,
+    )
     arrays = []
     for f in out_schema:
         col = out_cols[f.name]
@@ -238,7 +292,8 @@ def fold_aggregate_chain(
 
 
 def _prior_as_rows(
-    part: int, args: dict, value_cols: list[str]
+    part: int, args: dict, value_cols: list[str],
+    distinct_cols: list[str] | None = None,
 ) -> pa.Table | None:
     """Committed aggregate state as pseudo-event rows that fold with the
     increment: a state row contributes its stored sum/min/max/count at
@@ -251,7 +306,7 @@ def _prior_as_rows(
     pdir = mf.partition_dir(args["sink_dir"], part)
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in m["files"]]
     if m.get("kind") == "delta":
-        prior = fold_aggregate_chain(tabs, value_cols)
+        prior = fold_aggregate_chain(tabs, value_cols, distinct_cols)
     else:
         prior = pa.concat_tables(tabs, promote_options="permissive")
     if len(prior) == 0:
@@ -269,6 +324,8 @@ def _prior_as_rows(
         contribs[f"{c}__sum"] = prior.column(f"{c}_sum")
         contribs[f"{c}__min"] = prior.column(f"{c}_min")
         contribs[f"{c}__max"] = prior.column(f"{c}_max")
+    for c in distinct_cols or []:
+        contribs[f"{c}_hll"] = prior.column(f"{c}_hll")
     return pa.table(
         {
             **cols,
@@ -295,6 +352,9 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     compact inline (this committer folds its OWN chain — partition-local
     I/O)."""
     value_cols = args["value_cols"]
+    distinct_cols = args.get("distinct_cols") or []
+    hll_p = int(args.get("hll_p", 12))
+    hll_m = 1 << hll_p
     events_in = len(tbl)
     prior_m = args["prior_manifests"].get(part)
     mor = bool(args.get("merge_on_read")) and prior_m is not None
@@ -317,12 +377,16 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             cols[f"{c}__sum"] = v
             cols[f"{c}__min"] = v
             cols[f"{c}__max"] = v
+        for c in distinct_cols:
+            cols[f"{c}__dv"] = tbl.column(c)
         cols["__n"] = pa.array(np.ones(len(tbl), np.int64))
         cols[KEY_HASH_COL] = tbl.column(KEY_HASH_COL)
         wide = pa.table(cols)
     else:
         wide = None
-    prior = None if mor else _prior_as_rows(part, args, value_cols)
+    prior = (
+        None if mor else _prior_as_rows(part, args, value_cols, distinct_cols)
+    )
     state_rows = len(prior) if prior is not None else 0
     parts = [t for t in (wide, prior) if t is not None and len(t)]
     out_schema = pa.ipc.read_schema(pa.BufferReader(args["out_schema"]))
@@ -375,6 +439,10 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 tomb_cols[f"{c}_sum"] = pa.array(np.zeros(ng, np.int64))
                 tomb_cols[f"{c}_min"] = pa.array(np.full(ng, _MIN_IDENT, np.int64))
                 tomb_cols[f"{c}_max"] = pa.array(np.full(ng, _MAX_IDENT, np.int64))
+            for c in distinct_cols:
+                tomb_cols[f"{c}_hll"] = _matrix_to_fsb(
+                    np.zeros((ng, hll_m), np.uint8)
+                )
             tomb_cols["n_events"] = pa.array(np.zeros(ng, np.int64))
             tomb_cols["last_lsn"] = pa.array(lsn_all[last_d[gone_all]])
             tomb_cols[HAD_RESET_COL] = pa.array(np.ones(ng, bool))
@@ -406,6 +474,30 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
         out_cols[f"{c}_sum"] = pa.array(np.add.reduceat(s, starts_k))
         out_cols[f"{c}_min"] = pa.array(np.minimum.reduceat(mn, starts_k))
         out_cols[f"{c}_max"] = pa.array(np.maximum.reduceat(mx, starts_k))
+    for c in distinct_cols:
+        from ..stages.sketch import hll_idx_rho
+
+        G = len(starts_k)
+        regs = np.zeros((G, hll_m), dtype=np.uint8)
+        grp = np.repeat(np.arange(G, dtype=np.int64), counts)
+        dv = kept.column(f"{c}__dv") if f"{c}__dv" in kept.column_names else None
+        if dv is not None:
+            raw_mask = pc.is_valid(dv).to_numpy(zero_copy_only=False)
+            if raw_mask.any():
+                vals_np = dv.to_numpy(zero_copy_only=False)[raw_mask]
+                idx, rho = hll_idx_rho(vals_np.astype(np.int64), hll_p)
+                np.maximum.at(
+                    regs.reshape(-1), grp[raw_mask] * hll_m + idx, rho
+                )
+        if f"{c}_hll" in kept.column_names:
+            hv = kept.column(f"{c}_hll")
+            hmask = pc.is_valid(hv).to_numpy(zero_copy_only=False)
+            if hmask.any():
+                mat = _fsb_to_matrix(
+                    kept.filter(pa.array(hmask)).column(f"{c}_hll"), hll_m
+                )
+                np.maximum.at(regs, grp[hmask], mat)
+        out_cols[f"{c}_hll"] = _matrix_to_fsb(regs)
     nn = kept.column("__n").to_numpy(zero_copy_only=False)
     out_cols["n_events"] = pa.array(np.add.reduceat(nn, starts_k))
     lsn_k = kept.column("lsn").to_numpy(zero_copy_only=False)
@@ -453,6 +545,10 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 tomb_cols[f"{c}_max"] = pa.array(
                     np.full(reset_gone, _MAX_IDENT, np.int64)
                 )
+            for c in distinct_cols:
+                tomb_cols[f"{c}_hll"] = _matrix_to_fsb(
+                    np.zeros((reset_gone, hll_m), np.uint8)
+                )
             tomb_cols["n_events"] = pa.array(np.zeros(reset_gone, np.int64))
             tomb_cols["last_lsn"] = pa.array(lsn_all[g_lastd])
             tomb_cols[HAD_RESET_COL] = pa.array(np.ones(reset_gone, bool))
@@ -489,6 +585,8 @@ def _agg_stats(part, args, events_in, state_rows, live, deleted, tbl):
         "state_rows": int(state_rows),
         "mode": "aggregate",
         "value_cols": list(args["value_cols"]),
+        "distinct_cols": list(args.get("distinct_cols") or []),
+        "hll_p": int(args.get("hll_p", 12)),
     }
 
 
@@ -499,6 +597,8 @@ def replay_aggregate(
     num_partitions: int | None = None,
     resume: bool = False,
     sink: SinkConfig | None = None,
+    distinct_cols: list[str] | None = None,
+    hll_p: int = 12,
 ) -> ReplayResult:
     """Replay a metrics change log into a keyed aggregate lake.
 
@@ -539,7 +639,7 @@ def replay_aggregate(
         if len(ckpts) >= width:
             min_lsn = min(ckpts.values())
     scan = scan_change_log(log_dir, min_lsn=min_lsn)
-    for c in value_cols:
+    for c in list(value_cols) + list(distinct_cols or []):
         if c not in scan.schema.names:
             raise ValueError(
                 f"value column {c!r} not found in the change log "
@@ -556,7 +656,7 @@ def replay_aggregate(
         )
     num_actors = max(1, min(num_partitions, ncpu))
     num_blocks = max(4 * ncpu, scan.total_bytes // (64 << 20))
-    out_schema = aggregate_schema(value_cols)
+    out_schema = aggregate_schema(value_cols, distinct_cols, hll_p)
     commit_args = {
         "out_schema": out_schema.serialize().to_pybytes(),
         "sink_dir": out_dir,
@@ -568,11 +668,15 @@ def replay_aggregate(
         "keep_epochs": sink.keep_epochs,
         "keep_tombstones": False,
         "value_cols": list(value_cols),
+        "distinct_cols": list(distinct_cols or []),
+        "hll_p": int(hll_p),
         "merge_on_read": bool(sink.merge_on_read and resume),
         "max_delta_files": sink.max_delta_files,
     }
     ds = read_change_log(scan, num_blocks=num_blocks)
-    router = _make_agg_router(num_partitions, list(value_cols), ckpts)
+    router = _make_agg_router(
+        num_partitions, list(value_cols), ckpts, list(distinct_cols or [])
+    )
     metrics_rows = run_exchange(
         ds, router, _agg_commit_fn, commit_args, num_partitions, num_actors,
         batch_size=None,
@@ -596,9 +700,12 @@ def replay_aggregate(
 
 
 @ray.remote
-def _fold_chain_task(pdir: str, files: list[str], value_cols: list[str]) -> pa.Table:
+def _fold_chain_task(
+    pdir: str, files: list[str], value_cols: list[str],
+    distinct_cols: list[str] | None = None,
+) -> pa.Table:
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in files]
-    return fold_aggregate_chain(tabs, value_cols)
+    return fold_aggregate_chain(tabs, value_cols, distinct_cols)
 
 
 def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
@@ -608,6 +715,7 @@ def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
     manifests = mf.read_all_manifests(out_dir)
     chained = {p for p, m in manifests.items() if m.get("kind") == "delta"}
     value_cols = _value_cols_from(manifests)
+    distinct_cols = _distinct_cols_from(manifests)
     plain_files = mf.manifest_data_files(
         out_dir, {p: m for p, m in manifests.items() if p not in chained}
     )
@@ -617,7 +725,8 @@ def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
     if chained:
         refs = [
             _fold_chain_task.remote(
-                mf.partition_dir(out_dir, p), manifests[p]["files"], value_cols
+                mf.partition_dir(out_dir, p), manifests[p]["files"],
+                value_cols, distinct_cols,
             )
             for p in sorted(chained)
         ]
@@ -638,6 +747,13 @@ def _value_cols_from(manifests: dict[int, dict]) -> list[str]:
     return []
 
 
+def _distinct_cols_from(manifests: dict[int, dict]) -> list[str]:
+    for m in manifests.values():
+        if "distinct_cols" in m["stats"]:
+            return list(m["stats"]["distinct_cols"])
+    return []
+
+
 def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
     """Fold merge-on-read chains back into single base files (exactly-once
     commits at the next epoch; checkpoint/watermark carried unchanged)."""
@@ -645,6 +761,7 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
 
     manifests = mf.read_all_manifests(out_dir)
     value_cols = _value_cols_from(manifests)
+    distinct_cols = _distinct_cols_from(manifests)
     todo = {
         p: m for p, m in manifests.items()
         if m.get("kind") == "delta" and len(m["files"]) >= min_chain
@@ -653,7 +770,7 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
     for p, m in sorted(todo.items()):
         pdir = mf.partition_dir(out_dir, p)
         folded = ray.get(
-            _fold_chain_task.remote(pdir, m["files"], value_cols)
+            _fold_chain_task.remote(pdir, m["files"], value_cols, distinct_cols)
         )
         stats = dict(m["stats"])
         stats["live_rows"] = len(folded)

@@ -518,3 +518,89 @@ def run_aggregate_flagship(
     ).write_parquet(log_dir)
     replay_aggregate(log_dir, lake_dir, ["cents"], num_partitions=num_partitions)
     return read_lake(lake_dir)
+
+
+def _derive_distinct_events(batch: pa.Table) -> pa.Table:
+    """events rows → an additive metrics log keyed per EVENT TYPE with a
+    distinct-count column: lsn=event_id, op='I' (no resets — keeps the
+    SQL oracle to the plain per-group HLL replay), cents deltas, and
+    ``uid`` (the user id whose per-key distinct count the lake maintains
+    as HLL register state)."""
+    import numpy as np
+
+    n = len(batch)
+    val = batch.column("value")
+    val_np = (
+        val.to_numpy() if isinstance(val, pa.Array)
+        else val.combine_chunks().to_numpy()
+    )
+    return pa.table(
+        {
+            "lsn": batch.column("event_id"),
+            "op": pa.array(["I"] * n, pa.string()),
+            "repo": pa.array(["evt"] * n, pa.string()),
+            "path": batch.column("event_type"),
+            "cents": pa.array(np.floor(val_np * 100.0).astype(np.int64)),
+            "uid": batch.column("user_id"),
+        }
+    )
+
+
+def run_aggregate_distinct_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 4
+) -> pa.Table:
+    """Aggregate ingest with DISTINCT-COUNT state: the lake maintains,
+    per event type, exact cents sum/min/max/count PLUS the HyperLogLog
+    registers of distinct users — approximate COUNT(DISTINCT) as
+    first-class, mergeable ingest state (``distinct_cols``).  The
+    returned table projects the registers to the estimate with the same
+    exact-integer harmonic sum the SQL oracle replays."""
+    from ..stages.sketch import hll_estimate
+    from .aggregate import read_aggregate_lake, replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_aggd/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+    ).map_batches(
+        _derive_distinct_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    replay_aggregate(
+        log_dir, lake_dir, ["cents"],
+        num_partitions=num_partitions,
+        distinct_cols=["uid"], hll_p=12,
+    )
+    import numpy as np
+
+    # result is one row per event TYPE (a handful) — driver-side projection
+    tbl = read_aggregate_lake(lake_dir).to_arrow_refs()
+    import ray as _ray
+
+    parts = [t for t in _ray.get(tbl) if len(t)]
+    if not parts:
+        from .aggregate import aggregate_schema
+
+        base = aggregate_schema(["cents"], ["uid"], 12)
+        names = [f.name for f in base if f.name != "uid_hll"]
+        return pa.schema(
+            [base.field(nm) for nm in names]
+            + [pa.field("uid_distinct", pa.float64())]
+        ).empty_table()
+    full = pa.concat_tables(parts)
+    regs = full.column("uid_hll")
+    ests = []
+    for i in range(len(full)):
+        r = np.frombuffer(regs[i].as_py(), dtype=np.uint8)
+        est = hll_estimate(r)
+        # round half AWAY from zero (DuckDB ROUND), not Python banker's
+        ests.append(np.floor(est * 10 + 0.5) / 10)
+    out = full.drop_columns(["uid_hll"]).append_column(
+        "uid_distinct", pa.array(np.array(ests, np.float64))
+    )
+    return out

@@ -22,19 +22,16 @@ import numpy as np
 from .bloom import _splitmix64
 
 
-def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
-    """One batch's HLL register array (uint8[2^p]) for int64 values."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if not len(values):
-        return regs
+def hll_idx_rho(values: np.ndarray, p: int = 12) -> tuple[np.ndarray, np.ndarray]:
+    """Per-value HLL register coordinates: (register index int64,
+    rho uint8).  Factored out so per-KEY sketches (the aggregate lake's
+    distinct-count state) can scatter into a (keys × 2^p) matrix with the
+    identical hash/rho math the flat sketch — and its SQL oracle — use."""
     h = _splitmix64(values.astype(np.int64).view(np.uint64))
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
-    # rho = leading zeros of `rest` + 1, capped by the sentinel
-    rho = np.zeros(len(h), dtype=np.uint8)
-    probe = rest
-    # vectorized CLZ via halving probes (6 steps for 64-bit)
+    probe = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
+    # rho = leading zeros + 1, capped by the sentinel; vectorized CLZ via
+    # halving probes (6 steps for 64-bit)
     shift = np.uint64(32)
     acc = np.zeros(len(h), dtype=np.uint64)
     while shift > 0:
@@ -42,7 +39,16 @@ def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
         acc = np.where(mask, acc + shift, acc)
         probe = np.where(mask, probe << shift, probe)
         shift >>= np.uint64(1)
-    rho = (acc + 1).astype(np.uint8)
+    return idx, (acc + 1).astype(np.uint8)
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One batch's HLL register array (uint8[2^p]) for int64 values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(values):
+        return regs
+    idx, rho = hll_idx_rho(values, p)
     np.maximum.at(regs, idx, rho)
     return regs
 
