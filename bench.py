@@ -218,6 +218,7 @@ def run_bench() -> dict:
     # transaction-consistent multi-table replay: demux + two lake replays
     # + atomic snapshot publish + pinned-epoch reads, end to end
     from sql_etl_pipeline_ray.pipelines.flagship import (
+        run_aggregate_distinct_flagship,
         run_aggregate_flagship,
         run_txn_flagship,
     )
@@ -225,6 +226,8 @@ def run_bench() -> dict:
     timed("cdc_multitable", run_txn_flagship)
     # aggregate-state ingest: narrow exchange + reset-aware reduceat fold
     timed("cdc_aggregate_ingest", run_aggregate_flagship)
+    # + per-key HLL distinct state (register scatter-max in the fold)
+    timed("cdc_aggregate_distinct", run_aggregate_distinct_flagship)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

@@ -647,9 +647,24 @@ def replay_aggregate(
             )
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     if resume and manifests:
-        num_partitions = next(iter(manifests.values()))["stats"].get(
-            "num_partitions", max(manifests) + 1
-        )
+        st0 = next(iter(manifests.values()))["stats"]
+        stored_v = st0.get("value_cols", list(value_cols))
+        stored_d = st0.get("distinct_cols", list(distinct_cols or []))
+        if list(stored_v) != list(value_cols) or list(stored_d) != list(
+            distinct_cols or []
+        ):
+            # the aggregate set is part of the lake's identity: a resume
+            # with different columns would silently merge mismatched
+            # states (a new column has no prior contributions to ⊕, and
+            # min/max have no representable "absent" in the row).  Evolve
+            # by replaying fresh into a new lake.
+            raise ValueError(
+                f"lake aggregates {stored_v}+{stored_d} but this run asks "
+                f"for {list(value_cols)}+{list(distinct_cols or [])}; "
+                "aggregate column sets cannot change on resume — replay "
+                "into a fresh out_dir"
+            )
+        num_partitions = st0.get("num_partitions", max(manifests) + 1)
     else:
         num_partitions = num_partitions or max(
             ncpu, scan.total_bytes // (256 << 20)
@@ -789,3 +804,53 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
         _commit_with_metrics(p, folded, stats, args)
         compacted += 1
     return {"partitions_compacted": compacted, "out_dir": out_dir}
+
+
+def aggregate_get(
+    out_dir: str, keys: list[tuple[str, str]]
+) -> pa.Table:
+    """Keyed point read of the rollup lake: each key's current aggregate
+    row (absent keys absent).  Routing is manifest-metadata-only via
+    ``plan_point_read`` (≤ ``len(keys)`` partitions read out of any lake
+    size, the ``lake_get`` serving-path contract); chained partitions
+    fold ONLY the requested keys' rows (key filter pushed into the chain
+    scan — key predicates commute with the ⊕ fold exactly as they do with
+    the LWW fold)."""
+    import pyarrow.dataset as pads
+
+    from .replay import plan_point_read
+
+    plan = plan_point_read(out_dir, keys)
+    manifests = mf.read_all_manifests(out_dir)
+    value_cols = _value_cols_from(manifests)
+    distinct_cols = _distinct_cols_from(manifests)
+    repos = sorted({r for r, _ in keys})
+    paths = sorted({p for _, p in keys})
+    expr = pads.field("repo").isin(repos) & pads.field("path").isin(paths)
+    out: list[pa.Table] = []
+    for part in plan["parts"]:
+        m = manifests[part]
+        pdir = mf.partition_dir(out_dir, part)
+        tabs = [
+            pq.read_table(os.path.join(pdir, f), filters=expr)
+            for f in m["files"]
+        ]
+        t = (
+            fold_aggregate_chain(tabs, value_cols, distinct_cols)
+            if m.get("kind") == "delta"
+            else pa.concat_tables(tabs, promote_options="permissive")
+        )
+        out.append(t)
+    if not out:
+        return aggregate_schema(value_cols, distinct_cols).empty_table()
+    full = pa.concat_tables(out, promote_options="permissive")
+    # the isin pushdown is a superset (repo × path cross product); exact
+    # pair match on the point-read-sized result
+    want = set(keys)
+    mask = [
+        (r, p) in want
+        for r, p in zip(
+            full.column("repo").to_pylist(), full.column("path").to_pylist()
+        )
+    ]
+    return full.filter(pa.array(mask, pa.bool_()))

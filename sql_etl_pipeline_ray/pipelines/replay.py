@@ -2903,12 +2903,17 @@ def _fsck_partition_deep(
             if not pc.all(ok).as_py():
                 issues.append(f"part {part}: content_sha256 rows do not match content")
         # the checkpoint watermark bounds every surviving row's LSN
-        if "lsn" in tbl.column_names:
-            mx = pc.max(tbl.column("lsn")).as_py()
+        # (aggregate-lake state rows carry last_lsn instead of lsn)
+        lsn_col = "lsn" if "lsn" in tbl.column_names else (
+            "last_lsn" if "last_lsn" in tbl.column_names else None
+        )
+        if lsn_col is not None:
+            mx = pc.max(tbl.column(lsn_col)).as_py()
             if mx is not None and mx > manifest.get("max_lsn", -1):
                 issues.append(
-                    f"part {part}: row lsn {mx} exceeds manifest max_lsn "
-                    f"{manifest.get('max_lsn')} (checkpoint would skip events)"
+                    f"part {part}: row {lsn_col} {mx} exceeds manifest "
+                    f"max_lsn {manifest.get('max_lsn')} (checkpoint would "
+                    "skip events)"
                 )
     return issues
 

@@ -380,3 +380,48 @@ def test_distinct_estimate_near_exact(tmp_path):
         est = hll_estimate(np.frombuffer(regs, np.uint8))
         true = len(exact[key])
         assert abs(est - true) / true < 0.25, (key, est, true)
+
+
+def test_resume_refuses_changed_aggregate_set(tmp_path):
+    rows = _gen(200, 20, seed=2)
+    log = str(tmp_path / "log")
+    _write(rows, log, buckets=1)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=2)
+    with pytest.raises(ValueError, match="cannot change on resume"):
+        replay_aggregate(log, lake, ["delta"], resume=True,
+                         distinct_cols=["delta"])
+
+
+def test_aggregate_get_point_read_and_deep_fsck(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.aggregate import aggregate_get
+    from sql_etl_pipeline_ray.pipelines.replay import fsck_lake
+
+    rows = _gen(1500, 120, seed=17)
+    log = str(tmp_path / "log")
+    _write(rows, log)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=4)
+    want = _oracle(rows)
+    some = sorted(want)[:3]
+    got = aggregate_get(lake, some)
+    st = {(r.repo, r.path): (r.delta_sum, r.delta_min, r.delta_max,
+                             r.n_events, r.last_lsn)
+          for r in got.to_pandas().itertuples()}
+    assert st == {k: want[k] for k in some}
+    # absent key → absent row
+    assert len(aggregate_get(lake, [("zzz", "nope")])) == 0
+    # deep fsck is green on an aggregate lake (schema-defensive checks)
+    rep = fsck_lake(lake, deep=True)
+    assert rep["ok"], rep
+    # ... and on a CHAINED aggregate lake, with point reads folding chains
+    _write(rows[:200], os.path.join(log, "inc"), buckets=1)  # no new lsns
+    _write([(100000, "I", some[0][0], some[0][1], 5)],
+           os.path.join(log, "inc2"), buckets=1)
+    replay_aggregate(log, lake, ["delta"], resume=True, sink=_mor_sink(lake))
+    rep2 = fsck_lake(lake, deep=True)
+    assert rep2["ok"], rep2
+    got2 = aggregate_get(lake, [some[0]]).to_pandas().iloc[0]
+    w = want[some[0]]
+    assert (got2.delta_sum, got2.n_events, got2.last_lsn) == (
+        w[0] + 5, w[3] + 1, 100000)
