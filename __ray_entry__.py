@@ -25,6 +25,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_mor_flagship,
     run_aggregate_distinct_flagship,
     run_aggregate_flagship,
+    run_cdc_to_corpus,
     run_patch_flagship,
     run_txn_flagship,
 )
@@ -83,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the estimate is SQL-exact via the splitmix64 + integer harmonic
         # sum replay (same machinery as monthly_uniques_hll)
         "cdc_aggregate_distinct": lambda sf: run_aggregate_distinct_flagship(sf),
+        # the product story composed end to end: CDC replay → LIVE lake
+        # (latest revisions, deletes applied) → curation (token stats,
+        # exact dedup min-doc wins, length gate) → per-language corpus
+        # totals; ONE SQL oracle replays the whole composition
+        "cdc_to_corpus": lambda sf: run_cdc_to_corpus(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -896,6 +902,35 @@ def oracle_sql() -> dict[str, str]:
         # exact-integer harmonic sum — the monthly_uniques_hll machinery
         # keyed by event_type)
         "cdc_aggregate_distinct": _AGG_HLL_SQL,
+        # replay semantics (live [rev2] docs), whitespace token count,
+        # dedup survivorship (min doc_id per identical content), the
+        # ≥5-token gate and the per-language rollup in one query
+        "cdc_to_corpus": r"""
+            WITH live AS (
+                SELECT doc_id, lang, text || ' [rev2]' AS content
+                FROM documents WHERE doc_id % 10 <> 0
+            ), ts AS (
+                SELECT doc_id, lang, content,
+                       LENGTH(content) AS n_chars,
+                       CASE WHEN LENGTH(TRIM(content)) = 0 THEN 0
+                            ELSE LENGTH(REGEXP_REPLACE(TRIM(content),
+                                                       '\s+', ' ', 'g'))
+                                 - LENGTH(REGEXP_REPLACE(TRIM(content),
+                                                         '\s', '', 'g')) + 1
+                       END AS token_count
+                FROM live
+            ), ded AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY content ORDER BY doc_id) AS rn
+                FROM ts
+            )
+            SELECT lang,
+                   COUNT(*) AS docs_kept,
+                   CAST(SUM(token_count) AS BIGINT) AS tokens_total,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_total
+            FROM ded WHERE rn = 1 AND token_count >= 5
+            GROUP BY lang
+        """,
         # bootstrap live state: snapshot rows (lsn=doc_id ≤ M) overwritten
         # by the post-watermark updates at M+1+2d; tenth docs deleted at
         # M+2+2d.  M = MAX(doc_id) — the snapshot watermark.

@@ -228,6 +228,11 @@ def run_bench() -> dict:
     timed("cdc_aggregate_ingest", run_aggregate_flagship)
     # + per-key HLL distinct state (register scatter-max in the fold)
     timed("cdc_aggregate_distinct", run_aggregate_distinct_flagship)
+    # the composed product story: replay → live lake → dedup + token gate
+    # → per-language corpus totals (one SQL oracle end to end)
+    from sql_etl_pipeline_ray.pipelines.flagship import run_cdc_to_corpus
+
+    timed("cdc_to_corpus", run_cdc_to_corpus)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

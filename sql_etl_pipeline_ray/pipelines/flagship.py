@@ -604,3 +604,66 @@ def run_aggregate_distinct_flagship(
         "uid_distinct", pa.array(np.array(ests, np.float64))
     )
     return out
+
+
+def run_cdc_to_corpus(sf_dir: str, min_tokens: int = 5) -> pa.Table:
+    """The product story end to end: CDC replay → live lake → curated
+    training corpus, in one composed pipeline.
+
+    1. Derive the change log and replay it (``run_flagship``) — the lake
+       holds each doc's LATEST content ([rev2]) with tenth docs deleted.
+    2. Curate the LIVE lake (not the raw table — deleted docs must not
+       train, stale revisions must not train): token stats over
+       ``content`` (``stages/text.py:TokenStats``), exact dedup on
+       content with min-doc wins (``stages/dedup.py:exact_dedup``), a
+       minimum-length gate.
+    3. Roll up per language: docs kept, exact token/char totals.
+
+    Every stage is SQL-mirrorable, so the DuckDB oracle replays the WHOLE
+    composition — replay semantics, token arithmetic, dedup survivorship
+    and the grouped totals — as one query."""
+    import numpy as np
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.text import TokenStats
+
+    lake = run_flagship(sf_dir)
+
+    def with_doc_id(df):
+        df = df.copy()
+        df["doc_id"] = (
+            df["path"].str.extract(r"(\d+)", expand=False).astype(np.int64)
+        )
+        return df[["doc_id", "lang", "content"]]
+
+    docs = lake.map_batches(with_doc_id, batch_format="pandas")
+    deduped = exact_dedup(docs, text_col="content")
+    token_stats = TokenStats("content")
+
+    def partial_rollup(df):
+        # token stats + gate + per-batch partial aggregation in one stage:
+        # the shuffle then carries O(blocks × languages) rows and the final
+        # reduce is driver-trivial at any corpus size (language cardinality
+        # is tiny).  TokenStats keys by doc_id, so lang re-attaches
+        # positionally (same batch, same row order).
+        ts = token_stats(df)
+        ts["lang"] = df["lang"].to_numpy()
+        ts = ts[ts["token_count"] >= min_tokens]
+        return ts.groupby("lang", as_index=False).agg(
+            docs_kept=("doc_id", "size"),
+            tokens_total=("token_count", "sum"),
+            chars_total=("n_chars", "sum"),
+        )
+
+    partials = deduped.map_batches(
+        partial_rollup, batch_format="pandas"
+    ).to_pandas()
+    agg = (
+        partials.groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("docs_kept", "tokens_total", "chars_total"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
