@@ -26,6 +26,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_aggregate_distinct_flagship,
     run_aggregate_flagship,
     run_cdc_to_corpus,
+    run_derived_flagship,
     run_patch_flagship,
     run_txn_flagship,
 )
@@ -89,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact dedup min-doc wins, length gate) → per-language corpus
         # totals; ONE SQL oracle replays the whole composition
         "cdc_to_corpus": lambda sf: run_cdc_to_corpus(sf),
+        # incrementally maintained DERIVED table: replay prefix → build
+        # dst = fn(row), resume suffix → refresh recomputes only changed
+        # partitions/keys (pipelines/derive.py — the row-wise sibling of
+        # the aggregate IVM); final state oracled as fn over live docs
+        "cdc_derived_lake": lambda sf: run_derived_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -905,6 +911,17 @@ def oracle_sql() -> dict[str, str]:
         # replay semantics (live [rev2] docs), whitespace token count,
         # dedup survivorship (min doc_id per identical content), the
         # ≥5-token gate and the per-language rollup in one query
+        # derived lake: the transform over the live replayed state —
+        # convergence of the incremental refresh is the engine claim
+        "cdc_derived_lake": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   lang,
+                   UPPER(text || ' [rev2]') AS shout,
+                   CAST(LENGTH(text || ' [rev2]') AS BIGINT) AS n
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
         "cdc_to_corpus": r"""
             WITH live AS (
                 SELECT doc_id, lang, text || ' [rev2]' AS content

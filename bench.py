@@ -230,9 +230,14 @@ def run_bench() -> dict:
     timed("cdc_aggregate_distinct", run_aggregate_distinct_flagship)
     # the composed product story: replay → live lake → dedup + token gate
     # → per-language corpus totals (one SQL oracle end to end)
-    from sql_etl_pipeline_ray.pipelines.flagship import run_cdc_to_corpus
+    from sql_etl_pipeline_ray.pipelines.flagship import (
+        run_cdc_to_corpus,
+        run_derived_flagship,
+    )
 
     timed("cdc_to_corpus", run_cdc_to_corpus)
+    # incrementally maintained derived table (build -> resume -> refresh)
+    timed("cdc_derived_lake", run_derived_flagship)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

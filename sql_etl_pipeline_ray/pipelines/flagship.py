@@ -667,3 +667,52 @@ def run_cdc_to_corpus(sf_dir: str, min_tokens: int = 5) -> pa.Table:
     for c in ("docs_kept", "tokens_total", "chars_total"):
         agg[c] = agg[c].astype(np.int64)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def run_derived_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8,
+    split_frac: float = 0.6,
+) -> ray.data.Dataset:
+    """Incrementally maintained derived table end to end: replay the log's
+    low-LSN prefix → build the derived lake (UPPER(content) + length) →
+    resume-replay the suffix → REFRESH the derived lake (only changed
+    partitions / keys recompute) → return it.  Final state equals a full
+    recompute by the convergence contract, so one SQL oracle (the
+    transform over the live [rev2] docs) verifies the whole incremental
+    path."""
+    from ..config import SinkConfig
+    from .derive import refresh_derived_lake
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_derived/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lo_dir = os.path.join(work, "log_lo")
+    src_dir = os.path.join(work, "src")
+    dst_dir = os.path.join(work, "dst")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    max_id = pc.max(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id")
+    ).as_py()
+    thresh = 3 * int(max_id * split_frac)
+    shutil.rmtree(lo_dir, ignore_errors=True)
+    os.makedirs(lo_dir, exist_ok=True)
+    ds = ray.data.read_parquet(log_dir)
+    ds.filter(expr=f"lsn <= {thresh}").write_parquet(lo_dir)
+
+    def fn(df):
+        df = df.copy()
+        df["shout"] = df["content"].str.upper()
+        df["n"] = df["content"].str.len().astype("int64")
+        return df[["repo", "path", "lang", "shout", "n"]]
+
+    cfg = ReplayConfig(num_partitions=num_partitions)
+    sink = SinkConfig(out_dir=src_dir, keep_epochs=2)
+    replay(lo_dir, src_dir, cfg, sink=sink)
+    refresh_derived_lake(src_dir, dst_dir, fn, fn_version="shout-v1")
+    replay(log_dir, src_dir, cfg, sink=sink, resume=True)
+    refresh_derived_lake(src_dir, dst_dir, fn, fn_version="shout-v1")
+    return read_lake(dst_dir)
