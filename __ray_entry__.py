@@ -27,6 +27,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_aggregate_flagship,
     run_cdc_to_corpus,
     run_derived_flagship,
+    run_windowed_flagship,
     run_patch_flagship,
     run_txn_flagship,
 )
@@ -95,6 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitions/keys (pipelines/derive.py — the row-wise sibling of
         # the aggregate IVM); final state oracled as fn over live docs
         "cdc_derived_lake": lambda sf: run_derived_flagship(sf),
+        # event-time windowed rollup with ALLOWED LATENESS: window id in
+        # the key, persisted event-time watermark, suffix events behind
+        # watermark-minus-lateness dropped (their windows are FINAL) —
+        # the Flink allowed-lateness model on the aggregate ingest path
+        "cdc_windowed_ingest": lambda sf: run_windowed_flagship(sf),
         # (cdc_lww_* / cdc_incremental_highwater — green in BOTH r01 and
         #  r02 driver files — moved past the 50-row cap to free slots for
         #  entries that have never had a driver row; see the tail block.)
@@ -911,6 +917,33 @@ def oracle_sql() -> dict[str, str]:
         # replay semantics (live [rev2] docs), whitespace token count,
         # dedup survivorship (min doc_id per identical content), the
         # ≥5-token gate and the per-language rollup in one query
+        # windowed ingest: split at 60% of event ids, watermark = prefix
+        # max event time, suffix applies iff ts >= watermark - 2 days;
+        # hourly windows keyed in path — the whole lateness rule in SQL
+        "cdc_windowed_ingest": """
+            WITH s AS (
+                SELECT CAST(FLOOR(MAX(event_id) * 0.6) AS BIGINT) AS split
+                FROM events
+            ), wm AS (
+                SELECT MAX(epoch_us(ts)) AS w FROM events, s
+                WHERE event_id <= split
+            ), applied AS (
+                SELECT e.* FROM events e, s, wm
+                WHERE e.event_id <= s.split
+                   OR epoch_us(e.ts) >= wm.w - 172800000000
+            )
+            SELECT 'evt' AS repo,
+                   event_type || '|h' ||
+                       CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS path,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents_sum,
+                   MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS cents_min,
+                   MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS cents_max,
+                   COUNT(*) AS n_events,
+                   MAX(event_id) AS last_lsn
+            FROM applied
+            GROUP BY event_type, epoch_us(ts) // 3600000000
+        """,
         # derived lake: the transform over the live replayed state —
         # convergence of the incremental refresh is the engine claim
         "cdc_derived_lake": """

@@ -238,6 +238,10 @@ def run_bench() -> dict:
     timed("cdc_to_corpus", run_cdc_to_corpus)
     # incrementally maintained derived table (build -> resume -> refresh)
     timed("cdc_derived_lake", run_derived_flagship)
+    # event-time windowed rollup with allowed lateness (two-phase)
+    from sql_etl_pipeline_ray.pipelines.flagship import run_windowed_flagship
+
+    timed("cdc_windowed_ingest", run_windowed_flagship)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

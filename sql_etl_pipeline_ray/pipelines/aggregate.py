@@ -130,6 +130,7 @@ def _make_agg_router(
     num_partitions: int, value_cols: list[str],
     checkpoints: dict[int, int] | None,
     distinct_cols: list[str] | None = None,
+    late_filter: tuple[str, int] | None = None,
 ):
     """Normalize + route: trim keys, validate, int64-cast deltas, key-hash
     partition, checkpoint row prune.  Invalid events (bad op, null
@@ -143,6 +144,17 @@ def _make_agg_router(
             ckpt_arr[p] = l
 
     def route(batch: pa.Table) -> pa.Table:
+        if late_filter is not None:
+            # event-time lateness (the Flink allowed-lateness model): an
+            # event whose timestamp falls below the FINALIZED watermark
+            # (stored_wm - allowed_lateness, computed driver-side) belongs
+            # to a window the lake already considers closed — applying it
+            # would silently change a published window.  Dropped here;
+            # the driver pre-counts them into summary["late_events"].
+            col, thr = late_filter
+            ts = pc.fill_null(batch.column(col).cast(pa.int64()), thr)
+            keep = pc.greater_equal(ts, pa.scalar(thr, pa.int64()))
+            batch = batch.filter(keep)
         n = len(batch)
         valid = np.ones(n, dtype=bool)
         lsn = batch.column("lsn")
@@ -599,6 +611,7 @@ def replay_aggregate(
     sink: SinkConfig | None = None,
     distinct_cols: list[str] | None = None,
     hll_p: int = 12,
+    event_time: tuple[str, int] | None = None,
 ) -> ReplayResult:
     """Replay a metrics change log into a keyed aggregate lake.
 
@@ -608,7 +621,18 @@ def replay_aggregate(
     late D discards earlier adds).  Deterministic fold + manifest CAS ⇒
     a retried/re-run commit is byte-identical (exactly-once, which
     ADDITIVE state strictly requires — double-applying is not idempotent
-    the way pick-latest is)."""
+    the way pick-latest is).
+
+    ``event_time=(col, allowed_lateness)`` adds event-time window
+    FINALIZATION (windowed rollups put the window id in the key; see the
+    flagship derivation): the lake persists an event-time watermark
+    (max ``col`` applied, ``_event_watermark.json``), and a resume drops
+    increment events with ``col < watermark - allowed_lateness`` — their
+    window closed when the watermark passed it, and a closed window's
+    published value must never move (the allowed-lateness contract of
+    stream processors).  Dropped-late counts surface as
+    ``summary["late_events"]``; both the column and the lateness are in
+    the column's own integer units."""
     t0 = time.time()
     sink = sink or SinkConfig(out_dir=out_dir)
     if sink.out_dir != out_dir:
@@ -688,9 +712,52 @@ def replay_aggregate(
         "merge_on_read": bool(sink.merge_on_read and resume),
         "max_delta_files": sink.max_delta_files,
     }
+    late_filter = None
+    late_events = 0
+    if event_time is not None:
+        et_col, lateness = event_time
+        if et_col not in scan.schema.names:
+            raise ValueError(
+                f"event_time column {et_col!r} not in the change log "
+                f"(schema: {scan.schema.names})"
+            )
+        stored_wm = _read_event_watermark(out_dir)
+        if resume and stored_wm is not None:
+            thr = int(stored_wm) - int(lateness)
+            late_filter = (et_col, thr)
+            # observability pre-count: one streaming pass over two narrow
+            # columns (late drops must never be silent).  Checkpoint-pruned
+            # rows (already applied) are excluded from the count.
+            pre = read_change_log(scan)
+            import pyarrow.dataset as _pads  # noqa: F401
+
+            def count_late(b: pa.Table) -> pa.Table:
+                ts = pc.fill_null(b.column(et_col).cast(pa.int64()), thr)
+                lsn_np = b.column("lsn").to_numpy(zero_copy_only=False)
+                late = pc.less(ts, pa.scalar(thr, pa.int64())).to_numpy(
+                    zero_copy_only=False
+                )
+                if ckpts:
+                    kh = key_hash(
+                        pc.utf8_trim_whitespace(b.column("repo").cast(pa.string())),
+                        pc.utf8_trim_whitespace(b.column("path").cast(pa.string())),
+                    )
+                    prt = (kh % np.uint64(num_partitions)).astype(np.int64)
+                    ck = np.full(num_partitions, -1, dtype=np.int64)
+                    for p_, l_ in ckpts.items():
+                        ck[p_] = l_
+                    late &= lsn_np > ck[prt]
+                return pa.table({"late": [int(late.sum())]})
+
+            late_events = sum(
+                r["late"] for r in pre.map_batches(
+                    count_late, batch_format="pyarrow"
+                ).take_all()
+            )
     ds = read_change_log(scan, num_blocks=num_blocks)
     router = _make_agg_router(
-        num_partitions, list(value_cols), ckpts, list(distinct_cols or [])
+        num_partitions, list(value_cols), ckpts, list(distinct_cols or []),
+        late_filter=late_filter,
     )
     metrics_rows = run_exchange(
         ds, router, _agg_commit_fn, commit_args, num_partitions, num_actors,
@@ -707,6 +774,11 @@ def replay_aggregate(
         "duration_s": round(time.time() - t0, 4),
     }
     os.makedirs(out_dir, exist_ok=True)
+    if event_time is not None:
+        summary["late_events"] = int(late_events)
+        summary["event_watermark"] = _advance_event_watermark(
+            out_dir, log_dir, event_time[0]
+        )
     if scan.max_lsn >= 0:
         summary["log_hwm"] = mf.write_log_hwm(out_dir, int(scan.max_lsn))
     with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
@@ -854,3 +926,53 @@ def aggregate_get(
         )
     ]
     return full.filter(pa.array(mask, pa.bool_()))
+
+
+EVENT_WATERMARK = "_event_watermark.json"
+
+
+def _read_event_watermark(out_dir: str) -> int | None:
+    p = os.path.join(out_dir, EVENT_WATERMARK)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["watermark"])
+
+
+def _advance_event_watermark(out_dir: str, log_dir: str, col: str) -> int:
+    """Monotonically advance the persisted event-time watermark to the max
+    of the column across the log — FOOTER STATS ONLY (no data read); stats-
+    less row groups decode just that column.  Late (dropped) events cannot
+    regress it: max is max."""
+    import glob as _glob
+
+    wm = _read_event_watermark(out_dir)
+    mx = wm if wm is not None else None
+    for f in _glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True):
+        pf = pq.ParquetFile(f)
+        if col not in pf.schema_arrow.names:
+            continue
+        idx = pf.schema_arrow.get_field_index(col)
+        for i in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(i).column(idx).statistics
+            if st is not None and st.max is not None:
+                v = st.max
+                if hasattr(v, "timestamp"):
+                    v = int(v.timestamp() * 1_000_000)
+                v = int(v)
+            else:
+                t = pf.read_row_group(i, columns=[col])
+                if len(t) == 0:
+                    continue
+                import pyarrow.compute as _pc
+
+                v = int(_pc.max(t.column(col).cast(pa.int64())).as_py())
+            mx = v if mx is None else max(mx, v)
+    mx = -1 if mx is None else int(mx)
+    from ..state.manifest import _atomic_write_bytes
+
+    _atomic_write_bytes(
+        os.path.join(out_dir, EVENT_WATERMARK),
+        json.dumps({"watermark": mx, "column": col}).encode(),
+    )
+    return mx

@@ -716,3 +716,86 @@ def run_derived_flagship(
     replay(log_dir, src_dir, cfg, sink=sink, resume=True)
     refresh_derived_lake(src_dir, dst_dir, fn, fn_version="shout-v1")
     return read_lake(dst_dir)
+
+
+_LATE_US = 2 * 24 * 3600 * 1_000_000  # allowed lateness: 2 days, in µs
+
+
+def _derive_windowed_events(batch: pa.Table) -> pa.Table:
+    """events rows → an hourly-windowed metrics log: the WINDOW ID lives
+    in the key (path = event_type|h<hour bucket>), which is how streaming
+    engines shard windowed state; ``ts`` (epoch µs) rides along for the
+    event-time watermark."""
+    import numpy as np
+
+    n = len(batch)
+    val = batch.column("value")
+    val_np = (
+        val.to_numpy() if isinstance(val, pa.Array)
+        else val.combine_chunks().to_numpy()
+    )
+    ts_us = batch.column("ts").cast(pa.int64())
+    ts_np = (
+        ts_us.to_numpy() if isinstance(ts_us, pa.Array)
+        else ts_us.combine_chunks().to_numpy()
+    )
+    hour = ts_np // 3_600_000_000
+    return pa.table(
+        {
+            "lsn": batch.column("event_id"),
+            "op": pa.array(["I"] * n, pa.string()),
+            "repo": pa.array(["evt"] * n, pa.string()),
+            "path": pc.binary_join_element_wise(
+                batch.column("event_type"),
+                pa.array(["|h"] * n),
+                pa.array(hour.astype(str).astype(object)),
+                "",
+            ),
+            "cents": pa.array(np.floor(val_np * 100.0).astype(np.int64)),
+            "ts": pa.array(ts_np),
+        }
+    )
+
+
+def run_windowed_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 4,
+    split_frac: float = 0.6,
+) -> ray.data.Dataset:
+    """Event-time windowed rollup with ALLOWED LATENESS end to end: replay
+    the log's LSN prefix (the watermark advances to the prefix's max event
+    time), then resume with the suffix — suffix events whose timestamp
+    fell more than the lateness behind the watermark belong to FINALIZED
+    windows and are dropped; everything else applies.  One SQL oracle
+    replays the split, the watermark, the lateness cut and the windowed
+    sums."""
+    from .aggregate import read_aggregate_lake, replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_windowed/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lo_dir = os.path.join(work, "log_lo")
+    lake_dir = os.path.join(work, "lake")
+    for d in (log_dir, lo_dir, lake_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(lo_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    ).map_batches(
+        _derive_windowed_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    max_id = pc.max(
+        pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+        ).column("event_id")
+    ).as_py()
+    split = int(max_id * split_frac)
+    ray.data.read_parquet(log_dir).filter(expr=f"lsn <= {split}").write_parquet(
+        lo_dir
+    )
+    et = ("ts", _LATE_US)
+    replay_aggregate(lo_dir, lake_dir, ["cents"],
+                     num_partitions=num_partitions, event_time=et)
+    replay_aggregate(log_dir, lake_dir, ["cents"], resume=True, event_time=et)
+    return read_aggregate_lake(lake_dir)

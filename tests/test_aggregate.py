@@ -425,3 +425,64 @@ def test_aggregate_get_point_read_and_deep_fsck(tmp_path):
     w = want[some[0]]
     assert (got2.delta_sum, got2.n_events, got2.last_lsn) == (
         w[0] + 5, w[3] + 1, 100000)
+
+
+def _write_ts(rows, log_dir, buckets=2):
+    """rows: (lsn, op, path, delta, ts_us)"""
+    os.makedirs(log_dir, exist_ok=True)
+    per = (len(rows) + buckets - 1) // buckets
+    for b in range(buckets):
+        chunk = rows[b * per:(b + 1) * per]
+        if not chunk:
+            continue
+        pq.write_table(pa.table({
+            "lsn": pa.array([r[0] for r in chunk], pa.int64()),
+            "op": pa.array([r[1] for r in chunk]),
+            "repo": pa.array(["w"] * len(chunk)),
+            "path": pa.array([r[2] for r in chunk]),
+            "delta": pa.array([r[3] for r in chunk], pa.int64()),
+            "ts": pa.array([r[4] for r in chunk], pa.int64()),
+        }), os.path.join(log_dir, f"b{b:02d}.parquet"), row_group_size=32)
+
+
+def test_event_time_lateness_finalizes_windows(tmp_path):
+    """Windowed rollup (window id in the key): after the watermark passes,
+    an event for a closed window is dropped on resume; within allowed
+    lateness it still applies."""
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    # phase 1: windows 0 and 1 (ts in [0, 2000)); watermark → 1900
+    p1 = [(1, "I", "k|w0", 10, 100), (2, "I", "k|w0", 5, 900),
+          (3, "I", "k|w1", 7, 1500), (4, "I", "k|w1", 2, 1900)]
+    _write_ts(p1, log, buckets=1)
+    r1 = replay_aggregate(log, lake, ["delta"], num_partitions=2,
+                          event_time=("ts", 500))
+    assert r1.summary["event_watermark"] == 1900
+    assert r1.summary["late_events"] == 0
+    # phase 2: one event within lateness (ts=1450 >= 1900-500), one too
+    # late (ts=800 < 1400 — window 0 is FINAL), one new window
+    p2 = [(10, "I", "k|w1", 100, 1450),
+          (11, "I", "k|w0", 999, 800),
+          (12, "I", "k|w2", 3, 2500)]
+    _write_ts(p2, os.path.join(log, "inc"), buckets=1)
+    r2 = replay_aggregate(log, lake, ["delta"], resume=True,
+                          event_time=("ts", 500))
+    assert r2.summary["late_events"] == 1
+    assert r2.summary["event_watermark"] == 2500
+    st = {p: s for (rp, p), (s, *_rest) in _lake_state(lake).items()}
+    # w0 unchanged (late event dropped), w1 gained 100, w2 born
+    assert st == {"k|w0": 15, "k|w1": 109, "k|w2": 3}
+
+
+def test_event_time_full_replay_applies_everything(tmp_path):
+    """Lateness only bites on RESUME — a full replay of a complete log
+    applies every event regardless of timestamps (there is no prior
+    watermark to violate)."""
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    rows = [(1, "I", "k|w0", 10, 100), (2, "I", "k|w1", 7, 9000),
+            (3, "I", "k|w0", 5, 50)]
+    _write_ts(rows, log, buckets=1)
+    r = replay_aggregate(log, lake, ["delta"], num_partitions=2,
+                         event_time=("ts", 100))
+    assert r.summary["late_events"] == 0
+    st = {p: s for (rp, p), (s, *_r) in _lake_state(lake).items()}
+    assert st == {"k|w0": 15, "k|w1": 7}
