@@ -28,6 +28,15 @@ Mechanics — partition-local end to end, NO shuffle at any scale:
 - Unchanged partitions (pinned epoch == current epoch) are skipped
   without reading a byte.
 
+Cost model (measured at 5M keys / 32 partitions): the refresh saves
+TRANSFORM compute (fn runs on changed rows only) and skips untouched
+partitions entirely — but a touched partition still reads its new state
+and prior derived rows in full and rewrites the partition (copy-on-write
+commit).  A tiny UNIFORM increment therefore stays read-bound (every
+partition touched); the wins come from expensive transforms and
+partition-localized increments.  A MOR delta variant (chained changed-key
+files) is the known extension, same shape as the aggregate lake's.
+
 Crash/retry: state pins advance only after every commit; a re-run with
 stale pins recomputes the same diff and commits byte-identical content
 (digest idempotence), converging regardless of where the previous run
