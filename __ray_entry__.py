@@ -951,7 +951,8 @@ def oracle_sql() -> dict[str, str]:
                    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    lang,
                    UPPER(text || ' [rev2]') AS shout,
-                   CAST(LENGTH(text || ' [rev2]') AS BIGINT) AS n
+                   CAST(LENGTH(text || ' [rev2]') AS BIGINT) AS n,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn
             FROM documents
             WHERE doc_id % 10 <> 0
         """,

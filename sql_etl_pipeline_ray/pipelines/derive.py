@@ -34,8 +34,12 @@ partitions entirely — but a touched partition still reads its new state
 and prior derived rows in full and rewrites the partition (copy-on-write
 commit).  A tiny UNIFORM increment therefore stays read-bound (every
 partition touched); the wins come from expensive transforms and
-partition-localized increments.  A MOR delta variant (chained changed-key
-files) is the known extension, same shape as the aggregate lake's.
+partition-localized increments.  ``merge_on_read=True`` removes the
+write side of that cost too: the refresh commits only fn(changed rows)
+plus delete tombstones as a chained delta (prior derived rows are never
+read), and because derived rows carry the source's winning LSN the
+standard LWW chain fold serves reads and ``compact_lake`` restores plain
+files.
 
 Crash/retry: state pins advance only after every commit; a re-run with
 stale pins recomputes the same diff and commits byte-identical content
@@ -110,6 +114,9 @@ def _refresh_part(
     import ray.cloudpickle as pickle
 
     fn = pickle.loads(fn_ser)
+    mor = bool(args.get("merge_on_read")) and dst_prior is not None
+    if mor and len(dst_prior["files"]) > int(args.get("max_delta_files", 8)):
+        mor = False  # inline compaction via the COW path below
     key_cols = list(KEY_COLUMNS)
     old = _read_state(old_files, old_fold, lake_tomb, key_cols + ["lsn"])
     new = _read_state(new_files, new_fold, lake_tomb, None)
@@ -130,9 +137,10 @@ def _refresh_part(
     deleted = m[m["_merge"] == "left_only"][key_cols]
     drop_keys = pd.concat([changed, deleted], ignore_index=True)
 
-    # prior derived rows minus everything that changed or died
+    # prior derived rows minus everything that changed or died (the
+    # merge-on-read path never reads them — that is its whole point)
     prior_tabs = []
-    if dst_prior is not None:
+    if dst_prior is not None and not mor:
         pdir = mf.partition_dir(dst_dir, part)
         prior_tabs = [
             pq.read_table(os.path.join(pdir, f)) for f in dst_prior["files"]
@@ -142,6 +150,12 @@ def _refresh_part(
         if prior_tabs
         else None
     )
+    if prior is not None and "op" in prior.column_names:
+        # a previously-chained dst read for a COW commit (inline
+        # compaction): fold to the live row set first
+        from .replay import _fold_chain_table as _fold
+
+        prior = _fold(prior, keep_tombstones=False)
     keep_df = None
     if prior is not None and len(prior):
         pdf = prior.to_pandas()
@@ -157,7 +171,13 @@ def _refresh_part(
         ndf = new.to_pandas()
         nidx = pd.MultiIndex.from_frame(ndf[key_cols])
         sel = ndf[nidx.isin(pd.MultiIndex.from_frame(changed))]
-        out = fn(sel.reset_index(drop=True))
+        sel = sel.reset_index(drop=True)
+        out = fn(sel)
+        if "lsn" in out.columns:
+            raise ValueError(
+                "derive fn must not output an 'lsn' column — the engine "
+                "appends the source row's winning LSN itself"
+            )
         if len(out) != len(sel):
             raise ValueError(
                 f"derive fn changed the row count ({len(sel)} → {len(out)}); "
@@ -165,11 +185,62 @@ def _refresh_part(
                 "ivm/rollup)"
             )
         for k in key_cols:
-            if not (
-                out[k].to_numpy() == sel[k].reset_index(drop=True).to_numpy()
-            ).all():
+            if not (out[k].to_numpy() == sel[k].to_numpy()).all():
                 raise ValueError(f"derive fn must preserve key column {k!r}")
+        out = out.copy()
+        # source winning LSN rides along: lineage, and the version key the
+        # merge-on-read chain fold orders by
+        out["lsn"] = sel["lsn"].to_numpy()
         derived_df = out
+    new_lsn = new_keys["lsn"].max() if len(new_keys) else -1
+    prior_lsn = dst_prior["max_lsn"] if dst_prior else -1
+    if mor:
+        # delta = fn(changed rows) as op='U' + op='D' tombstones for
+        # deleted keys at the src partition's max LSN (strictly above
+        # every previously-derived row's winning LSN, strictly below any
+        # future event's — so the read fold orders them correctly)
+        parts_df = []
+        if derived_df is not None:
+            d = derived_df.copy()
+            d["op"] = "U"
+            parts_df.append(d)
+        if len(deleted):
+            t = deleted.copy().reset_index(drop=True)
+            t["lsn"] = int(max(int(new_lsn) if pd.notna(new_lsn) else -1,
+                               prior_lsn))
+            t["op"] = "D"
+            parts_df.append(t)
+        delta_df = (
+            pd.concat(parts_df, ignore_index=True).sort_values(key_cols)
+            if parts_df else pd.DataFrame(columns=key_cols + ["lsn", "op"])
+        )
+        delta = pa.Table.from_pandas(
+            delta_df.reset_index(drop=True), preserve_index=False
+        )
+        stats = {
+            "events_in": int(len(changed) + len(deleted)),
+            "keys_seen": -1, "deleted_keys": int(len(deleted)),
+            "orphan_events_applied": 0, "orphan_deletes": 0,
+            "max_lsn": int(max(int(new_lsn) if pd.notna(new_lsn) else -1,
+                               prior_lsn)),
+            "min_lsn": -1, "live_rows": int(len(delta)),
+            "state_rows": int(len(delta)), "mode": "derived",
+            "num_partitions": args["num_partitions"],
+            "key_hash_version": args["key_hash_version"],
+            "keep_tombstones": False, "kind": "delta",
+        }
+        epoch = dst_prior["epoch"] + 1
+        digest = table_digest(delta, list(KEY_COLUMNS))
+        mf.commit_partition(
+            dst_dir, part, epoch, delta, stats, digest,
+            compression=args["compression"], keep_epochs=args["keep_epochs"],
+            chain_files=dst_prior["files"],
+            chain_rows=int(dst_prior.get("rows", 0)),
+        )
+        return {
+            "part": part, "epoch": epoch, "changed": int(len(changed)),
+            "deleted": int(len(deleted)), "rows": int(len(delta)),
+        }
     final_df = pd.concat(
         [d for d in (keep_df, derived_df) if d is not None],
         ignore_index=True,
@@ -179,8 +250,6 @@ def _refresh_part(
     else:
         final_df = final_df.sort_values(key_cols).reset_index(drop=True)
         final = pa.Table.from_pandas(final_df, preserve_index=False)
-    new_lsn = new_keys["lsn"].max() if len(new_keys) else -1
-    prior_lsn = dst_prior["max_lsn"] if dst_prior else -1
     stats = {
         "events_in": int(len(changed) + len(deleted)),
         "keys_seen": int(len(final)),
@@ -215,6 +284,8 @@ def refresh_derived_lake(
     fn_version: str = "v1",
     compression: str = "zstd",
     keep_epochs: int = 1,
+    merge_on_read: bool = False,
+    max_delta_files: int = 8,
 ) -> dict[str, Any]:
     """Bring ``dst`` up to date with ``src`` (see module docstring).
 
@@ -279,6 +350,8 @@ def refresh_derived_lake(
         "key_hash_version": KEY_HASH_VERSION,
         "compression": compression,
         "keep_epochs": keep_epochs,
+        "merge_on_read": bool(merge_on_read),
+        "max_delta_files": int(max_delta_files),
     }
     refs = []
     skipped = 0

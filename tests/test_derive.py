@@ -132,7 +132,7 @@ def test_fn_version_and_key_guards(tmp_path):
         refresh_derived_lake(src, dst, _fn, fn_version="v2")
 
     def bad_fn(df):
-        return df.iloc[:0]
+        return df.iloc[:0][["repo", "path"]]
 
     _write_log([(2, "U", "a", "y")], os.path.join(log, "i"), buckets=1)
     replay(log, src, ReplayConfig(num_partitions=1), resume=True)
@@ -155,3 +155,55 @@ def test_gcd_pin_degrades_to_full_rebuild_but_converges(tmp_path):
     live = {f"k{i}": f"t{i}" for i in range(20)}
     live["k3"] = "new3"
     assert _derived_state(dst) == _expect(live)
+
+
+def test_mor_refresh_equals_cow_and_reads_fold(tmp_path):
+    """Merge-on-read derived refresh: delta files chain (fn rows + delete
+    tombstones), plain read_lake folds them, final state equals the
+    copy-on-write refresh; compact_lake restores plain files."""
+    from sql_etl_pipeline_ray.pipelines.replay import compact_lake
+    from sql_etl_pipeline_ray.state import manifest as mf2
+
+    log, src = str(tmp_path / "log"), str(tmp_path / "src")
+    rows = [(i + 1, "I", f"k{i}", f"t{i}") for i in range(30)]
+    _write_log(rows, log)
+    _replay(log, src)
+    cow, morl = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for d in (cow, morl):
+        refresh_derived_lake(src, d, _fn, keep_epochs=2)
+    inc = [(100, "U", "k3", "NEWTHREE"), (101, "D", "k8", None),
+           (102, "I", "k77", "fresh")]
+    _write_log(inc, os.path.join(log, "i"), buckets=1)
+    _replay(log, src, resume=True)
+    refresh_derived_lake(src, cow, _fn, keep_epochs=2)
+    refresh_derived_lake(src, morl, _fn, keep_epochs=2, merge_on_read=True)
+    assert _derived_state(cow) == _derived_state(morl)
+    kinds = {m.get("kind") for m in mf2.read_all_manifests(morl).values()}
+    assert "delta" in kinds
+    # deleted key really gone through the fold
+    assert "k8" not in _derived_state(morl)
+    # compaction restores plain files; state unchanged
+    before = _derived_state(morl)
+    compact_lake(morl)
+    assert {m.get("kind") for m in mf2.read_all_manifests(morl).values()} == {None}
+    assert _derived_state(morl) == before
+
+
+def test_mor_chain_bound_compacts_inline(tmp_path):
+    from sql_etl_pipeline_ray.state import manifest as mf2
+
+    log, src, dst = (str(tmp_path / d) for d in ("log", "src", "dst"))
+    _write_log([(1, "I", "k", "v0")], log, buckets=1)
+    _replay(log, src)
+    refresh_derived_lake(src, dst, _fn, keep_epochs=2)
+    for i in range(4):
+        _write_log([(10 + i, "U", "k", f"v{i + 1}")],
+                   os.path.join(log, f"i{i}"), buckets=1)
+        _replay(log, src, resume=True)
+        refresh_derived_lake(src, dst, _fn, keep_epochs=2,
+                             merge_on_read=True, max_delta_files=3)
+    m = mf2.read_all_manifests(dst)
+    # the partition holding k compacted inline when the chain hit the bound
+    part = [p for p, mm in m.items() if mm["rows"] or mm.get("kind")][0]
+    assert len(m[part]["files"]) <= 4
+    assert _derived_state(dst)["k"] == ("V4", 2)
