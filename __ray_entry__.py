@@ -40,8 +40,48 @@ def entry() -> Any:
     return run_flagship("/root/testdata/sf0.001")
 
 
+def _rotate_head(d: dict) -> dict:
+    """Reorder the registry so the driver's 50-row correctness sample
+    covers entries that have never had a driver row.
+
+    The driver records CORRECTNESS_r{N}.json per round and samples the
+    dict HEAD; with more queries than slots, a static order starves the
+    tail forever.  This rotation reads whatever correctness files exist
+    in the repo root and floats never-checked entries (in their authored
+    order — the CDC core first) ahead of already-checked ones, so
+    each round's sample extends coverage automatically.  ``cdc_replay`` stays
+    first (the flagship), and the handful of declared-approximate
+    no-SQL-oracle entries sort last among the unchecked (a driver row for
+    them is rows-only — the weakest evidence a slot can buy)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    checked: set[str] = set()
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                checked |= set(_json.load(f))
+        except Exception:
+            continue
+    no_oracle_defer = {"embedding_kmeans", "embedding_kmeans_pp",
+                       "ann_lsh_topk", "ann_ivf_topk",
+                       "dedup_embedding_cosine_ivf"}
+    fresh = [k for k in d
+             if k not in checked and k not in no_oracle_defer
+             and k != "cdc_replay"]
+    deferred = [k for k in d if k in no_oracle_defer and k not in checked]
+    seen = [k for k in d
+            if k in checked and k != "cdc_replay"] + [
+        k for k in d if k in no_oracle_defer and k in checked]
+    order = ["cdc_replay"] + fresh + deferred
+    order += [k for k in seen if k not in order]
+    return {k: d[k] for k in order if k in d}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    return _rotate_head({
         # Ordering note: the driver's correctness file caps at 50 rows and
         # samples the dict head, so the entries that had NO driver row in
         # CORRECTNESS_r02 (everything added late in round 2) come right
@@ -287,7 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": T.dedup_clusters_distributed,
         "region_nation_rollup": A.region_nation_rollup,
         "orders_priority_pivot": A.orders_priority_pivot,
-    }
+    })
 
 
 # Money aggregates as exact int64 cents on BOTH engines (2-decimal input
