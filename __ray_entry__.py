@@ -25,6 +25,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_mor_flagship,
     run_aggregate_distinct_flagship,
     run_aggregate_flagship,
+    run_aggregate_mor_flagship,
     run_cdc_to_corpus,
     run_derived_flagship,
     run_windowed_flagship,
@@ -126,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the estimate is SQL-exact via the splitmix64 + integer harmonic
         # sum replay (same machinery as monthly_uniques_hll)
         "cdc_aggregate_distinct": lambda sf: run_aggregate_distinct_flagship(sf),
+        # aggregate ingest, merge-on-read: prefix replay + MOR resume of
+        # the suffix (delta = partial aggregates + ⊕-identity tombstones,
+        # prior state never re-read), read-side chain fold — same oracle
+        # as cdc_aggregate_ingest by construction
+        "cdc_aggregate_mor": lambda sf: run_aggregate_mor_flagship(sf),
         # the product story composed end to end: CDC replay → LIVE lake
         # (latest revisions, deletes applied) → curation (token stats,
         # exact dedup min-doc wins, length gate) → per-language corpus
@@ -923,6 +929,31 @@ def oracle_sql() -> dict[str, str]:
         # sum/min/max/count over events ABOVE the key's last reset
         # (op='D' at event_id % 97 == 0); FLOOR(value*100) is the same
         # IEEE f64 op on both engines, SUM cast back to BIGINT
+        "cdc_aggregate_mor": """
+            WITH ev AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 97 = 0 THEN 'D' ELSE 'I' END AS op,
+                       event_type AS repo,
+                       'u' || CAST(user_id AS VARCHAR) AS path,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), resets AS (
+                SELECT repo, path, MAX(lsn) AS rl
+                FROM ev WHERE op = 'D' GROUP BY repo, path
+            ), live AS (
+                SELECT e.repo, e.path, e.lsn, e.cents
+                FROM ev e
+                LEFT JOIN resets r ON e.repo = r.repo AND e.path = r.path
+                WHERE e.op <> 'D' AND (r.rl IS NULL OR e.lsn > r.rl)
+            )
+            SELECT repo, path,
+                   CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                   MIN(cents) AS cents_min,
+                   MAX(cents) AS cents_max,
+                   COUNT(*) AS n_events,
+                   MAX(lsn) AS last_lsn
+            FROM live GROUP BY repo, path
+        """,
         "cdc_aggregate_ingest": """
             WITH ev AS (
                 SELECT event_id AS lsn,

@@ -799,3 +799,47 @@ def run_windowed_flagship(
                      num_partitions=num_partitions, event_time=et)
     replay_aggregate(log_dir, lake_dir, ["cents"], resume=True, event_time=et)
     return read_aggregate_lake(lake_dir)
+
+
+def run_aggregate_mor_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8,
+    split_frac: float = 0.6,
+) -> ray.data.Dataset:
+    """Aggregate ingest, merge-on-read end to end: full replay of the
+    metrics log's LSN prefix, then a MOR resume of the suffix (delta =
+    the increment's partial aggregates + ⊕-identity tombstones, prior
+    state never re-read), served by the read-side chain fold — same
+    final state as the one-shot ``run_aggregate_flagship``, so the same
+    DuckDB oracle verifies the whole delta + fold path."""
+    from ..config import SinkConfig
+    from .aggregate import read_aggregate_lake, replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_aggmor/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lo_dir = os.path.join(work, "log_lo")
+    lake_dir = os.path.join(work, "lake")
+    for d in (log_dir, lo_dir, lake_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(lo_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+    ).map_batches(
+        _derive_metric_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    max_id = pc.max(
+        pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+        ).column("event_id")
+    ).as_py()
+    split = int(max_id * split_frac)
+    ray.data.read_parquet(log_dir).filter(expr=f"lsn <= {split}").write_parquet(
+        lo_dir
+    )
+    sink = SinkConfig(out_dir=lake_dir, merge_on_read=True, keep_epochs=2)
+    replay_aggregate(lo_dir, lake_dir, ["cents"],
+                     num_partitions=num_partitions, sink=sink)
+    replay_aggregate(log_dir, lake_dir, ["cents"], resume=True, sink=sink)
+    return read_aggregate_lake(lake_dir)
