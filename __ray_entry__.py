@@ -26,6 +26,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_aggregate_distinct_flagship,
     run_aggregate_flagship,
     run_aggregate_mor_flagship,
+    run_aggregate_quantiles_flagship,
     run_cdc_to_corpus,
     run_derived_flagship,
     run_windowed_flagship,
@@ -132,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prior state never re-read), read-side chain fold — same oracle
         # as cdc_aggregate_ingest by construction
         "cdc_aggregate_mor": lambda sf: run_aggregate_mor_flagship(sf),
+        # per-key bottom-k (KMV) QUANTILE state: ≤k (splitmix64(lsn),
+        # cents) pairs as mergeable lake state (quantile_cols); the
+        # sample AND the p50/p90/p99 extraction replay exactly in SQL
+        "cdc_aggregate_quantiles": lambda sf: run_aggregate_quantiles_flagship(sf),
         # the product story composed end to end: CDC replay → LIVE lake
         # (latest revisions, deletes applied) → curation (token stats,
         # exact dedup min-doc wins, length gate) → per-language corpus
@@ -924,6 +929,46 @@ def oracle_sql() -> dict[str, str]:
                    sha256('{"doc": ' || CAST(doc_id AS VARCHAR) || '}')
                        AS content_sha256
             FROM documents, hwm WHERE doc_id <= h AND doc_id % 10 <> 0
+        """,
+        # per-key quantile state: bottom-1024 sample by splitmix64(event_id)
+        # per event_type, ranks on exact cents, integer rank rule shared
+        # verbatim with stages/sketch.py:bottomk_quantiles
+        "cdc_aggregate_quantiles": f"""
+            WITH h0 AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                     CAST((CAST(event_id AS UBIGINT)::HUGEINT
+                           + 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS z
+              FROM events),
+            h1 AS (SELECT event_type, cents,
+                          {_mulmod64("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z
+                   FROM h0),
+            h2 AS (SELECT event_type, cents,
+                          {_mulmod64("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z
+                   FROM h1),
+            hf AS (SELECT event_type, cents, xor(z, z >> 31) AS h FROM h2),
+            smp AS (
+              SELECT event_type, cents FROM hf
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY h) <= 1024),
+            n AS (SELECT event_type, COUNT(*) AS k FROM smp
+                  GROUP BY event_type),
+            r AS (SELECT event_type, cents,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY cents) AS rk
+                  FROM smp),
+            qs(qn, qd, q) AS (
+              SELECT * FROM (VALUES (1, 2, CAST(0.5 AS DOUBLE)),
+                                    (9, 10, CAST(0.9 AS DOUBLE)),
+                                    (99, 100, CAST(0.99 AS DOUBLE)))),
+            sel AS (SELECT n.event_type, q,
+                           GREATEST((qn * n.k + qd - 1) // qd, 1) AS rk
+                    FROM qs, n)
+            SELECT 'evt' AS repo, sel.event_type AS path, sel.q AS q,
+                   r.cents AS cents_approx
+            FROM sel JOIN r ON r.event_type = sel.event_type
+                           AND r.rk = sel.rk
         """,
         # aggregate ingest: per (event_type, user) the exact cents
         # sum/min/max/count over events ABOVE the key's last reset

@@ -228,6 +228,12 @@ def run_bench() -> dict:
     timed("cdc_aggregate_ingest", run_aggregate_flagship)
     # + per-key HLL distinct state (register scatter-max in the fold)
     timed("cdc_aggregate_distinct", run_aggregate_distinct_flagship)
+    # + per-key bottom-k quantile state (lexsort + rank mask in the fold)
+    from sql_etl_pipeline_ray.pipelines.flagship import (
+        run_aggregate_quantiles_flagship,
+    )
+
+    timed("cdc_aggregate_quantiles", run_aggregate_quantiles_flagship)
     # the composed product story: replay → live lake → dedup + token gate
     # → per-language corpus totals (one SQL oracle end to end)
     from sql_etl_pipeline_ray.pipelines.flagship import (

@@ -137,6 +137,16 @@ def table_digest(tbl: pa.Table, sort_keys: list[str]) -> str:
     for name in sorted(tbl.column_names):
         h.update(name.encode())
         col = tbl.column(name)
+        if pa.types.is_list(col.type):
+            # list state columns (the aggregate lake's bottom-k samples):
+            # hash rebased offsets + the flattened values' string cast —
+            # deterministic for the same logical content regardless of
+            # chunking/slicing (null list rows hash as empty lists)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            arr = arr.fill_null([])
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype("int64")
+            h.update((off - off[0]).tobytes())
+            col = arr.values.slice(off[0], off[-1] - off[0])
         if col.type != pa.string():
             col = col.cast(pa.string())
         col = pc.fill_null(col, "\x01<null>")

@@ -75,6 +75,7 @@ def aggregate_schema(
     value_cols: list[str],
     distinct_cols: list[str] | None = None,
     hll_p: int = 12,
+    quantile_cols: list[str] | None = None,
 ) -> pa.Schema:
     fields = [
         pa.field("repo", pa.string(), nullable=False),
@@ -90,6 +91,14 @@ def aggregate_schema(
         # per-key HLL registers: approximate COUNT(DISTINCT c) state,
         # mergeable by elementwise max (MOR chains fold it like sums)
         fields.append(pa.field(f"{c}_hll", pa.binary(1 << hll_p)))
+    for c in quantile_cols or []:
+        # per-key bottom-k (KMV) sample: the ≤k (splitmix64(lsn), value)
+        # pairs with the smallest hashes — a uniform without-replacement
+        # sample of the key's applied events, mergeable by concat-keep-k
+        # (MOR chains fold it like sums); quantiles extract at read by
+        # the shared integer rank rule (stages/sketch.py)
+        fields.append(pa.field(f"{c}_bk_h", pa.list_(pa.int64())))
+        fields.append(pa.field(f"{c}_bk_v", pa.list_(pa.int64())))
     fields += [
         pa.field("n_events", pa.int64(), nullable=False),
         pa.field("last_lsn", pa.int64(), nullable=False),
@@ -126,11 +135,55 @@ def _matrix_to_fsb(mat: np.ndarray) -> pa.Array:
     )
 
 
+def _flatten_list_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """List column → (flat int64 values, row id per element)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # null rows behave as empty lists
+    col = col.fill_null([])
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    values = col.values.to_numpy(zero_copy_only=False)
+    # a sliced ListArray's values buffer spans the parent; re-window
+    values = values[offsets[0]:offsets[-1]]
+    offsets = offsets - offsets[0]
+    rows = np.repeat(
+        np.arange(len(col), dtype=np.int64), np.diff(offsets)
+    )
+    return values.astype(np.int64, copy=False), rows
+
+
+def _bottomk_lists(
+    grp: np.ndarray, h: np.ndarray, v: np.ndarray, n_groups: int, k: int
+) -> tuple[pa.Array, pa.Array]:
+    """Per-group bottom-k merge, fully vectorized: one lexsort by
+    (group, hash), a rank-within-group mask, list offsets from bincount."""
+    order = np.lexsort((h, grp))
+    grp_s, h_s, v_s = grp[order], h[order], v[order]
+    starts = np.flatnonzero(np.concatenate(([True], grp_s[1:] != grp_s[:-1])))
+    seg = np.cumsum(np.concatenate(([True], grp_s[1:] != grp_s[:-1]))) - 1
+    rank = np.arange(len(grp_s), dtype=np.int64) - starts[seg]
+    keep = rank < k
+    gk, hk, vk = grp_s[keep], h_s[keep], v_s[keep]
+    counts = np.bincount(gk, minlength=n_groups)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    # hashes sort UNSIGNED (the SQL oracle's UBIGINT order) but store as
+    # int64 bit patterns (Parquet list<int64>)
+    return (
+        pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(hk.view(np.int64))
+        ),
+        pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(vk.astype(np.int64))
+        ),
+    )
+
+
 def _make_agg_router(
     num_partitions: int, value_cols: list[str],
     checkpoints: dict[int, int] | None,
     distinct_cols: list[str] | None = None,
     late_filter: tuple[str, int] | None = None,
+    quantile_cols: list[str] | None = None,
 ):
     """Normalize + route: trim keys, validate, int64-cast deltas, key-hash
     partition, checkpoint row prune.  Invalid events (bad op, null
@@ -170,7 +223,11 @@ def _make_agg_router(
             zero_copy_only=False
         )
         vals = {}
-        for c in list(value_cols) + list(distinct_cols or []):
+        carried = list(dict.fromkeys(
+            list(value_cols) + list(distinct_cols or [])
+            + list(quantile_cols or [])
+        ))
+        for c in carried:
             col = batch.column(c).cast(pa.int64())
             # a reset's deltas are ignored; an add with a null delta is
             # invalid (there is nothing to add/count)
@@ -185,7 +242,7 @@ def _make_agg_router(
             "repo": pc.utf8_trim_whitespace(batch.column("repo").cast(pa.string())),
             "path": pc.utf8_trim_whitespace(batch.column("path").cast(pa.string())),
         }
-        for c in list(value_cols) + list(distinct_cols or []):
+        for c in carried:
             cols[c] = pc.fill_null(vals[c], 0)
         out = pa.table(cols)
         if rejects:
@@ -212,6 +269,8 @@ _MAX_IDENT = np.iinfo(np.int64).min
 def fold_aggregate_chain(
     tables: list[pa.Table], value_cols: list[str],
     distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    bottomk_k: int = 128,
 ) -> pa.Table:
     """Fold a merge-on-read chain (base + deltas, oldest first) into the
     partition's aggregate state.
@@ -239,7 +298,8 @@ def fold_aggregate_chain(
         hll_m = chain.schema.field(f"{distinct_cols[0]}_hll").type.byte_width
     if len(chain) == 0:
         return aggregate_schema(
-            value_cols, distinct_cols, (hll_m or 4096).bit_length() - 1
+            value_cols, distinct_cols, (hll_m or 4096).bit_length() - 1,
+            quantile_cols,
         ).empty_table()
     chain = chain.sort_by(
         [(k, "ascending") for k in KEY_COLUMNS] + [("__seq", "ascending")]
@@ -281,6 +341,19 @@ def fold_aggregate_chain(
         out_cols[f"{c}_hll"] = _matrix_to_fsb(
             np.maximum.reduceat(mat, starts_k, axis=0)
         )
+    if quantile_cols:
+        G = len(starts_k)
+        counts_k = np.diff(np.append(starts_k, k))
+        grp_per_row = np.repeat(np.arange(G, dtype=np.int64), counts_k)
+        for c in quantile_cols:
+            hflat, hrows = _flatten_list_col(kept.column(f"{c}_bk_h"))
+            vflat, _ = _flatten_list_col(kept.column(f"{c}_bk_v"))
+            lh, lv = _bottomk_lists(
+                grp_per_row[hrows], hflat.view(np.uint64), vflat, G,
+                bottomk_k,
+            )
+            out_cols[f"{c}_bk_h"] = lh
+            out_cols[f"{c}_bk_v"] = lv
     nn = kept.column("__n" if "__n" in kept.column_names else "n_events").to_numpy(
         zero_copy_only=False
     )
@@ -291,6 +364,7 @@ def fold_aggregate_chain(
     out_schema = aggregate_schema(
         value_cols, distinct_cols,
         (hll_m.bit_length() - 1) if hll_m else 12,
+        quantile_cols,
     )
     arrays = []
     for f in out_schema:
@@ -306,6 +380,7 @@ def fold_aggregate_chain(
 def _prior_as_rows(
     part: int, args: dict, value_cols: list[str],
     distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
 ) -> pa.Table | None:
     """Committed aggregate state as pseudo-event rows that fold with the
     increment: a state row contributes its stored sum/min/max/count at
@@ -318,7 +393,9 @@ def _prior_as_rows(
     pdir = mf.partition_dir(args["sink_dir"], part)
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in m["files"]]
     if m.get("kind") == "delta":
-        prior = fold_aggregate_chain(tabs, value_cols, distinct_cols)
+        prior = fold_aggregate_chain(
+            tabs, value_cols, distinct_cols, quantile_cols
+        )
     else:
         prior = pa.concat_tables(tabs, promote_options="permissive")
     if len(prior) == 0:
@@ -338,6 +415,9 @@ def _prior_as_rows(
         contribs[f"{c}__max"] = prior.column(f"{c}_max")
     for c in distinct_cols or []:
         contribs[f"{c}_hll"] = prior.column(f"{c}_hll")
+    for c in quantile_cols or []:
+        contribs[f"{c}_bk_h"] = prior.column(f"{c}_bk_h")
+        contribs[f"{c}_bk_v"] = prior.column(f"{c}_bk_v")
     return pa.table(
         {
             **cols,
@@ -365,6 +445,8 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     I/O)."""
     value_cols = args["value_cols"]
     distinct_cols = args.get("distinct_cols") or []
+    quantile_cols = args.get("quantile_cols") or []
+    bk_k = int(args.get("bottomk_k", 128))
     hll_p = int(args.get("hll_p", 12))
     hll_m = 1 << hll_p
     events_in = len(tbl)
@@ -391,13 +473,18 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             cols[f"{c}__max"] = v
         for c in distinct_cols:
             cols[f"{c}__dv"] = tbl.column(c)
+        for c in quantile_cols:
+            cols[f"{c}__qv"] = tbl.column(c)
         cols["__n"] = pa.array(np.ones(len(tbl), np.int64))
         cols[KEY_HASH_COL] = tbl.column(KEY_HASH_COL)
         wide = pa.table(cols)
     else:
         wide = None
     prior = (
-        None if mor else _prior_as_rows(part, args, value_cols, distinct_cols)
+        None if mor
+        else _prior_as_rows(
+            part, args, value_cols, distinct_cols, quantile_cols
+        )
     )
     state_rows = len(prior) if prior is not None else 0
     parts = [t for t in (wide, prior) if t is not None and len(t)]
@@ -455,6 +542,12 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 tomb_cols[f"{c}_hll"] = _matrix_to_fsb(
                     np.zeros((ng, hll_m), np.uint8)
                 )
+            for c in quantile_cols:
+                off = pa.array(np.zeros(ng + 1, np.int32))
+                tomb_cols[f"{c}_bk_h"] = pa.ListArray.from_arrays(
+                    off, pa.array([], pa.int64()))
+                tomb_cols[f"{c}_bk_v"] = pa.ListArray.from_arrays(
+                    off, pa.array([], pa.int64()))
             tomb_cols["n_events"] = pa.array(np.zeros(ng, np.int64))
             tomb_cols["last_lsn"] = pa.array(lsn_all[last_d[gone_all]])
             tomb_cols[HAD_RESET_COL] = pa.array(np.ones(ng, bool))
@@ -510,6 +603,46 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 )
                 np.maximum.at(regs, grp[hmask], mat)
         out_cols[f"{c}_hll"] = _matrix_to_fsb(regs)
+    if quantile_cols:
+        from ..stages.bloom import _splitmix64
+
+        G = len(starts_k)
+        grp_per_row = np.repeat(np.arange(G, dtype=np.int64), counts)
+        lsn_rows = kept.column("lsn").to_numpy(zero_copy_only=False)
+        for c in quantile_cols:
+            grps, hs, vs = [], [], []
+            if f"{c}__qv" in kept.column_names:
+                qv = kept.column(f"{c}__qv")
+                raw_mask = pc.is_valid(qv).to_numpy(zero_copy_only=False)
+                if raw_mask.any():
+                    h = _splitmix64(
+                        lsn_rows[raw_mask].view(np.uint64)
+                    ).view(np.int64)
+                    grps.append(grp_per_row[raw_mask])
+                    hs.append(h)
+                    vs.append(
+                        qv.to_numpy(zero_copy_only=False)[raw_mask]
+                        .astype(np.int64)
+                    )
+            if f"{c}_bk_h" in kept.column_names:
+                hflat, hrows = _flatten_list_col(kept.column(f"{c}_bk_h"))
+                vflat, _ = _flatten_list_col(kept.column(f"{c}_bk_v"))
+                if len(hflat):
+                    grps.append(grp_per_row[hrows])
+                    hs.append(hflat)
+                    vs.append(vflat)
+            if grps:
+                lh, lv = _bottomk_lists(
+                    np.concatenate(grps),
+                    np.concatenate(hs).view(np.uint64).astype(np.uint64),
+                    np.concatenate(vs), G, bk_k,
+                )
+            else:
+                off = pa.array(np.zeros(G + 1, np.int32))
+                lh = pa.ListArray.from_arrays(off, pa.array([], pa.int64()))
+                lv = pa.ListArray.from_arrays(off, pa.array([], pa.int64()))
+            out_cols[f"{c}_bk_h"] = lh
+            out_cols[f"{c}_bk_v"] = lv
     nn = kept.column("__n").to_numpy(zero_copy_only=False)
     out_cols["n_events"] = pa.array(np.add.reduceat(nn, starts_k))
     lsn_k = kept.column("lsn").to_numpy(zero_copy_only=False)
@@ -561,6 +694,12 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 tomb_cols[f"{c}_hll"] = _matrix_to_fsb(
                     np.zeros((reset_gone, hll_m), np.uint8)
                 )
+            for c in quantile_cols:
+                off = pa.array(np.zeros(reset_gone + 1, np.int32))
+                tomb_cols[f"{c}_bk_h"] = pa.ListArray.from_arrays(
+                    off, pa.array([], pa.int64()))
+                tomb_cols[f"{c}_bk_v"] = pa.ListArray.from_arrays(
+                    off, pa.array([], pa.int64()))
             tomb_cols["n_events"] = pa.array(np.zeros(reset_gone, np.int64))
             tomb_cols["last_lsn"] = pa.array(lsn_all[g_lastd])
             tomb_cols[HAD_RESET_COL] = pa.array(np.ones(reset_gone, bool))
@@ -599,6 +738,8 @@ def _agg_stats(part, args, events_in, state_rows, live, deleted, tbl):
         "value_cols": list(args["value_cols"]),
         "distinct_cols": list(args.get("distinct_cols") or []),
         "hll_p": int(args.get("hll_p", 12)),
+        "quantile_cols": list(args.get("quantile_cols") or []),
+        "bottomk_k": int(args.get("bottomk_k", 128)),
     }
 
 
@@ -612,6 +753,8 @@ def replay_aggregate(
     distinct_cols: list[str] | None = None,
     hll_p: int = 12,
     event_time: tuple[str, int] | None = None,
+    quantile_cols: list[str] | None = None,
+    bottomk_k: int = 128,
 ) -> ReplayResult:
     """Replay a metrics change log into a keyed aggregate lake.
 
@@ -663,7 +806,9 @@ def replay_aggregate(
         if len(ckpts) >= width:
             min_lsn = min(ckpts.values())
     scan = scan_change_log(log_dir, min_lsn=min_lsn)
-    for c in list(value_cols) + list(distinct_cols or []):
+    for c in list(value_cols) + list(distinct_cols or []) + list(
+        quantile_cols or []
+    ):
         if c not in scan.schema.names:
             raise ValueError(
                 f"value column {c!r} not found in the change log "
@@ -674,8 +819,11 @@ def replay_aggregate(
         st0 = next(iter(manifests.values()))["stats"]
         stored_v = st0.get("value_cols", list(value_cols))
         stored_d = st0.get("distinct_cols", list(distinct_cols or []))
-        if list(stored_v) != list(value_cols) or list(stored_d) != list(
-            distinct_cols or []
+        stored_q = st0.get("quantile_cols", list(quantile_cols or []))
+        if (
+            list(stored_v) != list(value_cols)
+            or list(stored_d) != list(distinct_cols or [])
+            or list(stored_q) != list(quantile_cols or [])
         ):
             # the aggregate set is part of the lake's identity: a resume
             # with different columns would silently merge mismatched
@@ -695,7 +843,9 @@ def replay_aggregate(
         )
     num_actors = max(1, min(num_partitions, ncpu))
     num_blocks = max(4 * ncpu, scan.total_bytes // (64 << 20))
-    out_schema = aggregate_schema(value_cols, distinct_cols, hll_p)
+    out_schema = aggregate_schema(
+        value_cols, distinct_cols, hll_p, quantile_cols
+    )
     commit_args = {
         "out_schema": out_schema.serialize().to_pybytes(),
         "sink_dir": out_dir,
@@ -709,6 +859,8 @@ def replay_aggregate(
         "value_cols": list(value_cols),
         "distinct_cols": list(distinct_cols or []),
         "hll_p": int(hll_p),
+        "quantile_cols": list(quantile_cols or []),
+        "bottomk_k": int(bottomk_k),
         "merge_on_read": bool(sink.merge_on_read and resume),
         "max_delta_files": sink.max_delta_files,
     }
@@ -757,7 +909,7 @@ def replay_aggregate(
     ds = read_change_log(scan, num_blocks=num_blocks)
     router = _make_agg_router(
         num_partitions, list(value_cols), ckpts, list(distinct_cols or []),
-        late_filter=late_filter,
+        late_filter=late_filter, quantile_cols=list(quantile_cols or []),
     )
     metrics_rows = run_exchange(
         ds, router, _agg_commit_fn, commit_args, num_partitions, num_actors,
@@ -790,9 +942,13 @@ def replay_aggregate(
 def _fold_chain_task(
     pdir: str, files: list[str], value_cols: list[str],
     distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    bottomk_k: int = 128,
 ) -> pa.Table:
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in files]
-    return fold_aggregate_chain(tabs, value_cols, distinct_cols)
+    return fold_aggregate_chain(
+        tabs, value_cols, distinct_cols, quantile_cols, bottomk_k
+    )
 
 
 def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
@@ -803,6 +959,7 @@ def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
     chained = {p for p, m in manifests.items() if m.get("kind") == "delta"}
     value_cols = _value_cols_from(manifests)
     distinct_cols = _distinct_cols_from(manifests)
+    quantile_cols, bk_k = _quantile_cols_from(manifests)
     plain_files = mf.manifest_data_files(
         out_dir, {p: m for p, m in manifests.items() if p not in chained}
     )
@@ -813,7 +970,7 @@ def read_aggregate_lake(out_dir: str) -> ray.data.Dataset:
         refs = [
             _fold_chain_task.remote(
                 mf.partition_dir(out_dir, p), manifests[p]["files"],
-                value_cols, distinct_cols,
+                value_cols, distinct_cols, quantile_cols, bk_k,
             )
             for p in sorted(chained)
         ]
@@ -841,6 +998,16 @@ def _distinct_cols_from(manifests: dict[int, dict]) -> list[str]:
     return []
 
 
+def _quantile_cols_from(manifests: dict[int, dict]) -> tuple[list[str], int]:
+    for m in manifests.values():
+        if "quantile_cols" in m["stats"]:
+            return (
+                list(m["stats"]["quantile_cols"]),
+                int(m["stats"].get("bottomk_k", 128)),
+            )
+    return [], 128
+
+
 def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
     """Fold merge-on-read chains back into single base files (exactly-once
     commits at the next epoch; checkpoint/watermark carried unchanged)."""
@@ -849,6 +1016,7 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
     manifests = mf.read_all_manifests(out_dir)
     value_cols = _value_cols_from(manifests)
     distinct_cols = _distinct_cols_from(manifests)
+    quantile_cols, bk_k = _quantile_cols_from(manifests)
     todo = {
         p: m for p, m in manifests.items()
         if m.get("kind") == "delta" and len(m["files"]) >= min_chain
@@ -857,7 +1025,10 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
     for p, m in sorted(todo.items()):
         pdir = mf.partition_dir(out_dir, p)
         folded = ray.get(
-            _fold_chain_task.remote(pdir, m["files"], value_cols, distinct_cols)
+            _fold_chain_task.remote(
+                pdir, m["files"], value_cols, distinct_cols,
+                quantile_cols, bk_k,
+            )
         )
         stats = dict(m["stats"])
         stats["live_rows"] = len(folded)
@@ -896,6 +1067,7 @@ def aggregate_get(
     manifests = mf.read_all_manifests(out_dir)
     value_cols = _value_cols_from(manifests)
     distinct_cols = _distinct_cols_from(manifests)
+    quantile_cols, bk_k = _quantile_cols_from(manifests)
     repos = sorted({r for r, _ in keys})
     paths = sorted({p for _, p in keys})
     expr = pads.field("repo").isin(repos) & pads.field("path").isin(paths)
@@ -908,13 +1080,17 @@ def aggregate_get(
             for f in m["files"]
         ]
         t = (
-            fold_aggregate_chain(tabs, value_cols, distinct_cols)
+            fold_aggregate_chain(
+                tabs, value_cols, distinct_cols, quantile_cols, bk_k
+            )
             if m.get("kind") == "delta"
             else pa.concat_tables(tabs, promote_options="permissive")
         )
         out.append(t)
     if not out:
-        return aggregate_schema(value_cols, distinct_cols).empty_table()
+        return aggregate_schema(
+            value_cols, distinct_cols, 12, quantile_cols
+        ).empty_table()
     full = pa.concat_tables(out, promote_options="permissive")
     # the isin pushdown is a superset (repo × path cross product); exact
     # pair match on the point-read-sized result

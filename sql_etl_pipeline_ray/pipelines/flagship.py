@@ -843,3 +843,59 @@ def run_aggregate_mor_flagship(
                      num_partitions=num_partitions, sink=sink)
     replay_aggregate(log_dir, lake_dir, ["cents"], resume=True, sink=sink)
     return read_aggregate_lake(lake_dir)
+
+
+def run_aggregate_quantiles_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 4,
+    k: int = 1024,
+) -> pa.Table:
+    """Aggregate ingest with per-key QUANTILE state: the lake maintains,
+    per event type, the bottom-k (KMV) sample of (splitmix64(event_id),
+    cents) pairs — approximate quantiles as first-class, mergeable ingest
+    state (``quantile_cols``).  The read projects the samples to
+    p50/p90/p99 by the shared integer rank rule, so the SQL oracle
+    replays the hash, the sample AND the extraction exactly."""
+    from ..stages.sketch import bottomk_quantiles
+    from .aggregate import read_aggregate_lake, replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_aggq/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+    ).map_batches(
+        _derive_distinct_events, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(log_dir)
+    replay_aggregate(
+        log_dir, lake_dir, ["cents"],
+        num_partitions=num_partitions,
+        quantile_cols=["cents"], bottomk_k=k,
+    )
+    import numpy as np
+    import ray as _ray
+
+    parts = [t for t in _ray.get(read_aggregate_lake(lake_dir).to_arrow_refs())
+             if len(t)]
+    qs = [(1, 2), (9, 10), (99, 100)]
+    rows = {"repo": [], "path": [], "q": [], "cents_approx": []}
+    for t in parts:
+        hs = t.column("cents_bk_h")
+        vs = t.column("cents_bk_v")
+        for i in range(len(t)):
+            # the sample arrives hash-sorted; quantiles rank by VALUE
+            vals = np.array(vs[i].as_py(), np.int64)
+            out = bottomk_quantiles(vals, qs)
+            for (qn, qd), val in zip(qs, out):
+                rows["repo"].append(t.column("repo")[i].as_py())
+                rows["path"].append(t.column("path")[i].as_py())
+                rows["q"].append(qn / qd)
+                rows["cents_approx"].append(int(val))
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["path", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -486,3 +486,85 @@ def test_event_time_full_replay_applies_everything(tmp_path):
     assert r.summary["late_events"] == 0
     st = {p: s for (rp, p), (s, *_r) in _lake_state(lake).items()}
     assert st == {"k|w0": 15, "k|w1": 7}
+
+
+def _bk_oracle(rows, k=16) -> dict[tuple, tuple]:
+    """Brute per-key bottom-k sample over post-last-reset events:
+    (sorted-hash tuple, values-in-hash-order tuple)."""
+    from sql_etl_pipeline_ray.stages.bloom import _splitmix64
+
+    live: dict[tuple, list] = {}
+    for lsn, op, repo, path, v in sorted(rows):
+        key = (repo, path)
+        if op == "D":
+            live.pop(key, None)
+        else:
+            live.setdefault(key, []).append((lsn, v))
+    out = {}
+    for key, evs in live.items():
+        lsns = np.array([l for l, _ in evs], np.int64)
+        vals = np.array([v for _, v in evs], np.int64)
+        h = _splitmix64(lsns.view(np.uint64))
+        order = np.argsort(h)[:k]
+        out[key] = (tuple(h[order].view(np.int64)), tuple(vals[order]))
+    return out
+
+
+def _bk_lake(out_dir) -> dict[tuple, tuple]:
+    from sql_etl_pipeline_ray.pipelines.aggregate import read_aggregate_lake
+
+    df = read_aggregate_lake(out_dir).to_pandas()
+    return {
+        (r.repo, r.path): (tuple(r.delta_bk_h), tuple(r.delta_bk_v))
+        for r in df.itertuples()
+    }
+
+
+def test_bottomk_state_matches_brute(tmp_path):
+    rows = _gen(3000, 60, seed=41)  # ~50 events/key, > k=16
+    log = str(tmp_path / "log")
+    _write(rows, log)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=4,
+                     quantile_cols=["delta"], bottomk_k=16)
+    assert _bk_lake(lake) == _bk_oracle(rows, k=16)
+
+
+def test_bottomk_resume_and_mor_equal_one_shot(tmp_path):
+    rows = _gen(2000, 50, seed=43)
+    full, pre = str(tmp_path / "full"), str(tmp_path / "pre")
+    _write(rows, full, buckets=6)
+    _write(rows[:1000], pre, buckets=3)
+    one = str(tmp_path / "one")
+    replay_aggregate(full, one, ["delta"], num_partitions=4,
+                     quantile_cols=["delta"], bottomk_k=16)
+    want = _bk_lake(one)
+    for mode in ("cow", "mor"):
+        lake = str(tmp_path / mode)
+        replay_aggregate(pre, lake, ["delta"], num_partitions=4,
+                         quantile_cols=["delta"], bottomk_k=16)
+        sink = _mor_sink(lake) if mode == "mor" else None
+        replay_aggregate(full, lake, ["delta"], resume=True, sink=sink,
+                         quantile_cols=["delta"], bottomk_k=16)
+        assert _bk_lake(lake) == want == _bk_oracle(rows, k=16)
+
+
+def test_bottomk_quantiles_near_exact(tmp_path):
+    """Quantiles extracted from the per-key sample track the exact ones
+    (k=256 over ~1000 events/key)."""
+    from sql_etl_pipeline_ray.stages.sketch import bottomk_quantiles
+
+    rows = _gen(6000, 6, seed=47, reset_rate=0.0)
+    log = str(tmp_path / "log")
+    _write(rows, log)
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=2,
+                     quantile_cols=["delta"], bottomk_k=256)
+    exact: dict[tuple, list] = {}
+    for _l, _op, repo, path, v in rows:
+        exact.setdefault((repo, path), []).append(v)
+    for key, (_h, vals) in _bk_lake(lake).items():
+        est = bottomk_quantiles(np.array(vals, np.int64), [(1, 2)])[0]
+        true = np.quantile(np.array(exact[key]), 0.5)
+        spread = max(exact[key]) - min(exact[key])
+        assert abs(est - true) <= 0.15 * spread, (key, est, true)
