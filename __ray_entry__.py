@@ -608,7 +608,8 @@ _HOT_PASSAGES_SQL = """
     perdoc AS (
       SELECT w.doc_id,
              COUNT(*) AS n_windows,
-             SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_hot
+             CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot
       FROM wins w JOIN cnt c USING (wh) GROUP BY w.doc_id)
     SELECT doc_id, n_windows, n_hot,
            ROUND(n_hot * 1.0 / n_windows, 6) AS hot_frac

@@ -393,8 +393,12 @@ def _prior_as_rows(
     pdir = mf.partition_dir(args["sink_dir"], part)
     tabs = [pq.read_table(os.path.join(pdir, f)) for f in m["files"]]
     if m.get("kind") == "delta":
+        # the lake's configured k, NOT the signature default — folding
+        # a chained prior at a smaller k would silently truncate each
+        # key's KMV sample and break the bottom-k quantile state
         prior = fold_aggregate_chain(
-            tabs, value_cols, distinct_cols, quantile_cols
+            tabs, value_cols, distinct_cols, quantile_cols,
+            int(args.get("bottomk_k", 128)),
         )
     else:
         prior = pa.concat_tables(tabs, promote_options="permissive")
@@ -835,6 +839,25 @@ def replay_aggregate(
                 f"for {list(value_cols)}+{list(distinct_cols or [])}; "
                 "aggregate column sets cannot change on resume — replay "
                 "into a fresh out_dir"
+            )
+        # sketch parameters are part of the lake's identity too: a
+        # different hll_p commits registers of a different
+        # fixed_size_binary width (MOR: into the existing chain) and a
+        # different bottomk_k silently changes the KMV sample bound
+        stored_p = int(st0.get("hll_p", hll_p))
+        stored_k = int(st0.get("bottomk_k", bottomk_k))
+        if stored_d and stored_p != int(hll_p):
+            raise ValueError(
+                f"lake HLL precision hll_p={stored_p} but this run asks "
+                f"for hll_p={int(hll_p)}; sketch parameters cannot change "
+                "on resume — replay into a fresh out_dir"
+            )
+        if stored_q and stored_k != int(bottomk_k):
+            raise ValueError(
+                f"lake bottom-k sample size bottomk_k={stored_k} but this "
+                f"run asks for bottomk_k={int(bottomk_k)}; sketch "
+                "parameters cannot change on resume — replay into a "
+                "fresh out_dir"
             )
         num_partitions = st0.get("num_partitions", max(manifests) + 1)
     else:

@@ -196,9 +196,18 @@ def _refresh_part(
     prior_lsn = dst_prior["max_lsn"] if dst_prior else -1
     if mor:
         # delta = fn(changed rows) as op='U' + op='D' tombstones for
-        # deleted keys at the src partition's max LSN (strictly above
-        # every previously-derived row's winning LSN, strictly below any
-        # future event's — so the read fold orders them correctly)
+        # deleted keys at STRICTLY ABOVE every previously-derived row's
+        # winning LSN (max(new_lsn, prior_lsn) + 1).  max() alone is not
+        # enough: when the deleted key's own derived row holds the
+        # partition's max LSN the tombstone would TIE it, and the LWW op
+        # tiebreak ('D' < 'I'/'U', last-wins) resurrects the key.  The
+        # bump stays correct against the future too: a later re-insert of
+        # the key carries its source winning LSN, which source LWW
+        # guarantees is above the delete — and on an exact tie with the
+        # bumped tombstone the 'U' wins, which is the right outcome.
+        max_seen = int(max(int(new_lsn) if pd.notna(new_lsn) else -1,
+                           prior_lsn))
+        tomb_lsn = max_seen + 1
         parts_df = []
         if derived_df is not None:
             d = derived_df.copy()
@@ -206,8 +215,7 @@ def _refresh_part(
             parts_df.append(d)
         if len(deleted):
             t = deleted.copy().reset_index(drop=True)
-            t["lsn"] = int(max(int(new_lsn) if pd.notna(new_lsn) else -1,
-                               prior_lsn))
+            t["lsn"] = tomb_lsn
             t["op"] = "D"
             parts_df.append(t)
         delta_df = (
@@ -221,8 +229,9 @@ def _refresh_part(
             "events_in": int(len(changed) + len(deleted)),
             "keys_seen": -1, "deleted_keys": int(len(deleted)),
             "orphan_events_applied": 0, "orphan_deletes": 0,
-            "max_lsn": int(max(int(new_lsn) if pd.notna(new_lsn) else -1,
-                               prior_lsn)),
+            # max_lsn tracks the tombstone bump so the NEXT refresh's
+            # prior_lsn keeps its own tombstones strictly above these
+            "max_lsn": tomb_lsn if len(deleted) else max_seen,
             "min_lsn": -1, "live_rows": int(len(delta)),
             "state_rows": int(len(delta)), "mode": "derived",
             "num_partitions": args["num_partitions"],

@@ -450,6 +450,20 @@ def replay_txn(
         if read_txn_snapshot(out_root) is not None:
             previous = read_txn_tables(out_root)
         audit(staged, previous)  # raises → pointer never moves
+    # Reference-based retention: GC-pin the epochs this publish will
+    # name BEFORE the pointer moves ("txn_pending"), then consolidate to
+    # the "txn_snapshot" pin after.  Count-based keep_epochs alone is
+    # not a guarantee — N consecutive committed-but-unpublished runs
+    # (failed audits, crash-before-publish loops) advance partitions
+    # past the window and lazy GC would delete manifests the published
+    # pointer still resolves, breaking the "readers stay on the
+    # previous snapshot" contract.  Crash anywhere in this sequence
+    # only ever OVER-pins (released by the next successful publish).
+    for tbl, pins in epochs.items():
+        mf.write_gc_pins(
+            _table_lake_dir(out_root, tbl), "txn_pending",
+            {int(p): int(e) for p, e in pins.items()},
+        )
     snapshot = _publish(
         out_root,
         {
@@ -458,6 +472,12 @@ def replay_txn(
             "tables": epochs,
         },
     )
+    for tbl, pins in epochs.items():
+        lake = _table_lake_dir(out_root, tbl)
+        mf.write_gc_pins(
+            lake, "txn_snapshot", {int(p): int(e) for p, e in pins.items()}
+        )
+        mf.write_gc_pins(lake, "txn_pending", None)
     return {
         "snapshot": snapshot,
         "demux": demux,

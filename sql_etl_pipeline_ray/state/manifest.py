@@ -94,6 +94,64 @@ def read_log_hwm(out_dir: str) -> int:
         return -1
 
 
+GC_PINS_NAME = "_gc_pins.json"
+
+
+def read_gc_pins(out_dir: str) -> dict[str, dict[str, int]]:
+    """The lake's external-reference GC pin registry: ``{pin_name:
+    {partition: epoch}}``.  Missing/corrupt file = no pins."""
+    try:
+        with open(os.path.join(out_dir, GC_PINS_NAME)) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def write_gc_pins(
+    out_dir: str, name: str, pins: dict[int, int] | None
+) -> None:
+    """Register (or, with ``pins=None``, release) a named set of
+    per-partition epoch pins that commit-time lazy GC and ``vacuum``
+    must retain REGARDLESS of the ``keep_epochs`` window.
+
+    This is reference-based retention for epochs an EXTERNAL pointer
+    still names — the transactional snapshot (``pipelines/txn.py``)
+    pins the epochs its published pointer resolves to, so repeated
+    committed-but-unpublished runs (failed WAP audits, crash-before-
+    publish loops) can never advance a partition far enough for GC to
+    delete the snapshot manifests/files transactional readers are
+    contractually promised.  Count-based retention alone cannot give
+    that guarantee: ``keep_epochs=N`` dies to N consecutive unpublished
+    commits.
+
+    Single-writer per name (publishers are already CAS-serialized);
+    the write is atomic, so readers/GC see the old or new registry,
+    never a torn one."""
+    reg = read_gc_pins(out_dir)
+    if pins is None:
+        if name not in reg:
+            return
+        del reg[name]
+    else:
+        reg[name] = {str(p): int(e) for p, e in pins.items()}
+    _atomic_write_bytes(
+        os.path.join(out_dir, GC_PINS_NAME),
+        json.dumps(reg, indent=1, sort_keys=True).encode(),
+    )
+
+
+def _pinned_epochs(out_dir: str, part: int) -> set[int]:
+    """Epochs of partition ``part`` pinned by any registered external
+    reference (exempt from GC)."""
+    pins: set[int] = set()
+    for ref in read_gc_pins(out_dir).values():
+        e = ref.get(str(part))
+        if e is not None:
+            pins.add(int(e))
+    return pins
+
+
 def _create_exclusive_bytes(path: str, data: bytes) -> bool:
     """Atomically create ``path`` with ``data`` iff it does not exist.
 
@@ -234,8 +292,11 @@ def commit_partition(
     # a snapshot manifest never outlives the data file it lists.  Data
     # files are additionally swept by REFERENCE: a file inside the window
     # that no retained snapshot lists (a losing concurrent writer's
-    # orphan) goes too.
+    # orphan) goes too.  Epochs in the external pin registry
+    # (``write_gc_pins`` — e.g. the txn snapshot pointer) are exempt
+    # no matter how far below the floor they fall.
     floor = epoch - max(1, keep_epochs) + 1
+    pinned = _pinned_epochs(out_dir, part)
     listing = os.listdir(pdir)
     referenced: set[str] = set(manifest["files"])
     for f in listing:
@@ -244,7 +305,7 @@ def commit_partition(
                 e = int(f[len("manifest-e"):-len(".json")])
             except ValueError:
                 continue
-            if floor <= e < epoch:
+            if (floor <= e < epoch) or e in pinned:
                 try:
                     with open(os.path.join(pdir, f)) as fh:
                         referenced.update(json.load(fh).get("files", []))
@@ -266,7 +327,7 @@ def commit_partition(
                 e = int(f[len("manifest-e"):-len(".json")])
             except ValueError:
                 continue
-            if e >= floor:
+            if e >= floor or e in pinned:
                 continue
         else:
             continue
@@ -426,6 +487,11 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
             cur = json.load(fh)
         epoch = cur["epoch"]
         floor = epoch - max(1, keep_epochs) + 1
+        try:
+            part_no = int(d[len("part="):])
+        except ValueError:
+            part_no = -1
+        pinned = _pinned_epochs(out_dir, part_no)
         referenced: set[str] = set(cur.get("files", []))
         for f in listing:
             if f.startswith("manifest-e") and f.endswith(".json"):
@@ -433,7 +499,7 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
                     e = int(f[len("manifest-e"):-len(".json")])
                 except ValueError:
                     continue
-                if floor <= e <= epoch:
+                if (floor <= e <= epoch) or e in pinned:
                     try:
                         with open(os.path.join(pdir, f)) as fh:
                             referenced.update(json.load(fh).get("files", []))
@@ -455,7 +521,7 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
                     e = int(f[len("manifest-e"):-len(".json")])
                 except ValueError:
                     continue
-                if e >= floor:
+                if e >= floor or e in pinned:
                     continue
                 kind = "manifests"
             else:

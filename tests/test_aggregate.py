@@ -568,3 +568,52 @@ def test_bottomk_quantiles_near_exact(tmp_path):
         true = np.quantile(np.array(exact[key]), 0.5)
         spread = max(exact[key]) - min(exact[key])
         assert abs(est - true) <= 0.15 * spread, (key, est, true)
+
+
+def test_bottomk_cow_resume_over_chained_prior_keeps_lake_k(tmp_path):
+    """Regression: a NON-MOR resume over a merge-on-read delta chain
+    folds the chained prior via ``_prior_as_rows`` — which must fold at
+    the LAKE's configured bottomk_k, not ``fold_aggregate_chain``'s
+    default 128, or every key's KMV sample silently truncates."""
+    rows = _gen(9000, 6, seed=53, reset_rate=0.0)  # ~1500 events/key,
+    # values span 250 distinct ints -> samples exceed 128 at k=192
+    full, p1, p2 = (str(tmp_path / d) for d in ("full", "p1", "p2"))
+    _write(rows, full, buckets=6)
+    _write(rows[:3000], p1, buckets=2)
+    _write(rows[:6000], p2, buckets=4)
+    one = str(tmp_path / "one")
+    replay_aggregate(full, one, ["delta"], num_partitions=2,
+                     quantile_cols=["delta"], bottomk_k=192)
+    want = _bk_lake(one)
+    assert any(len(h) > 128 for h, _v in want.values())  # k bites
+    lake = str(tmp_path / "lake")
+    replay_aggregate(p1, lake, ["delta"], num_partitions=2,
+                     quantile_cols=["delta"], bottomk_k=192)
+    # MOR increment -> the prior becomes a delta chain
+    replay_aggregate(p2, lake, ["delta"], resume=True, sink=_mor_sink(lake),
+                     quantile_cols=["delta"], bottomk_k=192)
+    # COW increment over the CHAINED prior -> exercises _prior_as_rows
+    replay_aggregate(full, lake, ["delta"], resume=True,
+                     quantile_cols=["delta"], bottomk_k=192)
+    assert _bk_lake(lake) == want
+
+
+def test_resume_refuses_changed_sketch_params(tmp_path):
+    rows = _gen(500, 10, seed=59)
+    log = str(tmp_path / "log")
+    _write(rows, log)
+    hl = str(tmp_path / "hll")
+    replay_aggregate(log, hl, ["delta"], num_partitions=2,
+                     distinct_cols=["delta"], hll_p=10)
+    with pytest.raises(ValueError, match="hll_p"):
+        replay_aggregate(log, hl, ["delta"], resume=True,
+                         distinct_cols=["delta"], hll_p=12)
+    bk = str(tmp_path / "bk")
+    replay_aggregate(log, bk, ["delta"], num_partitions=2,
+                     quantile_cols=["delta"], bottomk_k=16)
+    with pytest.raises(ValueError, match="bottomk_k"):
+        replay_aggregate(log, bk, ["delta"], resume=True,
+                         quantile_cols=["delta"], bottomk_k=32)
+    # same params resume fine
+    replay_aggregate(log, bk, ["delta"], resume=True,
+                     quantile_cols=["delta"], bottomk_k=16)

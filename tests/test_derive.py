@@ -207,3 +207,29 @@ def test_mor_chain_bound_compacts_inline(tmp_path):
     part = [p for p, mm in m.items() if mm["rows"] or mm.get("kind")][0]
     assert len(m[part]["files"]) <= 4
     assert _derived_state(dst)["k"] == ("V4", 2)
+
+
+def test_mor_tombstone_beats_max_lsn_derived_row(tmp_path):
+    """Regression: when the DELETED key's own derived row holds the
+    partition's max LSN, the MOR tombstone must still win the chain fold
+    (it is written strictly above max(new_lsn, prior_lsn), never tying —
+    a tie would lose the 'D' < 'U' op tiebreak and resurrect the key)."""
+    log, src, dst = (str(tmp_path / d) for d in ("log", "src", "dst"))
+    # one partition so A@5 and B@10 share it; B holds the max LSN
+    _write_log([(5, "I", "A", "alpha"), (10, "I", "B", "bravo")],
+               log, buckets=1)
+    replay(log, src, ReplayConfig(num_partitions=1),
+           sink=SinkConfig(out_dir=src, keep_epochs=2))
+    refresh_derived_lake(src, dst, _fn, keep_epochs=2)
+    # delete B at lsn 11 — no new live rows, so new_lsn < prior_lsn
+    _write_log([(11, "D", "B", None)], os.path.join(log, "i"), buckets=1)
+    replay(log, src, ReplayConfig(num_partitions=1),
+           sink=SinkConfig(out_dir=src, keep_epochs=2), resume=True)
+    refresh_derived_lake(src, dst, _fn, keep_epochs=2, merge_on_read=True)
+    assert _derived_state(dst) == _expect({"A": "alpha"})
+    # and a genuine re-insert after the delete still comes back
+    _write_log([(12, "I", "B", "back")], os.path.join(log, "i2"), buckets=1)
+    replay(log, src, ReplayConfig(num_partitions=1),
+           sink=SinkConfig(out_dir=src, keep_epochs=2), resume=True)
+    refresh_derived_lake(src, dst, _fn, keep_epochs=2, merge_on_read=True)
+    assert _derived_state(dst) == _expect({"A": "alpha", "B": "back"})

@@ -73,6 +73,20 @@ def test_query_matches_oracle(name):
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
     g, w = normalize(got), normalize(want)
     if EXACT:
+        # the driver's value hash is dtype-sensitive: an int64 engine
+        # column vs a float64/HUGEINT-cast oracle column hash-mismatches
+        # even when every value is equal (the docs_hot_passages r3 red
+        # row).  Mirror that: numeric KINDS must agree.
+        for c in g.columns:
+            gk = np.dtype(g[c].dtype).kind if g[c].dtype != object else "O"
+            wk = np.dtype(w[c].dtype).kind if w[c].dtype != object else "O"
+            num = {"i": "i", "u": "i", "f": "f", "b": "b"}
+            if num.get(gk, gk) != num.get(wk, wk):
+                raise AssertionError(
+                    f"dtype kind mismatch on {c!r}: engine {g[c].dtype} "
+                    f"vs oracle {w[c].dtype} — the driver hash treats "
+                    "these as different values"
+                )
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
     else:
         pd.testing.assert_frame_equal(

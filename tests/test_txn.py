@@ -301,3 +301,48 @@ def test_wap_audit_sees_staged_and_previous(tmp_path):
         assert "fX" not in _lake_state(previous["files"])
 
     replay_txn(log, out, sealed=True, audit=probe2)
+
+
+def test_published_snapshot_survives_repeated_unpublished_commits(tmp_path):
+    """Regression: keep_epochs=2 alone dies to two consecutive
+    committed-but-unpublished runs (failed WAP audits) — partitions
+    advance to e+2 and lazy GC would delete the epoch-e manifests the
+    published pointer still pins.  The GC pin registry
+    (reference-based retention, ``mf.write_gc_pins``) must keep the
+    published snapshot readable through any number of failed runs."""
+    from sql_etl_pipeline_ray.pipelines.txn import row_count_guard
+
+    rows = _events(10)
+    log, out = str(tmp_path / "log"), str(tmp_path / "out")
+    _write_log(rows, log)
+    replay_txn(log, out, sealed=True, audit=row_count_guard(0.5))
+    snap1 = read_txn_snapshot(out)
+    before = {t: _lake_state(d) for t, d in read_txn_tables(out).items()}
+
+    # two consecutive bad increments, each failing the audit AFTER its
+    # tables committed new epochs (every partition advances twice)
+    max_lsn = max(r["lsn"] for r in rows)
+    for round_no in range(2):
+        wipe = [dict(lsn=max_lsn + 100 * round_no + i + 1, op="D",
+                     tbl="meta", repo="r", path=f"m{t}", content=None,
+                     txn=20 + 10 * round_no + i)
+                for i, t in enumerate(range(10))]
+        # also touch 'files' so both tables recommit
+        wipe.append(dict(lsn=max_lsn + 100 * round_no + 50, op="D",
+                         tbl="files", repo="r", path="f0", content=None,
+                         txn=20 + 10 * round_no + 9))
+        _write_log(wipe, os.path.join(log, f"wipe{round_no}"), buckets=1)
+        with pytest.raises(ValueError, match="refusing to publish"):
+            replay_txn(log, out, sealed=True, audit=row_count_guard(0.1))
+    # pointer unmoved AND the pinned epochs still resolve end to end
+    assert read_txn_snapshot(out) == snap1
+    assert {t: _lake_state(d) for t, d in read_txn_tables(out).items()} == before
+    # a vacuum must not break the published snapshot either
+    for tbl in ("files", "meta"):
+        mf.vacuum(os.path.join(out, "tables", tbl), keep_epochs=2)
+    assert {t: _lake_state(d) for t, d in read_txn_tables(out).items()} == before
+    # and a later passing run still publishes + re-pins
+    res = replay_txn(log, out, sealed=True, audit=row_count_guard(1.0))
+    assert res["snapshot"]["seq"] == snap1["seq"] + 1
+    pins = mf.read_gc_pins(os.path.join(out, "tables", "meta"))
+    assert "txn_snapshot" in pins and "txn_pending" not in pins
