@@ -52,9 +52,10 @@ def _rotate_head(d: dict) -> dict:
     in the repo root and floats never-checked entries (in their authored
     order — the CDC core first) ahead of already-checked ones, so
     each round's sample extends coverage automatically.  ``cdc_replay`` stays
-    first (the flagship), and the handful of declared-approximate
-    no-SQL-oracle entries sort last among the unchecked (a driver row for
-    them is rows-only — the weakest evidence a slot can buy)."""
+    first (the flagship).  (Through round 3 five approximate entries had
+    no SQL oracle and sorted last; since round 4 every entry is
+    oracle-backed — the integer-exact kmeans/IVF/LSH variants — so the
+    rotation is purely checked-vs-unchecked.)"""
     import glob as _glob
     import json as _json
     import os as _os
@@ -67,17 +68,9 @@ def _rotate_head(d: dict) -> dict:
                 checked |= set(_json.load(f))
         except Exception:
             continue
-    no_oracle_defer = {"embedding_kmeans", "embedding_kmeans_pp",
-                       "ann_lsh_topk", "ann_ivf_topk",
-                       "dedup_embedding_cosine_ivf"}
-    fresh = [k for k in d
-             if k not in checked and k not in no_oracle_defer
-             and k != "cdc_replay"]
-    deferred = [k for k in d if k in no_oracle_defer and k not in checked]
-    seen = [k for k in d
-            if k in checked and k != "cdc_replay"] + [
-        k for k in d if k in no_oracle_defer and k in checked]
-    order = ["cdc_replay"] + fresh + deferred
+    fresh = [k for k in d if k not in checked and k != "cdc_replay"]
+    seen = [k for k in d if k in checked and k != "cdc_replay"]
+    order = ["cdc_replay"] + fresh
     order += [k for k in seen if k not in order]
     return {k: d[k] for k in order if k in d}
 
@@ -180,8 +173,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget_select": T.docs_token_budget_select,
         # semi-structured: JSON field extraction + rollup over events.props
         "events_props_rollup": A.events_props_rollup,
-        # (ann_lsh_topk — no SQL oracle, so its driver row is rows-only;
-        #  moved past the cap in favor of a fully-hashable entry.)
         # multimodal trio moved up: upgraded this round from rows-only to
         # exact SQL oracles (real PPM/WAV/frame-stream decode) — give the
         # driver's 50-row cap a chance to verify them fully
@@ -263,8 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holistic aggregates: exact distributed quantiles / top-k
         "orders_value_percentiles": A.orders_value_percentiles,
         "top_terms": T.top_terms,
-        # embedding clustering (fixed-point exact vector aggregation;
-        # kmeans is iterative → no oracle, pinned by tests/test_clustering)
+        # embedding clustering (fixed-point exact vector aggregation)
         "embedding_label_centroids": T.embedding_label_centroids,
         "docs_stratified_sample": T.docs_stratified_sample,
         # corpus curation: split / shuffle / packing (stages/curation)
@@ -277,8 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded-shuffle top-k sketch (exact result: candidates proven
         # complete, then recounted) — shares top_terms's semantics/oracle
         "top_terms_bounded": T.top_terms_bounded,
-        # iterative kmeans (no oracle by design — pinned by
-        # tests/test_clustering.py against a single-process reference)
+        # integer-exact iterative kmeans (r4: the full Lloyd unroll is
+        # SQL-oracled — see _KMEANS_Q_SQL; float kmeans + kmeans|| stay
+        # library paths pinned by tests/test_clustering.py)
         "embedding_kmeans": T.embedding_kmeans,
         "embedding_kmeans_pp": T.embedding_kmeans_pp,
         # --- CDC core siblings (r01+r02 driver-green; parity harness
@@ -649,6 +640,190 @@ _STRIP_HOT_SQL = """
     SELECT d.doc_id, COALESCE(k.text, '') AS text
     FROM documents d LEFT JOIN kept k USING (doc_id)
     ORDER BY d.doc_id
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means / IVF / LSH oracles (stages/clustering.kmeans_q_fit,
+# stages/similarity.{ivf_topk_q,lsh_topk_q,embedding_near_dups_ivf_q}).
+#
+# Everything discrete is integer: vectors quantize to int64 (round-half-away
+# x 2^20 — DuckDB round() semantics), centroids update with an exact integer
+# round-half-away division ((2s+n)//(2n) and the negative mirror), and
+# assignments/seeds/probes compare integer squared distances with ties to
+# the lowest index.  Cosine goes through ONE shared float path —
+# CAST(int_dot AS DOUBLE)/sqrt(CAST(na2 AS DOUBLE)*CAST(nb2 AS DOUBLE)) —
+# whose four IEEE-correctly-rounded ops numpy reproduces bit-for-bit, so
+# rankings and thresholds agree exactly and the driver's value hash is
+# satisfiable for these iterative/approximate operators.
+# ---------------------------------------------------------------------------
+
+def _kmeans_q_iter_ctes(t: int) -> str:
+    """One unrolled integer-Lloyd iteration: distances, argmin assignment,
+    per-(cluster, dim) sums, centroid update with empty-cluster carry."""
+    p = t - 1
+    return f"""
+    d{t} AS (
+      SELECT q.vec_id, c.c, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS d2
+      FROM q JOIN c{p} c USING (dim) GROUP BY q.vec_id, c.c),
+    a{t} AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+        FROM d{t}) WHERE rn = 1),
+    s{t} AS (
+      SELECT a.cluster AS c, q.dim, SUM(q.qx) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN q USING (vec_id) GROUP BY a.cluster, q.dim),
+    c{t} AS MATERIALIZED (
+      SELECT p.c, p.dim,
+             CAST(COALESCE(
+               CASE WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+                    ELSE -((2 * (-s.s) + s.n) // (2 * s.n)) END,
+               p.qc) AS BIGINT) AS qc
+      FROM c{p} p LEFT JOIN s{t} s ON s.c = p.c AND s.dim = p.dim)"""
+
+
+def _kmeans_q_ctes(k: int, iters: int, dim: int = 64,
+                   init: str = "min_id") -> str:
+    """The full WITH-clause chain: ``q`` (quantized long-form vectors),
+    ``nrm`` (integer squared norms), ``c0``..``c{iters}`` (centroids),
+    ``af`` (assignment under the final centroids).  ``init='ff'`` seeds
+    with the farthest-first traversal unroll instead of the k lowest
+    ids."""
+    parts = [f"""
+    q AS MATERIALIZED (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+               AS qx
+      FROM embeddings, UNNEST(generate_series(1, {dim})) AS t(i)),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, SUM(qx * qx) AS n2 FROM q GROUP BY vec_id)"""]
+    if init == "ff":
+        parts.append("""
+    ch0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS step
+            FROM embeddings ORDER BY vec_id LIMIT 1)""")
+        for j in range(1, k):
+            parts.append(f"""
+    ff{j} AS (
+      SELECT q.vec_id, cq.cid, SUM((q.qx - cq.qx) * (q.qx - cq.qx)) AS d2
+      FROM q JOIN (SELECT c.vec_id AS cid, q2.dim, q2.qx
+                   FROM ch{j - 1} c JOIN q q2 ON q2.vec_id = c.vec_id) cq
+           ON cq.dim = q.dim
+      GROUP BY q.vec_id, cq.cid),
+    fm{j} AS (SELECT vec_id, MIN(d2) AS dmin FROM ff{j} GROUP BY vec_id),
+    ch{j} AS MATERIALIZED (SELECT vec_id, step FROM ch{j - 1}
+              UNION ALL
+              (SELECT vec_id, CAST({j} AS BIGINT) AS step FROM fm{j}
+               ORDER BY dmin DESC, vec_id ASC LIMIT 1))""")
+        parts.append(f"""
+    c0 AS (SELECT ch.step AS c, q.dim, q.qx AS qc
+           FROM ch{k - 1} ch JOIN q ON q.vec_id = ch.vec_id)""")
+    else:
+        parts.append(f"""
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY vec_id) - 1
+                  AS BIGINT) AS c, dim, qx AS qc
+      FROM q WHERE vec_id IN
+        (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))""")
+    for t in range(1, iters + 1):
+        parts.append(_kmeans_q_iter_ctes(t))
+    parts.append(f"""
+    fd AS (
+      SELECT q.vec_id, c.c, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS d2
+      FROM q JOIN c{iters} c USING (dim) GROUP BY q.vec_id, c.c),
+    af AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+        FROM fd) WHERE rn = 1)""")
+    return "WITH" + ",".join(parts)
+
+
+# shared scoring tail: qv/qq (the n lowest-id query vectors), then
+# cand -> integer dot -> the bit-reproducible cosine -> rank
+_ANN_Q_QUERIES = """
+    qv AS (SELECT vec_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                    AS query_id
+           FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)),
+    qq AS (SELECT qv.query_id, q.dim, q.qx FROM qv JOIN q USING (vec_id))"""
+
+_ANN_Q_SCORE_TAIL = """
+    sc AS (SELECT cand.query_id, cand.vec_id, SUM(q.qx * qq.qx) AS dot
+           FROM cand JOIN q USING (vec_id)
+           JOIN qq ON qq.query_id = cand.query_id AND qq.dim = q.dim
+           GROUP BY cand.query_id, cand.vec_id),
+    cs AS (SELECT sc.query_id, sc.vec_id,
+                  CAST(sc.dot AS DOUBLE)
+                    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                    AS cos
+           FROM sc
+           JOIN nrm na ON na.vec_id = sc.vec_id
+           JOIN qv ON qv.query_id = sc.query_id
+           JOIN nrm nb ON nb.vec_id = qv.vec_id),
+    fin AS (SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM cs)
+    SELECT query_id, vec_id, round(cos, 4) AS cosine_sim, rank
+    FROM fin WHERE rank <= 10 ORDER BY query_id, rank"""
+
+_KMEANS_Q_SQL = _kmeans_q_ctes(8, 5) + """
+    SELECT vec_id, cluster FROM af ORDER BY vec_id
+"""
+
+_KMEANS_FF_SQL = _kmeans_q_ctes(8, 8, init="ff") + """
+    SELECT vec_id, cluster FROM af ORDER BY vec_id
+"""
+
+_ANN_IVF_Q_SQL = _kmeans_q_ctes(16, 3) + "," + _ANN_Q_QUERIES + """,
+    pd AS (SELECT qq.query_id, c.c,
+                  SUM((qq.qx - c.qc) * (qq.qx - c.qc)) AS d2
+           FROM qq JOIN c3 c USING (dim) GROUP BY qq.query_id, c.c),
+    pr AS (SELECT query_id, c FROM (
+             SELECT query_id, c, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY d2 ASC, c ASC) AS rn
+             FROM pd) WHERE rn <= 6),
+    cand AS (SELECT pr.query_id, af.vec_id
+             FROM pr JOIN af ON af.cluster = pr.c),""" + _ANN_Q_SCORE_TAIL
+
+_ANN_LSH_Q_SQL = _kmeans_q_ctes(1, 0) + "," + _ANN_Q_QUERIES + """,
+    anc AS (SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS aidx
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+    pl AS (SELECT a1.aidx // 2 AS m, q1.dim, q1.qx - q2.qx AS pv
+           FROM anc a1 JOIN anc a2 ON a2.aidx = a1.aidx + 1
+           JOIN q q1 ON q1.vec_id = a1.vec_id
+           JOIN q q2 ON q2.vec_id = a2.vec_id AND q2.dim = q1.dim
+           WHERE a1.aidx % 2 = 0),
+    bits AS (SELECT q.vec_id, pl.m,
+                    CASE WHEN SUM(q.qx * pl.pv) > 0 THEN 1 ELSE 0 END AS b
+             FROM q JOIN pl USING (dim) GROUP BY q.vec_id, pl.m),
+    bk AS (SELECT vec_id, CAST(SUM(b << m) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id),
+    cand AS (SELECT qv.query_id, e.vec_id
+             FROM qv JOIN bk qb ON qb.vec_id = qv.vec_id
+             JOIN bk e ON bit_count(xor(e.bucket, qb.bucket)) <= 1),""" \
+    + _ANN_Q_SCORE_TAIL
+
+_DEDUP_IVF_Q_SQL = _kmeans_q_ctes(8, 3) + """,
+    pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM af a JOIN af b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    pd2 AS (SELECT pp.vec_a, pp.vec_b, SUM(qa.qx * qb.qx) AS dot
+            FROM pp JOIN q qa ON qa.vec_id = pp.vec_a
+            JOIN q qb ON qb.vec_id = pp.vec_b AND qb.dim = qa.dim
+            GROUP BY pp.vec_a, pp.vec_b),
+    cs AS (SELECT vec_a, vec_b,
+                  CAST(dot AS DOUBLE)
+                    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                    AS cos
+           FROM pd2 JOIN nrm na ON na.vec_id = pd2.vec_a
+           JOIN nrm nb ON nb.vec_id = pd2.vec_b)
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM cs
+    WHERE cos >= 0.3 ORDER BY vec_a, vec_b
 """
 
 
@@ -1949,6 +2124,16 @@ def oracle_sql() -> dict[str, str]:
               len(embedding) AS dim
             FROM embeddings
         """,
+        # integer-exact iterative/approximate family (r4): the full
+        # quantized-Lloyd unroll, its farthest-first-seeded sibling, and
+        # the IVF/LSH index variants — every discrete step is integer,
+        # cosine goes through one shared bit-reproducible float path
+        # (see the _kmeans_q_ctes block comment)
+        "embedding_kmeans": _KMEANS_Q_SQL,
+        "embedding_kmeans_pp": _KMEANS_FF_SQL,
+        "ann_ivf_topk": _ANN_IVF_Q_SQL,
+        "ann_lsh_topk": _ANN_LSH_Q_SQL,
+        "dedup_embedding_cosine_ivf": _DEDUP_IVF_Q_SQL,
         # every synthesized modality is REAL-decodable, with closed-form
         # payload bytes: image = PPM header (9 + digits) + 3*w*h raster;
         # audio = 44-byte WAV header + 2 bytes/sample over

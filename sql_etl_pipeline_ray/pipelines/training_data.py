@@ -471,15 +471,24 @@ def ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed approximate top-10 (the scale path; recall vs brute
-    force asserted in tests)."""
-    return SIM.ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    """IVF approximate top-10 on the INTEGER coarse quantizer
+    (``stages/similarity.ivf_topk_q``): quantized Lloyd's codebook,
+    integer bucket assignment and probe choice, bit-reproducible cosine
+    scoring — every discrete decision is an integer function of the
+    data, so the DuckDB oracle replays the result hash-exactly.  The
+    RNG-seeded ``SIM.ivf_topk`` remains the library's general-queries
+    path (recall vs brute pinned in tests)."""
+    return SIM.ivf_topk_q(_emb(sf_dir), n_queries=3, k=10)
 
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
-    """Random-hyperplane LSH approximate top-10 (the no-training scale
-    path; recall vs brute force asserted in tests)."""
-    return SIM.lsh_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    """LSH approximate top-10 with data-derived integer hyperplanes
+    (``stages/similarity.lsh_topk_q``): planes are quantized anchor
+    differences, buckets are integer sign bitmaps, probes reach Hamming
+    distance 1 — SQL-replayable end to end.  The seeded random-plane
+    ``SIM.lsh_topk`` remains for general queries (recall pinned in
+    tests)."""
+    return SIM.lsh_topk_q(_emb(sf_dir), n_queries=3, k=10)
 
 
 def embedding_norms(sf_dir: str) -> ray.data.Dataset:
@@ -656,16 +665,15 @@ def docs_bernoulli_sample(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def dedup_embedding_cosine_ivf(sf_dir: str) -> ray.data.Dataset:
-    """IVF-blocked embedding near-dup pairs (the scale path — within-bucket
-    exact kernel after a broadcast-codebook assignment).  Approximate, so
-    rows-only for the driver; recall vs the brute-force pairs is asserted
-    in tests."""
-    return SIM.embedding_near_dups_ivf(
-        _emb(sf_dir),
-        threshold=0.3,
-        num_partitions=_doc_partitions(sf_dir, "embeddings"),
-    )
+def dedup_embedding_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-blocked embedding near-dup pairs on the integer coarse
+    quantizer (``stages/similarity.embedding_near_dups_ivf_q``):
+    within-bucket exact cosine at distance ≤ 0.3, every bucket label and
+    threshold compare an integer-exact / bit-reproducible value — the
+    DuckDB oracle replays the pair set hash-exactly.  The sampled-
+    codebook ``SIM.embedding_near_dups_ivf`` remains the general path
+    (recall vs brute pairs pinned in tests)."""
+    return SIM.embedding_near_dups_ivf_q(_emb(sf_dir), threshold=0.3)
 
 
 def dedup_clusters(sf_dir: str) -> pd.DataFrame:
@@ -1034,23 +1042,32 @@ def embedding_label_centroids(sf_dir: str) -> pa.Table:
 
 
 def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
-    """Deterministic distributed k-means assignments (k=8, 5 Lloyd
-    iterations).  Iterative → no SQL oracle; bit-reproducibility and
-    cluster quality are pinned in ``tests/test_clustering.py``."""
-    from ..stages import clustering as CL
-
-    return CL.kmeans(_emb(sf_dir), k=8, iters=5)
-
-
-def embedding_kmeans_pp(sf_dir: str) -> pd.DataFrame:
-    """k-means with the deterministic k-means|| over-seeding init
-    (stages/clustering.py:kmeans_parallel_init) and convergence stop —
-    the quality/scale path next to ``embedding_kmeans``'s min-id baseline.
-    Iterative → no SQL oracle; partition-invariance and quality pinned in
+    """Integer-exact distributed k-means assignments (k=8, 5 Lloyd
+    iterations, min-id init): centroids live as int64 fixed-point and
+    every assignment is an integer argmin, so the full iteration chain
+    unrolls to a DuckDB oracle that matches hash-exactly
+    (``stages/clustering.kmeans_q_fit``).  The float-centroid
+    ``CL.kmeans`` (+ k-means|| init) remains the library path, pinned in
     ``tests/test_clustering.py``."""
     from ..stages import clustering as CL
 
-    return CL.kmeans(_emb(sf_dir), k=8, iters=10, init="parallel")
+    _qc, assign = CL.kmeans_q_fit(_emb(sf_dir), k=8, iters=5)
+    return assign
+
+
+def embedding_kmeans_pp(sf_dir: str) -> pd.DataFrame:
+    """k-means seeded by deterministic farthest-first traversal
+    (Gonzalez k-center, integer metric) — the SQL-replayable stand-in
+    for RNG-dependent k-means++/k-means|| seeding, so the driver can
+    hash-check the full iterative result.  The k-means|| over-seeding
+    init (``CL.kmeans_parallel_init``) remains the library's
+    quality/scale path, pinned in ``tests/test_clustering.py``."""
+    from ..stages import clustering as CL
+
+    emb = _emb(sf_dir)
+    seeds = CL.farthest_first_q(emb, k=8)
+    _qc, assign = CL.kmeans_q_fit(emb, k=8, iters=8, init_qcents=seeds)
+    return assign
 
 
 def docs_stratified_sample(sf_dir: str) -> ray.data.Dataset:

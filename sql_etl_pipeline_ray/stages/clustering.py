@@ -347,3 +347,182 @@ def kmeans(
     )
     out[id_col] = out[id_col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact (driver-legible) k-means family
+# ---------------------------------------------------------------------------
+#
+# The float k-means above is bit-reproducible across PARTITIONINGS, but a
+# SQL oracle recomputing its float distances hits last-ulp divergence
+# (different summation orders) that can flip an argmin on a near-tie.
+# The ``*_q`` family removes float from every DISCRETE decision: vectors
+# quantize to int64 fixed-point once (the same round-half-away × 2^20 the
+# centroid oracle already replays bit-exactly in SQL), centroids LIVE as
+# int64 (updated with an exact integer round-half-away division), and
+# assignment/seeding compare pure-integer squared distances.  Every label,
+# every seed choice, every iteration is then a decidable integer function
+# of the data — DuckDB replays it bit-for-bit, which is what makes the
+# kmeans/IVF/LSH query entries hash-checkable by the correctness driver
+# instead of rows-only.  Approximation quality is unaffected: quantization
+# error is ≤ 2^-21 per element on unit-norm vectors.
+
+
+def _int_round_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Exact ``round_half_away(s / n)`` on int64 (n > 0) — the SQL twin is
+    ``(2*s + n) // (2*n)`` for s ≥ 0 and ``-((2*(-s) + n) // (2*n))``
+    below zero (floor division on nonnegative operands both ways)."""
+    s = s.astype(np.int64)
+    n = n.astype(np.int64)
+    pos = (2 * s + n) // (2 * n)
+    neg = -((2 * (-s) + n) // (2 * n))
+    return np.where(s >= 0, pos, neg)
+
+
+def _qd2(qx: np.ndarray, qc: np.ndarray) -> np.ndarray:
+    """(n, k) int64 squared distances between quantized rows and
+    centroids.  Computed via the exact expansion in int64 — no float
+    anywhere, so comparisons are total and SQL-identical."""
+    # |x|^2 - 2 x.c + |c|^2, all int64; magnitudes stay < 2^50 for
+    # unit-norm embeddings at 2^20 scale (headroom checked in tests)
+    x2 = (qx * qx).sum(axis=1)
+    c2 = (qc * qc).sum(axis=1)
+    return x2[:, None] - 2 * (qx @ qc.T) + c2[None, :]
+
+
+def kmeans_q_fit(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_qcents: np.ndarray | None = None,
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Integer-exact distributed Lloyd's: returns ``(qcents, assign)``
+    where ``qcents`` is the final (k, d) int64 centroid matrix and
+    ``assign`` the (id, cluster) DataFrame under those centroids.
+
+    Same streaming shape as :func:`kmeans` — broadcast centroids, one
+    ``map_batches`` pass per iteration emitting per-batch (cluster, dim)
+    int64 partials, driver fold — but the centroid update is the exact
+    integer division ``round_half_away(sum / n)``, so the state after
+    every iteration is an integer function of the data alone.  Fixed
+    ``iters`` on both engine and oracle (no early break: integer Lloyd's
+    can in principle 2-cycle, and a fixed unroll is what the SQL twin
+    replays; a reached fixed point makes the remaining iterations
+    no-ops on both sides anyway).  Init: quantized vectors of the k
+    lowest ids, or ``init_qcents`` (e.g. :func:`farthest_first_q`).
+    """
+    emb = emb.materialize()
+    if init_qcents is None:
+        seed_rows = (
+            emb.map_batches(
+                lambda df: df.nsmallest(k, id_col), batch_format="pandas"
+            )
+            .to_pandas()
+            .nsmallest(k, id_col)
+            .sort_values(id_col)
+        )
+        qcents = _quantize(_stack(seed_rows[vec_col]))
+    else:
+        qcents = init_qcents.astype(np.int64).copy()
+        k = len(qcents)
+
+    for _ in range(iters):
+        cref = ray.put(qcents)
+
+        def partial_fit(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            qx = _quantize(_stack(df[vec_col]))
+            a = np.argmin(_qd2(qx, C), axis=1)  # ties -> lowest cluster
+            sums = np.zeros((len(C), qx.shape[1]), np.int64)
+            np.add.at(sums, a, qx)
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "c": np.arange(len(C), dtype=np.int64),
+                    "n": counts,
+                    "s": list(sums),
+                }
+            )
+
+        parts = emb.map_batches(partial_fit, batch_format="pandas").to_pandas()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros_like(qcents)
+        for c, g in parts.groupby("c"):
+            counts[c] = g["n"].sum()
+            sums[c] = np.sum(np.vstack(g["s"].to_numpy()), axis=0)
+        nonempty = counts > 0
+        new = qcents.copy()
+        new[nonempty] = _int_round_div(
+            sums[nonempty], counts[nonempty, None]
+        )
+        qcents = new
+
+    cref = ray.put(qcents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        qx = _quantize(_stack(df[vec_col]))
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "cluster": np.argmin(_qd2(qx, C), axis=1).astype(np.int64),
+            }
+        )
+
+    out = (
+        emb.map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return qcents, out
+
+
+def farthest_first_q(
+    emb: ray.data.Dataset,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic farthest-first (Gonzalez k-center) seeding on the
+    INTEGER metric: start from the min-id vector; each step adds the
+    point maximizing its quantized squared distance to the chosen set
+    (ties -> lowest id).  k-1 streaming passes, each a block-local
+    (max-d2, min-id) reduction over the broadcast chosen set — the
+    SQL-replayable stand-in for RNG-seeded k-means++ / k-means|| when a
+    bit-checkable oracle is required (the RNG inits stay available via
+    :func:`kmeans_parallel_init`)."""
+    emb = emb.materialize()
+    first = (
+        emb.map_batches(lambda df: df.nsmallest(1, id_col), batch_format="pandas")
+        .to_pandas()
+        .nsmallest(1, id_col)
+    )
+    chosen = _quantize(_stack(first[vec_col]))
+    for _ in range(k - 1):
+        cref = ray.put(chosen)
+
+        def far(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            qx = _quantize(_stack(df[vec_col]))
+            dmin = _qd2(qx, C).min(axis=1)
+            ids = df[id_col].to_numpy(np.int64)
+            # block-local winner: max distance, ties -> lowest id
+            order = np.lexsort((ids, -dmin))
+            w = order[0]
+            return pd.DataFrame(
+                {
+                    "d2": [np.int64(dmin[w])],
+                    id_col: [ids[w]],
+                    "vec": [qx[w].tobytes()],
+                }
+            )
+
+        cand = emb.map_batches(far, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["d2", id_col], ascending=[False, True])
+        chosen = np.vstack(
+            [chosen, np.frombuffer(cand.iloc[0]["vec"], dtype=np.int64)]
+        )
+    return chosen

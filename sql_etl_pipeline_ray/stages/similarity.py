@@ -661,3 +661,270 @@ def lsh_topk(
             )
         )
     return pd.concat(out, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact (driver-legible) deterministic index variants
+# ---------------------------------------------------------------------------
+#
+# The RNG-seeded IVF/LSH paths above are deterministic ACROSS RUNS but not
+# replayable by a SQL oracle (PCG64 draws, float32 mini-batch Lloyd's).
+# These ``*_q`` variants make the whole index an integer function of the
+# data: vectors quantize to int64 fixed-point (round-half-away x 2^20 —
+# the convention DuckDB's ``round`` reproduces bit-exactly), the coarse
+# quantizer is the integer Lloyd's of ``stages/clustering.kmeans_q_fit``,
+# LSH planes are integer differences of anchor vectors, and cosine is
+# computed through ONE float path both engines share bit-for-bit:
+# ``CAST(int_dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS
+# DOUBLE))`` (int64→double conversion, one multiply, one sqrt, one divide
+# — all IEEE-754 correctly rounded, so numpy and DuckDB agree exactly).
+# Orderings and thresholds compare those bit-identical values, so top-k
+# membership, ranks and pair sets are hash-checkable by the correctness
+# driver — no float tie luck involved.
+
+
+def _exact_cos(dot: np.ndarray, na2: np.ndarray, nb2: np.ndarray) -> np.ndarray:
+    """Bit-reproducible cosine from integer dot/norms (see block note)."""
+    return dot.astype(np.float64) / np.sqrt(
+        na2.astype(np.float64) * nb2.astype(np.float64)
+    )
+
+
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return (
+        pc.round(pa.array(np.asarray(x, np.float64)), digits,
+                 round_mode="half_towards_infinity")
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def _lowest_id_qvecs(
+    emb: ray.data.Dataset, n: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, quantized vectors) of the n lowest ids — block-local
+    nsmallest + driver merge, never a global sort."""
+    from .clustering import _quantize, _stack
+
+    rows = (
+        emb.map_batches(lambda df: df.nsmallest(n, id_col), batch_format="pandas")
+        .to_pandas()
+        .nsmallest(n, id_col)
+        .sort_values(id_col)
+    )
+    return rows[id_col].to_numpy(np.int64), _quantize(_stack(rows[vec_col]))
+
+
+def ivf_topk_q(
+    emb: ray.data.Dataset,
+    n_queries: int = 3,
+    k: int = 10,
+    n_clusters: int = 16,
+    iters: int = 3,
+    nprobe: int = 6,
+) -> pd.DataFrame:
+    """IVF top-k with the integer coarse quantizer: buckets = final
+    ``kmeans_q_fit`` assignment, probe = the ``nprobe``
+    integer-nearest centroids per query (queries are the ``n_queries``
+    lowest-id vectors), candidates score with the bit-reproducible
+    cosine, top-k ordered by (cosine DESC, vec_id ASC).  Distributed
+    exactly like :func:`ivf_topk` (broadcast state, per-batch partial
+    top-k, tiny driver merge)."""
+    from .clustering import _qd2, _quantize, _stack, kmeans_q_fit
+
+    qcents, _ = kmeans_q_fit(emb, k=n_clusters, iters=iters)
+    qids, qq = _lowest_id_qvecs(emb, n_queries)
+    d2 = _qd2(qq, qcents)
+    # nprobe nearest centroids, ties -> lowest cluster index
+    probe = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    qn2 = (qq * qq).sum(axis=1)
+    state = ray.put((qcents, qq, probe, qn2))
+
+    class ProbeScoreQ:
+        def __init__(self):
+            self.qcents, self.qq, self.probe, self.qn2 = ray.get(state)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            qx = _quantize(_stack(df["embedding"]))
+            cl = np.argmin(_qd2(qx, self.qcents), axis=1)
+            ids = df["vec_id"].to_numpy(np.int64)
+            x2 = (qx * qx).sum(axis=1)
+            parts = []
+            for qi in range(len(self.qq)):
+                mask = np.isin(cl, self.probe[qi])
+                if not mask.any():
+                    continue
+                dot = qx[mask] @ self.qq[qi]
+                cos = _exact_cos(dot, x2[mask], self.qn2[qi])
+                kk = min(k, len(cos))
+                sel = np.lexsort((ids[mask], -cos))[:kk]
+                parts.append(pd.DataFrame({
+                    "query_id": qi, "vec_id": ids[mask][sel],
+                    "cosine_sim": cos[sel],
+                }))
+            if not parts:
+                return pd.DataFrame({
+                    "query_id": pd.Series(dtype=np.int64),
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "cosine_sim": pd.Series(dtype=np.float64),
+                })
+            return pd.concat(parts, ignore_index=True)
+
+    partial = emb.map_batches(
+        ProbeScoreQ, batch_format="pandas", concurrency=autoscale_pool()
+    ).to_pandas()
+    out = []
+    for qi in range(len(qq)):
+        g = partial[partial["query_id"] == qi].sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        )[:k]
+        out.append(pd.DataFrame({
+            "query_id": np.int64(qi),
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "cosine_sim": _round_half_away(g["cosine_sim"].to_numpy(), 4),
+            "rank": np.arange(1, len(g) + 1),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+def lsh_topk_q(
+    emb: ray.data.Dataset,
+    n_queries: int = 3,
+    k: int = 10,
+    n_planes: int = 4,
+) -> pd.DataFrame:
+    """LSH top-k with data-derived integer hyperplanes: plane m is the
+    quantized difference of anchor vectors 2m and 2m+1 (the 2*n_planes
+    lowest ids), a vector's bucket is the sign bitmap of its integer
+    dots with the planes, and a query probes every bucket within
+    Hamming distance 1 of its own.  Candidates score with the
+    bit-reproducible cosine; top-k by (cosine DESC, vec_id ASC)."""
+    from .clustering import _quantize, _stack
+
+    aids, av = _lowest_id_qvecs(emb, 2 * n_planes)
+    planes = av[0::2] - av[1::2]  # (n_planes, d) int64
+    qids, qq = _lowest_id_qvecs(emb, n_queries)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    qbuck = ((qq @ planes.T) > 0).astype(np.int64) @ weights
+    qn2 = (qq * qq).sum(axis=1)
+    state = ray.put((planes, qq, qbuck, qn2, weights))
+
+    class LshScoreQ:
+        def __init__(self):
+            (self.planes, self.qq, self.qbuck, self.qn2,
+             self.weights) = ray.get(state)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            qx = _quantize(_stack(df["embedding"]))
+            buck = ((qx @ self.planes.T) > 0).astype(np.int64) @ self.weights
+            ids = df["vec_id"].to_numpy(np.int64)
+            x2 = (qx * qx).sum(axis=1)
+            parts = []
+            # vectorized popcount: buckets live in [0, 2^n_planes)
+            table = np.array(
+                [bin(i).count("1") for i in range(1 << len(self.planes))],
+                dtype=np.int64,
+            )
+            for qi in range(len(self.qq)):
+                ham = table[np.bitwise_xor(buck, self.qbuck[qi])]
+                mask = ham <= 1
+                if not mask.any():
+                    continue
+                dot = qx[mask] @ self.qq[qi]
+                cos = _exact_cos(dot, x2[mask], self.qn2[qi])
+                kk = min(k, len(cos))
+                sel = np.lexsort((ids[mask], -cos))[:kk]
+                parts.append(pd.DataFrame({
+                    "query_id": qi, "vec_id": ids[mask][sel],
+                    "cosine_sim": cos[sel],
+                }))
+            if not parts:
+                return pd.DataFrame({
+                    "query_id": pd.Series(dtype=np.int64),
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "cosine_sim": pd.Series(dtype=np.float64),
+                })
+            return pd.concat(parts, ignore_index=True)
+
+    partial = emb.map_batches(
+        LshScoreQ, batch_format="pandas", concurrency=autoscale_pool()
+    ).to_pandas()
+    out = []
+    for qi in range(len(qq)):
+        g = partial[partial["query_id"] == qi].sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        )[:k]
+        out.append(pd.DataFrame({
+            "query_id": np.int64(qi),
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "cosine_sim": _round_half_away(g["cosine_sim"].to_numpy(), 4),
+            "rank": np.arange(1, len(g) + 1),
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+def embedding_near_dups_ivf_q(
+    emb: ray.data.Dataset,
+    threshold: float = 0.3,
+    n_clusters: int = 8,
+    iters: int = 3,
+) -> pd.DataFrame:
+    """IVF-blocked near-dup pairs on the integer coarse quantizer:
+    within-bucket exact pairs at cosine similarity ≥ ``threshold`` (the
+    same convention as :func:`embedding_near_dups`), compared on the
+    bit-reproducible value.  Buckets
+    ship through a ``groupby(cluster).map_groups`` — the partitioning
+    assumption is the usual IVF one, k ≈ √n keeps per-bucket work
+    O((n/k)²) bounded."""
+    from .clustering import _qd2, _quantize, _stack, kmeans_q_fit
+
+    qcents, _ = kmeans_q_fit(emb, k=n_clusters, iters=iters)
+    cref = ray.put(qcents)
+    cut = float(threshold)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        qx = _quantize(_stack(df["embedding"]))
+        return pd.DataFrame({
+            "cluster": np.argmin(_qd2(qx, ray.get(cref)), axis=1),
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "qvec": [v.tobytes() for v in qx],
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+                "cosine": pd.Series(dtype=np.float64),
+            })
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        qx = np.vstack([np.frombuffer(b, dtype=np.int64) for b in g["qvec"]])
+        n2 = (qx * qx).sum(axis=1)
+        dot = qx @ qx.T
+        cos = _exact_cos(dot, n2[:, None], n2[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= cut
+        return pd.DataFrame({
+            "vec_a": ids[ia[keep]],
+            "vec_b": ids[ib[keep]],
+            "cosine": _round_half_away(cos[ia, ib][keep], 6),
+        })
+
+    out = (
+        emb.map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        # stable schema when every bucket is pair-free (Ray drops the
+        # schema of an all-empty map_groups)
+        return pd.DataFrame({
+            "vec_a": pd.Series(dtype=np.int64),
+            "vec_b": pd.Series(dtype=np.int64),
+            "cosine": pd.Series(dtype=np.float64),
+        })
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -134,7 +134,17 @@ def _apply_diff(snap0: pd.DataFrame, diff: pd.DataFrame) -> pd.DataFrame:
             state = state.drop(index=keys)
         else:
             incoming = rows[cols].set_index(["repo", "path"])
-            state = pd.concat([state.drop(index=keys, errors="ignore"), incoming])
+            left = state.drop(index=keys, errors="ignore")
+            if len(left):
+                # pandas deprecation (GH#40893): all-NA columns must be
+                # excluded BEFORE concat to keep dtype inference from the
+                # populated side (pre-evolution rows have no size_bytes)
+                allna = [
+                    c for c in left.columns
+                    if c in incoming.columns and left[c].isna().all()
+                ]
+                left = left.drop(columns=allna)
+            state = pd.concat([left, incoming])
     return state.reset_index().sort_values(["repo", "path"]).reset_index(drop=True)
 
 

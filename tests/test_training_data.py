@@ -5,6 +5,7 @@ correctness pinned here instead of the DuckDB oracle."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 
 from sql_etl_pipeline_ray.stages import dedup as D
@@ -331,10 +332,15 @@ def test_token_stats_edge_cases():
 
 
 def test_ivf_near_dups_recall_vs_brute():
+    """The sampled-codebook multi-probe library path keeps its higher
+    recall floor (the queries() entry moved to the driver-legible
+    integer-quantizer variant in r4 — covered by
+    test_ivf_q_near_dups_recall_vs_brute)."""
     import __ray_entry__ as E
 
     brute = E.queries()["dedup_embedding_cosine"]("/root/testdata/sf0.001").to_pandas()
-    ivf = E.queries()["dedup_embedding_cosine_ivf"]("/root/testdata/sf0.001").to_pandas()
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = SIM.embedding_near_dups_ivf(ds, threshold=0.3).to_pandas()
     bset = set(zip(brute["vec_a"], brute["vec_b"]))
     iset = set(zip(ivf["vec_a"], ivf["vec_b"]))
     assert iset <= bset  # no false positives: within-bucket kernel is exact
@@ -1288,3 +1294,62 @@ def test_lsh_persisted_signatures_equal_inflight(tmp_path):
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         want.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_ivf_q_recall_vs_brute_force():
+    """Integer-quantizer IVF (the driver-legible ann_ivf_topk path):
+    recall@10 vs brute force and blocking invariance."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:3]]
+    )
+    bf = SIM.brute_force_topk(ds, q, k=10)
+    ivf = SIM.ivf_topk_q(ds, n_queries=3, k=10)
+    for qi in (0, 1, 2):
+        a = set(bf[bf["query_id"] == qi]["vec_id"])
+        b = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        assert len(a & b) / 10 >= 0.5, f"IVF-q recall too low for q{qi}"
+    # self at rank 1, cos 1.0, and blocking invariance
+    assert ivf[(ivf["query_id"] == 1) & (ivf["rank"] == 1)]["vec_id"].iloc[0] == 1
+    assert ivf[(ivf["query_id"] == 1) & (ivf["rank"] == 1)]["cosine_sim"].iloc[0] == 1.0
+    pd.testing.assert_frame_equal(
+        ivf, SIM.ivf_topk_q(ds.repartition(7), n_queries=3, k=10)
+    )
+
+
+def test_lsh_q_recall_vs_brute_force():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:3]]
+    )
+    bf = SIM.brute_force_topk(ds, q, k=10)
+    lsh = SIM.lsh_topk_q(ds, n_queries=3, k=10)
+    for qi in (0, 1, 2):
+        a = set(bf[bf["query_id"] == qi]["vec_id"])
+        b = set(lsh[lsh["query_id"] == qi]["vec_id"])
+        assert len(a & b) / 10 >= 0.4, f"LSH-q recall too low for q{qi}"
+    pd.testing.assert_frame_equal(
+        lsh, SIM.lsh_topk_q(ds.repartition(5), n_queries=3, k=10)
+    )
+
+
+def test_ivf_q_near_dups_recall_vs_brute():
+    """Integer-quantizer blocked near-dup pairs vs the brute-force pair
+    set (same cosine >= threshold convention)."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    s = mn @ mn.T
+    ia, ib = np.nonzero(np.triu(s >= 0.3, k=1))
+    bset = set(zip(ids[ia], ids[ib]))
+    got = SIM.embedding_near_dups_ivf_q(ds, threshold=0.3)
+    iset = set(zip(got["vec_a"], got["vec_b"]))
+    assert iset <= bset  # within-bucket pairs are a subset of brute
+    assert len(iset) / max(len(bset), 1) >= 0.3  # blocked recall floor
+    # blocking invariance
+    got2 = SIM.embedding_near_dups_ivf_q(ds.repartition(6), threshold=0.3)
+    pd.testing.assert_frame_equal(got, got2)
