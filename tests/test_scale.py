@@ -254,3 +254,56 @@ def test_hash_agg_matches_pandas_groupby_int_and_string_keys():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_hash_agg_map_side_combine_matches_full_row_exchange():
+    """The map-side partial-agg path (r4) is result-identical to the
+    full-row exchange across dense keys (batches pre-aggregate), sparse
+    keys (batches pass raw-as-partials), mean decomposition, and nulls;
+    non-decomposable specs (nunique) route through the fallback."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.stages.hashagg import hash_agg
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "dense": rng.integers(0, 12, n),          # repeat-heavy
+            "sparse": rng.permutation(n),              # unique per batch
+            "v": rng.integers(-100, 100, n),
+            "f": rng.integers(0, 1000, n).astype(np.float64),
+        }
+    )
+    df.loc[df.index % 37 == 0, "f"] = np.nan
+    spec = {
+        "total": ("v", "sum"), "lo": ("v", "min"), "hi": ("v", "max"),
+        "rows": ("v", "size"), "nn": ("f", "count"), "avg": ("v", "mean"),
+    }
+    for key in ("dense", "sparse"):
+        ds = ray.data.from_pandas(df).repartition(8)
+        a = (
+            hash_agg(ds, [key], spec, 5)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        b = (
+            hash_agg(ds, [key], spec, 5, map_side_combine=False)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        want = (
+            df.groupby(key, as_index=False).agg(**spec)
+            .sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, want, check_dtype=False)
+    # non-decomposable -> fallback, still correct
+    got = (
+        hash_agg(ray.data.from_pandas(df), ["dense"],
+                 {"u": ("sparse", "nunique")}, 3)
+        .to_pandas().sort_values("dense").reset_index(drop=True)
+    )
+    want = (
+        df.groupby("dense", as_index=False).agg(u=("sparse", "nunique"))
+        .sort_values("dense").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
