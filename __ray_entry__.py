@@ -68,9 +68,16 @@ def _rotate_head(d: dict) -> dict:
                 checked |= set(_json.load(f))
         except Exception:
             continue
+    # entries whose only driver history is a rows-only / no_oracle row
+    # from rounds 1-3 — they gained exact SQL oracles in round 4, so they
+    # deserve a hash-checked slot right after the never-checked ones
+    reoracled = {"embedding_kmeans", "embedding_kmeans_pp", "ann_ivf_topk",
+                 "ann_lsh_topk", "dedup_embedding_cosine_ivf"}
     fresh = [k for k in d if k not in checked and k != "cdc_replay"]
-    seen = [k for k in d if k in checked and k != "cdc_replay"]
-    order = ["cdc_replay"] + fresh
+    redo = [k for k in d if k in checked and k in reoracled]
+    seen = [k for k in d
+            if k in checked and k != "cdc_replay" and k not in reoracled]
+    order = ["cdc_replay"] + fresh + redo
     order += [k for k in seen if k not in order]
     return {k: d[k] for k in order if k in d}
 

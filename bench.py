@@ -248,6 +248,13 @@ def run_bench() -> dict:
     from sql_etl_pipeline_ray.pipelines.flagship import run_windowed_flagship
 
     timed("cdc_windowed_ingest", run_windowed_flagship)
+    # round-4 additions: the sampling family at scale (stratified = two
+    # streaming passes with a broadcast per-lang floor; weighted/mixture =
+    # one hash-coin pass each), so the sampler designs carry scale
+    # receipts alongside their sf0.01 driver rows
+    timed("docs_stratified_sample", T.docs_stratified_sample)
+    timed("docs_weighted_sample", T.docs_weighted_sample)
+    timed("docs_mixture_sample", T.docs_mixture_sample)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once

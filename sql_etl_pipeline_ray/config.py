@@ -57,6 +57,15 @@ class ReplayConfig:
     #   normalizer's validation — comparison/escape hatch only).
     content_check: str = "auto"
 
+    # Content side-store logs (ChangeLogSpec.layout="sidestore": meta
+    # files + lsn-sorted ``*.content.parquet`` siblings).  "auto" reads
+    # them with late materialization — phase 2 fetches only the content
+    # row groups that hold surviving LSNs (the run summary reports
+    # p2_content_bytes_read vs p2_content_bytes_total); "reject" refuses
+    # side-store logs (operators that mandate the inline layout).  Only
+    # the late exchange can read side-store logs either way.
+    content_sidestore: str = "auto"
+
     # Dead-letter sink: when set, the late strategy's phase-2 read (which
     # decodes full rows anyway) captures every rejected event — full
     # fidelity plus a ``_reject_reason`` column — as Parquet under this

@@ -929,6 +929,7 @@ def _fragment_tasks(scan, target_rows: int) -> list[dict]:
     inside the task.
     """
     items: list[dict] = []
+    side = getattr(scan, "side_content", None) or {}
     for f in scan.files:
         rgs = (scan.row_groups or {}).get(f)
         if rgs is None:  # scan built without metadata (not via scan_change_log)
@@ -936,6 +937,16 @@ def _fragment_tasks(scan, target_rows: int) -> list[dict]:
                 pq.ParquetFile(f).metadata.row_group(i).num_rows
                 for i in range(pq.ParquetFile(f).metadata.num_row_groups)
             ]
+        if f in side:
+            # side-store meta: ONE fragment per file.  Meta rows are
+            # shuffled within the bucket, so each sub-file fragment's
+            # winners span the whole bucket and every fragment would
+            # re-read the same hot content row groups (measured: 2
+            # fragments/bucket doubled tail content reads, 5.2 GB
+            # fetched where 2.6 GB sufficed at 100M events).  File
+            # count scales with data, so read parallelism holds.
+            items.append({"file": f, "rg_start": 0, "rg_end": len(rgs)})
+            continue
         start, rows = 0, 0
         for i, n in enumerate(rgs):
             rows += n
@@ -972,8 +983,20 @@ def _rg_content_valid(
       commit a row the single-phase normalizer would have rejected.
 
     A file with no content column at all conforms to all-null downstream,
-    so its rows are all content-invalid."""
+    so its rows are all content-invalid.  Side-store META files
+    (ChangeLogSpec.layout="sidestore") carry the EXACT per-row nullity in
+    their ``content_null`` bool column — one cheap bool decode, no
+    optimism needed."""
     schema = pf.schema_arrow
+    if "content_null" in schema.names:
+        col = pf.read_row_group(
+            rg, columns=["content_null"], use_threads=False
+        ).column("content_null")
+        return (
+            pc.invert(pc.fill_null(col, True))
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
     if "content" not in schema.names:
         return np.zeros(len(t), dtype=bool)
     md = pf.metadata.row_group(rg)
@@ -1025,6 +1048,74 @@ def _write_quarantine(quarantine_dir: str, frag: dict, tables: list[pa.Table]) -
     os.replace(tmp, fpath)
 
 
+def _attach_side_content(
+    side: dict, kept: list[pa.Table], rejects: list[pa.Table]
+) -> tuple[list[pa.Table], list[pa.Table], int]:
+    """Late materialization: fetch ONLY the content row groups that hold
+    the surviving rows' LSNs from the file's ``*.content.parquet``
+    sibling (sorted by lsn, small row groups), and attach ``content`` in
+    place of the meta ``content_null`` marker.
+
+    On update-heavy logs winners concentrate in the log tail (the chance
+    an early event is its key's LAST shrinks exponentially with the
+    updates-per-key rate), so most early content row groups are never
+    read — this is the whole point of the side-store layout.  Returns
+    (kept', rejects', compressed_content_bytes_read)."""
+    tabs = kept + rejects
+    lsns = [
+        t.column("lsn").to_numpy(zero_copy_only=False)
+        for t in tabs
+        if len(t)
+    ]
+    need = (
+        np.unique(np.concatenate(lsns)) if lsns else np.zeros(0, np.int64)
+    )
+    cpf = pq.ParquetFile(side["path"])
+    ctype = cpf.schema_arrow.field("content").type
+    nbytes = 0
+    if need.size:
+        sel = [
+            i
+            for i, (lo, hi) in enumerate(side["rg_lsn"])
+            if lo is not None
+            and np.searchsorted(need, lo, "left")
+            < np.searchsorted(need, hi, "right")
+        ]
+        ctabs = [
+            cpf.read_row_group(i, columns=["lsn", "content"], use_threads=False)
+            for i in sel
+        ]
+        nbytes = int(sum(side["rg_bytes"][i] for i in sel))
+    else:
+        ctabs = []
+    if ctabs:
+        ctab = pa.concat_tables(ctabs)
+        clsn = ctab.column("lsn").to_numpy(zero_copy_only=False)
+        ccontent = ctab.column("content").combine_chunks()
+    else:
+        clsn = np.zeros(0, np.int64)
+        ccontent = pa.nulls(0, ctype)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if "content_null" in t.column_names:
+            t = t.drop_columns(["content_null"])
+        n = len(t)
+        if n == 0 or len(clsn) == 0:
+            return t.append_column("content", pa.nulls(n, ctype))
+        tl = t.column("lsn").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(clsn, tl)
+        inb = pos < len(clsn)
+        found = inb.copy()
+        found[inb] = clsn[pos[inb]] == tl[inb]
+        vals = ccontent.take(pa.array(np.where(found, pos, 0)))
+        content = pc.if_else(
+            pa.array(found), vals, pa.scalar(None, type=ctype)
+        )
+        return t.append_column("content", content)
+
+    return [attach(t) for t in kept], [attach(t) for t in rejects], nbytes
+
+
 def _make_fused_feed(
     process_fn,
     actors: list,
@@ -1033,6 +1124,7 @@ def _make_fused_feed(
     winners_ref=None,
     check_content: str | None = None,
     quarantine_dir: str | None = None,
+    side_content: dict | None = None,
 ):
     """One task = read a few row groups -> (optional winner filter) ->
     process -> route.  Replaces ``read_parquet(...).map_batches(feeder)``
@@ -1058,9 +1150,12 @@ def _make_fused_feed(
         payload = ray.get(winners_ref) if winners_ref is not None else None
         kept: list[pa.Table] = []
         quarantined = 0
+        content_bytes = 0
         for row in batch.to_pylist():
+            side = (side_content or {}).get(row["file"])
             pf = pq.ParquetFile(row["file"])
             rejects: list[pa.Table] = []
+            file_kept: list[pa.Table] = []
             for rg in range(row["rg_start"], row["rg_end"]):
                 t = pf.read_row_group(rg, columns=columns, use_threads=False)
                 if check_content and check_content != "off":
@@ -1073,8 +1168,18 @@ def _make_fused_feed(
                     # full-fidelity dead-letter capture happens HERE, in the
                     # wide phase-2 read (this row group is decoded anyway) —
                     # the rejects can never be winners, so the filter below
-                    # drops them from the lake path regardless.
-                    v, reasons = event_validity(t)
+                    # drops them from the lake path regardless.  Side-store
+                    # meta rows supply content nullity out-of-band; reject
+                    # payloads are fetched with the winners below.
+                    if side is not None and "content_null" in t.column_names:
+                        cvq = (
+                            pc.invert(pc.fill_null(t.column("content_null"), True))
+                            .combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                        )
+                        v, reasons = event_validity(t, content_valid=cvq)
+                    else:
+                        v, reasons = event_validity(t)
                     if v is not None:
                         r = t.filter(pa.array(~v)).append_column(
                             REJECT_REASON_COL, pa.array(list(reasons[~v]))
@@ -1088,11 +1193,23 @@ def _make_fused_feed(
                     if not hit.any():
                         continue
                     t = t.filter(pa.array(hit))
-                kept.append(t)
+                file_kept.append(t)
+            if side is not None and payload is not None:
+                # phase-2 late materialization: winners (and any rejects)
+                # get their payloads from the lsn-sorted content sibling,
+                # reading only the row groups their LSNs land in
+                file_kept, rejects, nb = _attach_side_content(
+                    side, file_kept, rejects
+                )
+                content_bytes += nb
             if rejects:
                 _write_quarantine(quarantine_dir, row, rejects)
+            kept.extend(file_kept)
         if not kept:
-            return pa.table({"routed": [0], "rejected": [quarantined]})
+            return pa.table({
+                "routed": [0], "rejected": [quarantined],
+                "content_bytes": [content_bytes],
+            })
         ack = feeder(pa.concat_tables(kept, promote_options="permissive"))
         if quarantined:
             rej = int(ack.column("rejected")[0].as_py()) + quarantined
@@ -1101,6 +1218,9 @@ def _make_fused_feed(
                 "rejected",
                 pa.array([rej], pa.int64()),
             )
+        ack = ack.append_column(
+            "content_bytes", pa.array([content_bytes] * len(ack), pa.int64())
+        )
         return ack
 
     return feed
@@ -1108,7 +1228,7 @@ def _make_fused_feed(
 
 def _run_fused_feed(items: list[dict], feed) -> int:
     """Drive the fused feed with streaming backpressure and return the
-    reject-count sum (0 for clean logs) from the ack rows.
+    summed ack counters (rejects; side-store content bytes read).
 
     The acks are summed DRIVER-side over ``take_all()`` — one tiny row per
     fragment task, ~4×CPUs of them.  ``Dataset.sum()`` would plan an
@@ -1119,7 +1239,10 @@ def _run_fused_feed(items: list[dict], feed) -> int:
         .map_batches(feed, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .take_all()
     )
-    return int(sum(r["rejected"] for r in rows))
+    return {
+        "rejected": int(sum(r["rejected"] for r in rows)),
+        "content_bytes": int(sum(r.get("content_bytes") or 0 for r in rows)),
+    }
 
 
 def replay(
@@ -1437,6 +1560,12 @@ def _replay_late(
     total_rows = sum(sum(v) for v in (scan.row_groups or {}).values())
     target_rows = max(1, total_rows // num_blocks) if total_rows else 1
     frag_items = _fragment_tasks(scan, target_rows) if scan.files else []
+    side_content = getattr(scan, "side_content", None) or {}
+    if side_content and cfg.content_sidestore == "reject":
+        raise ValueError(
+            "this change log uses the content side-store layout and "
+            "ReplayConfig(content_sidestore='reject') forbids reading it"
+        )
     actors = [
         ExchangeActor.remote(
             pickle.dumps(lambda t: fold_latest(t, keep_tombstones=True)),
@@ -1457,7 +1586,9 @@ def _replay_late(
             columns=PHASE1_COLUMNS,
             check_content=cfg.content_check,
         )
-        phase_times["events_rejected"] = _run_fused_feed(frag_items, feed1)
+        phase_times["events_rejected"] = _run_fused_feed(frag_items, feed1)[
+            "rejected"
+        ]
     # Merge-on-read needs delete winners IN the winner set: they commit as
     # delta tombstone rows (phase 2 must extract them), exactly like a
     # tombstone lake's — so winner selection keeps them in both modes.
@@ -1547,10 +1678,19 @@ def _replay_late(
             columns=None,
             winners_ref=winners_ref,
             quarantine_dir=cfg.quarantine_dir,
+            side_content=side_content,
         )
-        quarantined = _run_fused_feed(frag_items, feed2)
+        res2 = _run_fused_feed(frag_items, feed2)
+        quarantined = res2["rejected"]
         if cfg.quarantine_dir is not None:
             phase_times["events_quarantined"] = quarantined
+        if side_content:
+            # late-materialization receipts: compressed content bytes the
+            # selective fetch actually read vs the sibling files' total
+            phase_times["p2_content_bytes_read"] = res2["content_bytes"]
+            phase_times["p2_content_bytes_total"] = int(
+                sum(v["bytes"] for v in side_content.values())
+            )
     if prior_files:
         dsp2 = ray.data.read_parquet(prior_files, override_num_blocks=num_actors)
         feedp2 = make_feeder(

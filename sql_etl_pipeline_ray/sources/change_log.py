@@ -45,6 +45,11 @@ class LogScan:
     # monitors (lake_lag) can prove catch-up without reading data.  -1 when
     # the log is empty or footers carry no lsn statistics.
     max_lsn: int = -1
+    # content side-store layout (ChangeLogSpec.layout="sidestore"): per
+    # META file, its sibling ``*.content.parquet`` descriptor —
+    # {"path", "rg_lsn": [(min, max)...], "rg_bytes": [...], "bytes"} —
+    # collected from footers only.  Empty for inline logs.
+    side_content: dict | None = None
 
 
 def scan_change_log(
@@ -52,12 +57,50 @@ def scan_change_log(
 ) -> LogScan:
     """Footer-only scan: unified schema + file-level LSN pruning."""
     files = sorted(glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True))
+    content_siblings = {f for f in files if f.endswith(".content.parquet")}
+    files = [f for f in files if f not in content_siblings]
     schemas, kept, pruned = [], [], 0
     row_groups: dict[str, list[int]] = {}
+    side_content: dict[str, dict] = {}
     scan_max = -1
     for f in files:
         pf = pq.ParquetFile(f)
-        schemas.append(pf.schema_arrow)
+        fschema = pf.schema_arrow
+        if "content_null" in fschema.names:
+            # side-store meta file: the event schema it CONTRIBUTES is the
+            # logical one — content (typed from the sibling) instead of
+            # the physical content_null marker
+            sib = f[: -len(".parquet")] + ".content.parquet"
+            if sib not in content_siblings:
+                raise ValueError(
+                    f"side-store meta file {f} has no content sibling {sib}"
+                )
+            cpf = pq.ParquetFile(sib)
+            cidx = cpf.schema_arrow.get_field_index("lsn")
+            rg_lsn, rg_bytes = [], []
+            for i in range(cpf.metadata.num_row_groups):
+                st = cpf.metadata.row_group(i).column(cidx).statistics
+                rg_lsn.append(
+                    (st.min, st.max) if st is not None else (None, None)
+                )
+                rg = cpf.metadata.row_group(i)
+                rg_bytes.append(
+                    sum(
+                        rg.column(c).total_compressed_size
+                        for c in range(rg.num_columns)
+                    )
+                )
+            side_content[f] = {
+                "path": sib,
+                "rg_lsn": rg_lsn,
+                "rg_bytes": rg_bytes,
+                "bytes": os.path.getsize(sib),
+            }
+            fschema = pa.schema(
+                [fl for fl in fschema if fl.name != "content_null"]
+                + [cpf.schema_arrow.field("content")]
+            )
+        schemas.append(fschema)
         lsn_idx = pf.schema_arrow.get_field_index("lsn")
         maxes = [
             pf.metadata.row_group(i).column(lsn_idx).statistics.max
@@ -75,10 +118,13 @@ def scan_change_log(
             for i in range(pf.metadata.num_row_groups)
         ]
     unified = unify_event_schemas(schemas + list(extra_schemas or []))
-    total = sum(os.path.getsize(f) for f in kept)
+    total = sum(os.path.getsize(f) for f in kept) + sum(
+        side_content[f]["bytes"] for f in kept if f in side_content
+    )
     return LogScan(
         files=kept, schema=unified, pruned_files=pruned, total_bytes=total,
         row_groups=row_groups, max_lsn=scan_max,
+        side_content={k: v for k, v in side_content.items() if k in set(kept)},
     )
 
 
@@ -96,6 +142,15 @@ def read_change_log(
     The change log needs every event column, so no projection here —
     analytics readers over the lake DO prune columns.
     """
+    if scan.side_content:
+        # meta files carry no content column — a plain read would conform
+        # content to all-null and silently corrupt any consumer that needs
+        # payloads.  The late-exchange replay is the side-store reader.
+        raise ValueError(
+            "this change log uses the content side-store layout; only "
+            "replay(exchange='late') can read it (read_change_log would "
+            "see null content)"
+        )
     if not scan.files:
         return ray.data.from_arrow(scan.schema.empty_table())
     kwargs = {}

@@ -58,6 +58,15 @@ class ChangeLogSpec:
     # stay null).  0.0 adds no RNG draws, so existing seeds/logs are
     # byte-stable.
     patch_frac: float = 0.0
+    # "inline" writes classic single-file buckets; "sidestore" splits each
+    # bucket into a content-free META file (all columns except content,
+    # plus a content_null bool) and a sibling ``events.content.parquet``
+    # holding (lsn, content) SORTED BY LSN in small row groups — the
+    # late-materialization log layout: phase 2 fetches only the row
+    # groups that contain winner LSNs, and on update-heavy logs winners
+    # concentrate in the log tail, so most early content row groups are
+    # never read.  Same events either way (replay results identical).
+    layout: str = "inline"
 
 
 def _keys(spec: ChangeLogSpec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -289,6 +298,7 @@ def _write_bucket(
     d = os.path.join(out_dir, f"lsn_bucket={k}")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "events.parquet")
+    sidestore = getattr(spec, "layout", "inline") == "sidestore"
     writer = None
     try:
         for i in range(0, max(n_rows, 1), _BUCKET_CHUNK_ROWS):
@@ -297,6 +307,13 @@ def _write_bucket(
             part = _apply_bucket_physical_schema(
                 part, k, bucket_min_lsn, evolve_lsn, first_evolved_bucket
             )
+            if sidestore:
+                import pyarrow.compute as pc
+
+                content = part.column("content")
+                part = part.drop_columns(["content"]).append_column(
+                    "content_null", pc.is_null(content).combine_chunks()
+                )
             if writer is None:
                 writer = pq.ParquetWriter(p, part.schema)
             if len(part):
@@ -304,6 +321,34 @@ def _write_bucket(
     finally:
         if writer is not None:
             writer.close()
+    if sidestore:
+        # second, LSN-ORDERED generation pass for the content side file
+        # (``_gen_rows`` is index-set-invariant, so re-generating in lsn
+        # order produces the same rows); non-null content only, small row
+        # groups so winner-LSN pruning has granularity to work with
+        import pyarrow.compute as pc
+
+        cp = p[: -len(".parquet")] + ".content.parquet"
+        cwriter = None
+        try:
+            for i in range(0, max(n_rows, 1), _BUCKET_CHUNK_ROWS):
+                idx = start + np.arange(i, min(i + _BUCKET_CHUNK_ROWS, n_rows))
+                part = _gen_rows(
+                    spec, idx, key_ids, op_code, universe, evolve_lsn
+                )
+                part = _apply_bucket_physical_schema(
+                    part, k, bucket_min_lsn, evolve_lsn, first_evolved_bucket
+                )
+                tbl = part.select(["lsn", "content"]).filter(
+                    pc.is_valid(part.column("content"))
+                )
+                if cwriter is None:
+                    cwriter = pq.ParquetWriter(cp, tbl.schema)
+                if len(tbl):
+                    cwriter.write_table(tbl, row_group_size=_CONTENT_RG_ROWS)
+        finally:
+            if cwriter is not None:
+                cwriter.close()
     return p
 
 
@@ -311,6 +356,11 @@ def _write_bucket(
 # children of a fork() inherit this dict copy-on-write, so the multi-GB plan
 # never serializes).  Only ever populated around the Pool lifetime.
 _FORK_SHARED: dict = {}
+
+# content side-file row-group size: the pruning granularity for phase-2
+# winner fetches (small enough that tail-concentrated winners leave most
+# early row groups untouched, large enough for sane compression/metadata)
+_CONTENT_RG_ROWS = 4096
 
 
 def _write_bucket_fork(args) -> str:
