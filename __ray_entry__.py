@@ -32,6 +32,8 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_windowed_flagship,
     run_patch_flagship,
     run_txn_flagship,
+    run_sidestore_flagship,
+    run_compacted_flagship,
 )
 
 
@@ -108,6 +110,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-read, write amplification ∝ increment), final state served by
         # the READ-SIDE fold — same oracle as cdc_replay by construction
         "cdc_replay_mor": lambda sf: run_mor_flagship(sf),
+        # content side-store layout (r4): the log converts in place to
+        # meta + lsn-sorted content siblings and phase 2 fetches only the
+        # winner row groups — same final state, so the cdc_replay oracle
+        # verifies the layout + selective fetch end to end
+        "cdc_replay_sidestore": lambda sf: run_sidestore_flagship(sf),
+        # Kafka-style log compaction (r4): one winning event per key
+        # (max-LSN via the map-side-combined hash_agg, content never
+        # shuffled), then replay of the compacted log — final lake equals
+        # the full-history replay's, same oracle
+        "cdc_log_compaction": lambda sf: run_compacted_flagship(sf),
         # op='P' partial updates (Debezium/Mongo partial-image shape):
         # patches carry only changed columns (null = unchanged); the merge
         # composes base image + patch stack per key column-wise
@@ -1047,6 +1059,30 @@ _AGG_HLL_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     sql = {
         "cdc_replay": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        # side-store layout and log compaction both converge to the same
+        # final state as the plain replay by construction — same oracle
+        "cdc_replay_sidestore": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        "cdc_log_compaction": """
             SELECT source AS repo,
                    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
                    'c2-' || CAST(doc_id AS VARCHAR) AS "commit",

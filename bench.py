@@ -252,6 +252,10 @@ def run_bench() -> dict:
     # streaming passes with a broadcast per-lang floor; weighted/mixture =
     # one hash-coin pass each), so the sampler designs carry scale
     # receipts alongside their sf0.01 driver rows
+    # log compaction flagship: winner hash_agg + filtered rewrite + replay
+    from sql_etl_pipeline_ray.pipelines.flagship import run_compacted_flagship
+
+    timed("cdc_log_compaction", run_compacted_flagship)
     timed("docs_stratified_sample", T.docs_stratified_sample)
     timed("docs_weighted_sample", T.docs_weighted_sample)
     timed("docs_mixture_sample", T.docs_mixture_sample)

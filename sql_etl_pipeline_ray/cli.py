@@ -135,6 +135,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--keep-epochs", type=int, default=1)
 
+    cl = sub.add_parser(
+        "compact-log",
+        help="rewrite a change log keeping only each key's winning event "
+        "(Kafka-compacted-topic bootstrap bound; replays to the same lake)",
+    )
+    cl.add_argument("log_dir")
+    cl.add_argument("out_dir")
+    cl.add_argument("--drop-tombstones", action="store_true",
+                    help="omit delete winners (fresh-bootstrap consumers only)")
+    cl.add_argument("--partitions", type=int, default=None)
+
+    cs = sub.add_parser(
+        "convert-sidestore",
+        help="convert an inline log IN PLACE to the content side-store "
+        "layout (meta files + lsn-sorted content siblings; idempotent)",
+    )
+    cs.add_argument("log_dir")
+
     b = sub.add_parser(
         "bootstrap",
         help="bulk-load an initial snapshot into an EMPTY lake at a "
@@ -409,6 +427,18 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        elif args.cmd == "compact-log":
+            from .pipelines.logtools import compact_change_log
+
+            print(json.dumps(compact_change_log(
+                args.log_dir, args.out_dir,
+                keep_tombstones=not args.drop_tombstones,
+                num_partitions=args.partitions,
+            )))
+        elif args.cmd == "convert-sidestore":
+            from .pipelines.logtools import convert_log_to_sidestore
+
+            print(json.dumps(convert_log_to_sidestore(args.log_dir)))
         elif args.cmd == "bootstrap":
             from .pipelines.bootstrap import bootstrap_snapshot
 

@@ -899,3 +899,50 @@ def run_aggregate_quantiles_flagship(
 
     df = pd.DataFrame(rows).sort_values(["path", "q"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def run_sidestore_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """cdc_replay over the content side-store log layout: derive the log,
+    convert it in place (``logtools.convert_log_to_sidestore`` — meta
+    files + lsn-sorted content siblings), replay with phase-2 late
+    materialization.  Final state identical to ``run_flagship``'s by
+    construction, so the same DuckDB oracle verifies the whole
+    layout + selective-content-fetch path (tests/test_sidestore.py,
+    tests/test_logtools.py pin the equivalence)."""
+    from .logtools import convert_log_to_sidestore
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_sidestore/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    convert_log_to_sidestore(log_dir)
+    replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    return read_lake(lake_dir)
+
+
+def run_compacted_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """cdc_replay through log COMPACTION: derive the log, compact it to
+    one winning event per key (``logtools.compact_change_log`` — the
+    Kafka-compacted-topic bootstrap-cost bound), replay the compacted
+    log.  The compacted replay's final lake equals the full-history
+    replay's, so the cdc_replay oracle verifies the compactor's winner
+    selection end to end."""
+    from .logtools import compact_change_log
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_compact/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    comp_dir = os.path.join(work, "compacted")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(comp_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    compact_change_log(log_dir, comp_dir, num_partitions=num_partitions)
+    replay(comp_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
+    return read_lake(lake_dir)

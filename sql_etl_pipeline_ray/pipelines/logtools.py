@@ -1,0 +1,197 @@
+"""Change-log maintenance tools: layout conversion + log compaction.
+
+Two operations a long-lived CDC installation needs on the LOG itself
+(the lake-side equivalents — compaction, GC, point reads — live in
+``replay.py`` / ``state/manifest.py``):
+
+- :func:`convert_log_to_sidestore` migrates an inline log to the content
+  side-store layout (``sources/datagen.ChangeLogSpec.layout`` docs) so an
+  existing feed can adopt phase-2 late materialization without
+  re-emitting events.  One Ray task per log file (file count scales with
+  data), idempotent (temp write → atomic rename, content derived purely
+  from the input bytes).
+
+- :func:`compact_change_log` rewrites a log keeping only each key's
+  WINNING event — the Kafka-compacted-topic idea for bootstrap cost:
+  a new consumer replays |keys| events instead of |history|.  Replaying
+  the compacted log yields the exact final lake state of the original
+  (delete winners are kept as tombstones by default so downstream state
+  built from the full log still converges; drop them with
+  ``keep_tombstones=False`` when every consumer bootstraps fresh).
+  Winner selection is the same max-LSN-per-key rule the replay's LWW
+  fold applies (ties impossible: LSNs are unique), computed as a
+  map-side-combined :func:`~..stages.hashagg.hash_agg` over the narrow
+  ``(repo, path, lsn)`` projection — content never enters the shuffle —
+  followed by a winner-filtered second pass that writes surviving full
+  rows.  The winner filter is the replay's own broadcast
+  bitmap/searchsorted structure, built off-driver.
+
+Reference analogue: the reference keeps staging tables trimmed with
+batch DELETEs (``sql/etl_transformations.sql:246-258``); compaction is
+that idea applied to the event stream itself.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..sources.change_log import read_change_log, scan_change_log
+from ..sources.datagen import _CONTENT_RG_ROWS
+from ..stages.hashagg import hash_agg
+from .replay import _build_winner_filter_task, winner_membership
+
+
+def _convert_one(src: str, meta_rg_rows: int, content_rg_rows: int) -> dict:
+    """Rewrite one inline log file as meta + lsn-sorted content sibling."""
+    t = pq.read_table(src)
+    if "content_null" in t.column_names:
+        return {"file": src, "skipped": True}  # already side-store
+    content = t.column("content")
+    meta = t.drop_columns(["content"]).append_column(
+        "content_null", pc.is_null(content).combine_chunks()
+    )
+    side = (
+        t.select(["lsn", "content"])
+        .filter(pc.is_valid(content))
+        .sort_by([("lsn", "ascending")])
+    )
+    sib = src[: -len(".parquet")] + ".content.parquet"
+    for path, tbl, rg in ((src, meta, meta_rg_rows), (sib, side, content_rg_rows)):
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp, row_group_size=rg)
+        os.replace(tmp, path)
+    return {
+        "file": src,
+        "skipped": False,
+        "events": len(t),
+        "content_rows": len(side),
+    }
+
+
+def convert_log_to_sidestore(
+    log_dir: str,
+    meta_rg_rows: int = 131_072,
+    content_rg_rows: int | None = None,
+) -> dict[str, Any]:
+    """Convert an inline log IN PLACE to the side-store layout.
+
+    Per file: the meta replaces the original (same rows/order, content
+    column swapped for the ``content_null`` marker) and the lsn-sorted
+    content sibling appears next to it.  Atomic per file; a crash mid-run
+    leaves a mixed log that every reader still handles (the scan treats
+    inline and side-store files independently), and re-running converges
+    (already-converted files are skipped).
+    """
+    files = sorted(
+        f
+        for f in glob.glob(
+            os.path.join(log_dir, "**", "*.parquet"), recursive=True
+        )
+        if not f.endswith(".content.parquet")
+    )
+    crg = content_rg_rows or _CONTENT_RG_ROWS
+    rows = (
+        ray.data.from_items(
+            [{"file": f} for f in files], override_num_blocks=max(1, len(files))
+        )
+        .map(lambda r: _convert_one(r["file"], meta_rg_rows, crg))
+        .take_all()
+    )
+    return {
+        "files_converted": sum(1 for r in rows if not r["skipped"]),
+        "files_skipped": sum(1 for r in rows if r["skipped"]),
+        "events": int(sum(r.get("events") or 0 for r in rows)),
+    }
+
+
+def compact_change_log(
+    log_dir: str,
+    out_dir: str,
+    keep_tombstones: bool = True,
+    num_partitions: int | None = None,
+) -> dict[str, Any]:
+    """Rewrite ``log_dir`` into ``out_dir`` keeping only winning events
+    (see module docstring).  Returns event counts.
+
+    Logs carrying op='P' partial updates are refused: a patch winner is
+    only meaningful with its base + patch stack (the replay's
+    ``_patch_winners`` set), so "one event per key" does not exist for
+    them — replay to a lake and bootstrap from the snapshot instead.
+    """
+    scan = scan_change_log(log_dir)
+    if scan.side_content:
+        raise ValueError(
+            "compact_change_log reads inline logs; convert AFTER compacting"
+        )
+    ds = read_change_log(scan)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    P = num_partitions or max(ncpu, scan.total_bytes // (256 << 20))
+
+    narrow = ds.select_columns(["repo", "path", "lsn", "op"])
+    if "P" in set(narrow.unique("op")):
+        raise ValueError(
+            "log contains op='P' partial updates; a compacted log cannot "
+            "represent patch stacks — replay to a lake and use "
+            "snapshot_bootstrap for new consumers instead"
+        )
+    # partition on path (high cardinality) — "repo" would funnel the hot
+    # repo's keys into one partition
+    win = hash_agg(
+        narrow.select_columns(["repo", "path", "lsn"]),
+        ["repo", "path"],
+        {"win_lsn": ("lsn", "max")},
+        int(P),
+        part_key="path",
+    )
+
+    def lsn_only(t: pa.Table) -> pa.Table:
+        arr = np.sort(t.column("win_lsn").to_numpy(zero_copy_only=False))
+        return pa.table({"blob": [arr.tobytes()]})
+
+    blobs = win.map_batches(
+        lsn_only, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    arrays = [np.frombuffer(b["blob"], dtype=np.int64) for b in blobs]
+    winners_ref = _build_winner_filter_task.remote(
+        *[ray.put(np.sort(a)) for a in arrays]
+    )
+    ray.wait([winners_ref], num_returns=1)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        payload = ray.get(winners_ref)
+        hit = winner_membership(
+            payload, t.column("lsn").to_numpy(zero_copy_only=False)
+        )
+        t = t.filter(pa.array(hit))
+        if not keep_tombstones and len(t):
+            t = t.filter(
+                pc.invert(pc.equal(t.column("op").cast(pa.string()), "D"))
+            )
+        return t
+
+    os.makedirs(out_dir, exist_ok=True)
+    # the reader infers hive columns from the bucket directories
+    # (lsn_bucket=k/); only real event columns belong in the output
+    event_cols = [n for n in ds.schema().names if n in set(scan.schema.names)]
+    compacted = ds.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(event_cols)
+    compacted.write_parquet(out_dir)
+    n_out = scan_change_log(out_dir)
+    return {
+        "events_in": int(sum(sum(v) for v in (scan.row_groups or {}).values())),
+        "events_out": int(sum(sum(v) for v in (n_out.row_groups or {}).values())),
+        "num_partitions": int(P),
+        "keep_tombstones": keep_tombstones,
+    }
