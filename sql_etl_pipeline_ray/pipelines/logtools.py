@@ -195,3 +195,75 @@ def compact_change_log(
         "num_partitions": int(P),
         "keep_tombstones": keep_tombstones,
     }
+
+
+def _fsck_one(meta_file: str) -> dict:
+    """Cross-check one meta file against its content sibling."""
+    sib = meta_file[: -len(".parquet")] + ".content.parquet"
+    out = {"file": meta_file, "errors": []}
+    if not os.path.exists(sib):
+        out["errors"].append("missing content sibling")
+        return out
+    m = pq.read_table(meta_file, columns=["lsn", "content_null"])
+    c = pq.read_table(sib, columns=["lsn", "content"])
+    clsn = c.column("lsn").to_numpy(zero_copy_only=False)
+    if len(clsn) and not (clsn[1:] >= clsn[:-1]).all():
+        out["errors"].append("content sibling not sorted by lsn")
+        clsn = np.sort(clsn)
+    if c.column("content").null_count:
+        out["errors"].append(
+            f"{c.column('content').null_count} null content rows in sibling"
+        )
+    need = m.filter(
+        pc.invert(pc.fill_null(m.column("content_null"), True))
+    ).column("lsn").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(clsn, need)
+    inb = pos < len(clsn)
+    found = inb.copy()
+    found[inb] = clsn[pos[inb]] == need[inb]
+    missing = int((~found).sum())
+    if missing:
+        out["errors"].append(
+            f"{missing} meta rows flag content present but the sibling "
+            "has no row at their lsn"
+        )
+    # orphans (sibling rows no meta row references) are harmless for
+    # replay but indicate writer drift — report, don't fail
+    mlsn = np.sort(m.column("lsn").to_numpy(zero_copy_only=False))
+    cpos = np.searchsorted(mlsn, clsn)
+    cinb = cpos < len(mlsn)
+    cfound = cinb.copy()
+    cfound[cinb] = mlsn[cpos[cinb]] == clsn[cinb]
+    out["orphan_content_rows"] = int((~cfound).sum())
+    out["meta_rows"] = len(m)
+    out["content_rows"] = len(c)
+    return out
+
+
+def fsck_sidestore_log(log_dir: str) -> dict[str, Any]:
+    """Audit a side-store log: every meta row that claims content must
+    resolve in its lsn-sorted sibling (the exact precondition phase-2
+    late materialization relies on), siblings must be sorted and
+    null-free.  One Ray task per meta file; returns an error report
+    (``ok`` = no errors anywhere).  Inline files in a mixed log are
+    skipped — they carry their own content."""
+    scan = scan_change_log(log_dir)
+    metas = sorted(scan.side_content or {})
+    if not metas:
+        return {"ok": True, "files_checked": 0, "errors": {}}
+    rows = (
+        ray.data.from_items(
+            [{"file": f} for f in metas], override_num_blocks=len(metas)
+        )
+        .map(lambda r: {"res": _fsck_one(r["file"])})
+        .take_all()
+    )
+    errors = {r["res"]["file"]: r["res"]["errors"] for r in rows if r["res"]["errors"]}
+    return {
+        "ok": not errors,
+        "files_checked": len(metas),
+        "errors": errors,
+        "orphan_content_rows": int(
+            sum(r["res"].get("orphan_content_rows") or 0 for r in rows)
+        ),
+    }

@@ -123,3 +123,29 @@ def test_compaction_refuses_patch_logs(tmp_path):
     write_change_log(spec, log)
     with pytest.raises(ValueError, match="partial updates"):
         compact_change_log(log, str(tmp_path / "c"))
+
+
+def test_fsck_sidestore_log(tmp_path):
+    from sql_etl_pipeline_ray.pipelines.logtools import fsck_sidestore_log
+
+    spec = ChangeLogSpec(n_events=6000, n_keys=400, seed=53,
+                         layout="sidestore", num_buckets=3)
+    log = str(tmp_path / "log")
+    write_change_log(spec, log)
+    r = fsck_sidestore_log(log)
+    assert r["ok"] and r["files_checked"] == 3
+    assert r["orphan_content_rows"] == 0
+    # corrupt one sibling: drop its last row group's rows
+    sib = sorted(glob.glob(os.path.join(log, "**", "*.content.parquet"),
+                           recursive=True))[0]
+    t = pq.read_table(sib)
+    pq.write_table(t.slice(0, max(1, len(t) - 50)), sib)
+    r2 = fsck_sidestore_log(log)
+    assert not r2["ok"]
+    msg = next(iter(r2["errors"].values()))[0]
+    assert "sibling has no row" in msg
+    # a missing sibling is a hard error too
+    os.remove(sib)
+    # scan_change_log raises on missing siblings before fsck can run
+    with pytest.raises(ValueError, match="no content sibling"):
+        fsck_sidestore_log(log)
