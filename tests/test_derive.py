@@ -233,3 +233,49 @@ def test_mor_tombstone_beats_max_lsn_derived_row(tmp_path):
            sink=SinkConfig(out_dir=src, keep_epochs=2), resume=True)
     refresh_derived_lake(src, dst, _fn, keep_epochs=2, merge_on_read=True)
     assert _derived_state(dst) == _expect({"A": "alpha", "B": "back"})
+
+
+def test_derive_mor_random_sequences_property(tmp_path):
+    """Property (the advisor-bug class): for ANY op sequence over a small
+    key space and ANY refresh schedule (mixed COW/MOR), the derived lake
+    equals fn() over the source oracle state — deletes must never
+    resurrect and re-inserts must always surface, regardless of which
+    key holds the partition's max LSN at each refresh."""
+    import numpy as np
+
+    rng = np.random.default_rng(67)
+    for case in range(6):
+        keys = [f"k{i}" for i in range(4)]
+        n = int(rng.integers(6, 18))
+        rows, alive = [], {}
+        for lsn in range(1, n + 1):
+            k = keys[int(rng.integers(0, len(keys)))]
+            if k in alive and rng.random() < 0.4:
+                rows.append((lsn, "D", k, None))
+                alive.pop(k)
+            else:
+                v = f"v{case}_{lsn}"
+                rows.append((lsn, "I" if k not in alive else "U", k, v))
+                alive[k] = v
+        # refresh schedule: 2-3 cut points, random mor choice each
+        cuts = sorted(set(
+            int(c) for c in rng.integers(1, n + 1, size=int(rng.integers(1, 3)))
+        ) | {n})
+        log = str(tmp_path / f"log{case}")
+        src = str(tmp_path / f"src{case}")
+        dst = str(tmp_path / f"dst{case}")
+        prev = 0
+        for j, cut in enumerate(cuts):
+            chunk = rows[prev:cut]
+            prev = cut
+            if not chunk:
+                continue
+            _write_log(chunk, os.path.join(log, f"c{j}"), buckets=1)
+            replay(log, src, ReplayConfig(num_partitions=1),
+                   sink=SinkConfig(out_dir=src, keep_epochs=2),
+                   resume=(j > 0))
+            refresh_derived_lake(
+                src, dst, _fn, keep_epochs=2,
+                merge_on_read=bool(rng.random() < 0.6),
+            )
+        assert _derived_state(dst) == _expect(alive), (case, rows, cuts)

@@ -156,3 +156,33 @@ def test_sidestore_reject_policy_and_quarantine(tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)]
     )
+
+
+def test_random_partial_conversion_property(tmp_path):
+    """Property: converting ANY subset of a log's files to the side-store
+    layout leaves the replay result identical (mixed-layout logs are the
+    normal state of an in-progress migration)."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.pipelines.logtools import _convert_one
+    from sql_etl_pipeline_ray.sources.datagen import replay_oracle
+
+    rng = np.random.default_rng(71)
+    spec = ChangeLogSpec(n_events=9000, n_keys=500, seed=61, num_buckets=6,
+                         delete_frac=0.1)
+    want = (
+        replay_oracle(generate_change_log(spec))
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    for case in range(3):
+        log = str(tmp_path / f"log{case}")
+        files = write_change_log(spec, log)
+        pick = [f for f in files if rng.random() < 0.5]
+        for f in pick:
+            _convert_one(f, 131_072, 512)
+        lake = str(tmp_path / f"lake{case}")
+        replay(log, lake, ReplayConfig(num_partitions=4))
+        got = _state(lake)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
