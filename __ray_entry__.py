@@ -34,6 +34,7 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_txn_flagship,
     run_sidestore_flagship,
     run_compacted_flagship,
+    run_lakejoin_flagship,
 )
 
 
@@ -120,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffled), then replay of the compacted log — final lake equals
         # the full-history replay's, same oracle
         "cdc_log_compaction": lambda sf: run_compacted_flagship(sf),
+        # partition-wise (shuffle-free) lake join (r4): the flagship lake
+        # joined with its derived shadow in the same hash layout — the
+        # storage-partitioned-join path (pipelines/lakejoin.py)
+        "cdc_lake_join": lambda sf: run_lakejoin_flagship(sf),
         # op='P' partial updates (Debezium/Mongo partial-image shape):
         # patches carry only changed columns (null = unchanged); the merge
         # composes base image + patch stack per key column-wise
@@ -1079,6 +1084,18 @@ def oracle_sql() -> dict[str, str]:
                    text || ' [rev2]' AS content,
                    CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
                    sha256(text || ' [rev2]') AS content_sha256
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        "cdc_lake_join": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'c2-' || CAST(doc_id AS VARCHAR) AS "commit",
+                   lang,
+                   text || ' [rev2]' AS content,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   sha256(text || ' [rev2]') AS content_sha256,
+                   CAST(LENGTH(text || ' [rev2]') AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id % 10 <> 0
         """,

@@ -946,3 +946,37 @@ def run_compacted_flagship(
     compact_change_log(log_dir, comp_dir, num_partitions=num_partitions)
     replay(comp_dir, lake_dir, ReplayConfig(num_partitions=num_partitions))
     return read_lake(lake_dir)
+
+
+def run_lakejoin_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Partition-wise lake join end to end: replay the flagship lake,
+    maintain a derived shadow (n_chars = len(content)) in the SAME
+    hash-partition layout, then join the two lakes shuffle-free
+    (``pipelines/lakejoin.join_lakes``) — the storage-partitioned-join
+    path, verified by one SQL oracle over the composed result."""
+    from .derive import refresh_derived_lake
+    from .lakejoin import join_lakes
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_lakejoin/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    dst_dir = os.path.join(work, "derived")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    from ..config import SinkConfig
+
+    replay(log_dir, lake_dir, ReplayConfig(num_partitions=num_partitions),
+           sink=SinkConfig(out_dir=lake_dir, keep_epochs=2))
+    refresh_derived_lake(lake_dir, dst_dir, _derived_n_chars, keep_epochs=2)
+    return join_lakes(lake_dir, dst_dir, how="inner", columns_b=["n_chars"])
+
+
+def _derived_n_chars(df):
+    """Module-level derive fn (pickles by reference into Ray tasks)."""
+    out = df[["repo", "path"]].copy()
+    out["n_chars"] = df["content"].str.len().astype("int64")
+    return out
