@@ -77,9 +77,17 @@ def test_query_matches_oracle(name):
         # column vs a float64/HUGEINT-cast oracle column hash-mismatches
         # even when every value is equal (the docs_hot_passages r3 red
         # row).  Mirror that: numeric KINDS must agree.
+        def _kind(dt):
+            if dt == object:
+                return "O"
+            try:
+                return np.dtype(dt).kind
+            except TypeError:  # pandas extension dtype (BooleanDtype, ...)
+                return getattr(dt, "kind", "O")
+
         for c in g.columns:
-            gk = np.dtype(g[c].dtype).kind if g[c].dtype != object else "O"
-            wk = np.dtype(w[c].dtype).kind if w[c].dtype != object else "O"
+            gk = _kind(g[c].dtype)
+            wk = _kind(w[c].dtype)
             num = {"i": "i", "u": "i", "f": "f", "b": "b"}
             if num.get(gk, gk) != num.get(wk, wk):
                 raise AssertionError(
