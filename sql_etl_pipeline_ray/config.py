@@ -66,6 +66,17 @@ class ReplayConfig:
     # the late exchange can read side-store logs either way.
     content_sidestore: str = "auto"
 
+    # Side-store phase-2 fragmenting tradeoff, measured at 100M events:
+    # "bytes" (default) = one fragment per meta file — each content row
+    # group is read at most once (2.79 GB fetched), the right choice when
+    # storage bandwidth is the constraint (remote object stores); but
+    # winner-heavy tail buckets serialize into single tasks.  "latency" =
+    # row-group-packed fragments — restores intra-file parallelism on the
+    # winner-dense tail (local-disk walls ~2 s better) at the cost of
+    # each fragment re-fetching the hot content row groups its winners
+    # land in (5.16 GB fetched, ~1.85x duplication).
+    sidestore_fragmenting: str = "bytes"
+
     # Dead-letter sink: when set, the late strategy's phase-2 read (which
     # decodes full rows anyway) captures every rejected event — full
     # fidelity plus a ``_reject_reason`` column — as Parquet under this

@@ -920,7 +920,9 @@ def _make_extract_process(
     return process
 
 
-def _fragment_tasks(scan, target_rows: int) -> list[dict]:
+def _fragment_tasks(
+    scan, target_rows: int, side_whole_files: bool = False
+) -> list[dict]:
     """Pack each file's row groups into ~``target_rows``-row read tasks.
 
     Footer metadata only (collected once in ``scan_change_log``).  Row-group
@@ -937,14 +939,16 @@ def _fragment_tasks(scan, target_rows: int) -> list[dict]:
                 pq.ParquetFile(f).metadata.row_group(i).num_rows
                 for i in range(pq.ParquetFile(f).metadata.num_row_groups)
             ]
-        if f in side:
-            # side-store meta: ONE fragment per file.  Meta rows are
-            # shuffled within the bucket, so each sub-file fragment's
-            # winners span the whole bucket and every fragment would
-            # re-read the same hot content row groups (measured: 2
-            # fragments/bucket doubled tail content reads, 5.2 GB
-            # fetched where 2.6 GB sufficed at 100M events).  File
-            # count scales with data, so read parallelism holds.
+        if side_whole_files and f in side:
+            # side-store meta in the CONTENT-FETCHING phase: ONE fragment
+            # per file.  Meta rows are shuffled within the bucket, so each
+            # sub-file fragment's winners span the whole bucket and every
+            # fragment would re-read the same hot content row groups
+            # (measured: 2 fragments/bucket doubled tail content reads,
+            # 5.2 GB fetched where 2.6 GB sufficed at 100M events).  File
+            # count scales with data, so read parallelism holds.  Phase 1
+            # keeps row-group-packed fragments — it never touches content,
+            # and halving its task count measured +2.3 s at 100M events.
             items.append({"file": f, "rg_start": 0, "rg_end": len(rgs)})
             continue
         start, rows = 0, 0
@@ -1081,10 +1085,12 @@ def _attach_side_content(
             and np.searchsorted(need, lo, "left")
             < np.searchsorted(need, hi, "right")
         ]
-        ctabs = [
-            cpf.read_row_group(i, columns=["lsn", "content"], use_threads=False)
-            for i in sel
-        ]
+        ctabs = (
+            [cpf.read_row_groups(sel, columns=["lsn", "content"],
+                                 use_threads=False)]
+            if sel
+            else []
+        )
         nbytes = int(sum(side["rg_bytes"][i] for i in sel))
     else:
         ctabs = []
@@ -1561,6 +1567,14 @@ def _replay_late(
     target_rows = max(1, total_rows // num_blocks) if total_rows else 1
     frag_items = _fragment_tasks(scan, target_rows) if scan.files else []
     side_content = getattr(scan, "side_content", None) or {}
+    frag_items_p2 = (
+        _fragment_tasks(
+            scan, target_rows,
+            side_whole_files=(cfg.sidestore_fragmenting != "latency"),
+        )
+        if scan.files and side_content
+        else frag_items
+    )
     if side_content and cfg.content_sidestore == "reject":
         raise ValueError(
             "this change log uses the content side-store layout and "
@@ -1680,7 +1694,7 @@ def _replay_late(
             quarantine_dir=cfg.quarantine_dir,
             side_content=side_content,
         )
-        res2 = _run_fused_feed(frag_items, feed2)
+        res2 = _run_fused_feed(frag_items_p2, feed2)
         quarantined = res2["rejected"]
         if cfg.quarantine_dir is not None:
             phase_times["events_quarantined"] = quarantined
