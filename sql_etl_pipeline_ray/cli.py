@@ -145,6 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--drop-tombstones", action="store_true",
                     help="omit delete winners (fresh-bootstrap consumers only)")
     cl.add_argument("--partitions", type=int, default=None)
+    cl.add_argument("--overwrite", action="store_true",
+                    help="replace a non-empty output dir (re-runs must "
+                    "not append)")
 
     cs = sub.add_parser(
         "convert-sidestore",
@@ -434,6 +437,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.log_dir, args.out_dir,
                 keep_tombstones=not args.drop_tombstones,
                 num_partitions=args.partitions,
+                overwrite=args.overwrite,
             )))
         elif args.cmd == "convert-sidestore":
             from .pipelines.logtools import convert_log_to_sidestore

@@ -120,6 +120,7 @@ def compact_change_log(
     out_dir: str,
     keep_tombstones: bool = True,
     num_partitions: int | None = None,
+    overwrite: bool = False,
 ) -> dict[str, Any]:
     """Rewrite ``log_dir`` into ``out_dir`` keeping only winning events
     (see module docstring).  Returns event counts.
@@ -134,6 +135,19 @@ def compact_change_log(
         raise ValueError(
             "compact_change_log reads inline logs; convert AFTER compacting"
         )
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        # write_parquet APPENDS — a silent re-run would duplicate every
+        # winner row (harmless to the LWW replay, which dedupes
+        # byte-identical equal-LSN rows, but it doubles the log and lies
+        # about events_out).  Make the restart intent explicit.
+        if not overwrite:
+            raise ValueError(
+                f"compaction output {out_dir} is not empty; pass "
+                "overwrite=True to replace it (re-runs must not append)"
+            )
+        import shutil
+
+        shutil.rmtree(out_dir)
     ds = read_change_log(scan)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     P = num_partitions or max(ncpu, scan.total_bytes // (256 << 20))

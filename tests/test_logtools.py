@@ -149,3 +149,14 @@ def test_fsck_sidestore_log(tmp_path):
     # scan_change_log raises on missing siblings before fsck can run
     with pytest.raises(ValueError, match="no content sibling"):
         fsck_sidestore_log(log)
+
+
+def test_compaction_rerun_requires_overwrite(tmp_path):
+    spec = ChangeLogSpec(n_events=3000, n_keys=200, seed=97)
+    log, comp = str(tmp_path / "log"), str(tmp_path / "comp")
+    write_change_log(spec, log)
+    r1 = compact_change_log(log, comp, num_partitions=2)
+    with pytest.raises(ValueError, match="overwrite"):
+        compact_change_log(log, comp, num_partitions=2)
+    r2 = compact_change_log(log, comp, num_partitions=2, overwrite=True)
+    assert r2["events_out"] == r1["events_out"]  # replaced, not appended
