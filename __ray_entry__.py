@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": T.dedup_simhash_pairs,
         "ann_cosine_topk": T.ann_cosine_topk,
         "ann_ivf_topk": T.ann_ivf_topk,
+        # product-quantization ANN (r4): 32x-compressed codes + ADC scan
+        # + exact integer rerank — pure int64, hash-exact oracle
+        "ann_pq_topk": T.ann_pq_topk,
         "embedding_norms": T.embedding_norms,
         "docs_systematic_sample": T.docs_systematic_sample,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
@@ -1059,6 +1062,103 @@ _AGG_HLL_SQL = f"""
            n_events, last_lsn, uid_distinct
     FROM sums JOIN est USING (path)
 """
+
+
+def _pq_sub_ctes(sub_idx: int, kc: int, iters: int, lo: int, hi: int) -> str:
+    """One PQ subspace: integer k-means unroll over dims [lo, hi] +
+    final code assignment + the query→codeword distance table."""
+    p = f"s{sub_idx}"
+    parts = [f"""
+    {p}q AS MATERIALIZED (
+      SELECT vec_id, dim, qx FROM q WHERE dim BETWEEN {lo} AND {hi}),
+    {p}c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY vec_id) - 1
+                  AS BIGINT) AS c, dim, qx AS qc
+      FROM {p}q WHERE vec_id IN
+        (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {kc}))"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    {p}d{t} AS (
+      SELECT g.vec_id, c.c, SUM((g.qx - c.qc) * (g.qx - c.qc)) AS d2
+      FROM {p}q g JOIN {p}c{t - 1} c USING (dim) GROUP BY g.vec_id, c.c),
+    {p}a{t} AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+        FROM {p}d{t}) WHERE rn = 1),
+    {p}s{t} AS (
+      SELECT a.cluster AS c, g.dim, SUM(g.qx) AS s, COUNT(*) AS n
+      FROM {p}a{t} a JOIN {p}q g USING (vec_id) GROUP BY a.cluster, g.dim),
+    {p}c{t} AS MATERIALIZED (
+      SELECT pc.c, pc.dim,
+             CAST(COALESCE(
+               CASE WHEN sm.s >= 0 THEN (2 * sm.s + sm.n) // (2 * sm.n)
+                    ELSE -((2 * (-sm.s) + sm.n) // (2 * sm.n)) END,
+               pc.qc) AS BIGINT) AS qc
+      FROM {p}c{t - 1} pc LEFT JOIN {p}s{t} sm
+           ON sm.c = pc.c AND sm.dim = pc.dim)""")
+    parts.append(f"""
+    {p}fd AS (
+      SELECT g.vec_id, c.c, SUM((g.qx - c.qc) * (g.qx - c.qc)) AS d2
+      FROM {p}q g JOIN {p}c{iters} c USING (dim) GROUP BY g.vec_id, c.c),
+    {p}af AS MATERIALIZED (
+      SELECT vec_id, c AS code FROM (
+        SELECT vec_id, c, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+        FROM {p}fd) WHERE rn = 1),
+    {p}qt AS MATERIALIZED (
+      SELECT qq.query_id, c.c, SUM((qq.qx - c.qc) * (qq.qx - c.qc)) AS d2
+      FROM qq JOIN {p}c{iters} c USING (dim) GROUP BY qq.query_id, c.c)""")
+    return ",".join(parts)
+
+
+def _pq_sql(m: int = 16, kc: int = 16, iters: int = 3, dim: int = 64,
+            rerank: int = 50, k: int = 10) -> str:
+    """ann_pq_topk oracle: m independent subspace unrolls → codes →
+    per-query ADC over codes → shortlist → exact integer-d2 rerank.
+    Pure int64 throughout, so it replays the engine hash-exactly."""
+    sub = dim // m
+    parts = ["""
+    q AS MATERIALIZED (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+               AS qx
+      FROM embeddings, UNNEST(generate_series(1, %d)) AS t(i))""" % dim,
+             _ANN_Q_QUERIES]
+    for si in range(m):
+        parts.append(_pq_sub_ctes(si, kc, iters, si * sub + 1, (si + 1) * sub))
+    joins = "\n".join(
+        f"      JOIN s{si}af a{si} ON a{si}.vec_id = b.vec_id\n"
+        f"      JOIN s{si}qt t{si} ON t{si}.query_id = qv.query_id"
+        f" AND t{si}.c = a{si}.code"
+        for si in range(m)
+    )
+    dist = " + ".join(f"t{si}.d2" for si in range(m))
+    parts.append(f"""
+    adc AS (
+      SELECT qv.query_id, b.vec_id, ({dist}) AS dist
+      FROM (SELECT vec_id FROM embeddings) b CROSS JOIN qv
+{joins}),
+    sl AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY dist ASC, vec_id ASC)
+                      AS rn
+             FROM adc) WHERE rn <= {rerank}),
+    rd AS (SELECT sl.query_id, sl.vec_id,
+                  SUM((q.qx - qq.qx) * (q.qx - qq.qx)) AS qd2
+           FROM sl JOIN q ON q.vec_id = sl.vec_id
+           JOIN qq ON qq.query_id = sl.query_id AND qq.dim = q.dim
+           GROUP BY sl.query_id, sl.vec_id),
+    fin AS (SELECT query_id, vec_id, CAST(qd2 AS BIGINT) AS qd2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qd2 ASC, vec_id ASC) AS rank
+            FROM rd)
+    SELECT query_id, vec_id, qd2, rank
+    FROM fin WHERE rank <= {k} ORDER BY query_id, rank""")
+    return "WITH" + ",".join(parts)
+
+
+_ANN_PQ_SQL = _pq_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2192,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _KMEANS_Q_SQL,
         "embedding_kmeans_pp": _KMEANS_FF_SQL,
         "ann_ivf_topk": _ANN_IVF_Q_SQL,
+        "ann_pq_topk": _ANN_PQ_SQL,
         "ann_lsh_topk": _ANN_LSH_Q_SQL,
         "dedup_embedding_cosine_ivf": _DEDUP_IVF_Q_SQL,
         # every synthesized modality is REAL-decodable, with closed-form

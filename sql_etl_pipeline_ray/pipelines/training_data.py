@@ -1693,3 +1693,15 @@ def docs_admit_near_increment(sf_dir: str) -> ray.data.Dataset:
         rejected,
         also_keep=lambda ids: ids % 2 == 1,
     )
+
+
+def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN top-10 (``stages/similarity.
+    ann_pq_topk_q``): 16 integer-k-means subspace codebooks compress each
+    64-dim vector to 16 small codes, queries scan CODES via the
+    asymmetric-distance table, and an exact integer rerank of the top-50
+    shortlist fixes the final ranking — pure int64 end to end, so the
+    DuckDB oracle replays it hash-exactly.  Recall@10 vs brute ≥ 0.8 at
+    the test scale (pinned in tests)."""
+    return SIM.ann_pq_topk_q(_emb(sf_dir), n_queries=3, k=10, m=16, kc=16,
+                             rerank=50)

@@ -397,6 +397,7 @@ def kmeans_q_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_qcents: np.ndarray | None = None,
+    dim_slice: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Integer-exact distributed Lloyd's: returns ``(qcents, assign)``
     where ``qcents`` is the final (k, d) int64 centroid matrix and
@@ -412,7 +413,17 @@ def kmeans_q_fit(
     replays; a reached fixed point makes the remaining iterations
     no-ops on both sides anyway).  Init: quantized vectors of the k
     lowest ids, or ``init_qcents`` (e.g. :func:`farthest_first_q`).
+    ``dim_slice=(lo, hi)`` restricts the metric to quantized dimensions
+    ``[lo, hi)`` — the product-quantization subspace trainer
+    (``similarity.ann_pq_topk_q``) runs one integer k-means per subspace
+    through this.
     """
+    lo, hi = dim_slice if dim_slice is not None else (None, None)
+
+    def _q(df_col) -> np.ndarray:
+        qx = _quantize(_stack(df_col))
+        return qx[:, lo:hi] if dim_slice is not None else qx
+
     emb = emb.materialize()
     if init_qcents is None:
         seed_rows = (
@@ -423,7 +434,7 @@ def kmeans_q_fit(
             .nsmallest(k, id_col)
             .sort_values(id_col)
         )
-        qcents = _quantize(_stack(seed_rows[vec_col]))
+        qcents = _q(seed_rows[vec_col])
     else:
         qcents = init_qcents.astype(np.int64).copy()
         k = len(qcents)
@@ -433,7 +444,7 @@ def kmeans_q_fit(
 
         def partial_fit(df: pd.DataFrame) -> pd.DataFrame:
             C = ray.get(cref)
-            qx = _quantize(_stack(df[vec_col]))
+            qx = _q(df[vec_col])
             a = np.argmin(_qd2(qx, C), axis=1)  # ties -> lowest cluster
             sums = np.zeros((len(C), qx.shape[1]), np.int64)
             np.add.at(sums, a, qx)
@@ -463,7 +474,7 @@ def kmeans_q_fit(
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         C = ray.get(cref)
-        qx = _quantize(_stack(df[vec_col]))
+        qx = _q(df[vec_col])
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(np.int64),

@@ -928,3 +928,102 @@ def embedding_near_dups_ivf_q(
             "cosine": pd.Series(dtype=np.float64),
         })
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def ann_pq_topk_q(
+    emb: ray.data.Dataset,
+    n_queries: int = 3,
+    k: int = 10,
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    rerank: int = 50,
+) -> pd.DataFrame:
+    """Product-quantization ANN, integer-exact end to end.
+
+    The 100-TB storage story for embeddings: each d-dim vector compresses
+    to ``m`` uint8 codes (one integer-k-means codeword id per subspace —
+    64 float32 dims → 8 bytes, 32× smaller), and queries scan CODES, not
+    vectors, via the classic asymmetric-distance computation: per query,
+    an (m × kc) table of integer squared distances from the query's
+    subvector to every codeword, then ``dist(v) = Σ_s table[s, code_s(v)]``
+    — pure int64 arithmetic, so ranking ties and all are bit-identical
+    in the DuckDB oracle (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the public-domain method,
+    realized on this engine's integer-exact k-means).
+
+    Codebooks train as ``m`` independent :func:`clustering.kmeans_q_fit`
+    runs with ``dim_slice`` (min-id init, fixed iters — the SQL-unrollable
+    recipe); the per-subspace ASSIGNMENTS are the codes, so encoding is
+    the training by-product here (at scale: persist the code columns at
+    ingest, the way ``lsh_signatures`` persists sign bitmaps).
+
+    ``rerank``: the production PQ pattern — the code scan shortlists
+    ``rerank`` candidates by ADC (ties → lowest id), then ONE pass over
+    the data re-scores just those candidates with the exact integer
+    squared distance on the full quantized vectors (at scale: ``rerank``
+    point reads).  Both stages are pure int64, so the final (query_id,
+    vec_id, qd2, rank) output is bit-identical in the DuckDB oracle."""
+    from .clustering import _qd2, kmeans_q_fit
+
+    sub = dim // m
+    qcents_s, codes_cols, ids = [], [], None
+    for s in range(m):
+        qc, assign = kmeans_q_fit(
+            emb, k=kc, iters=iters, dim_slice=(s * sub, (s + 1) * sub)
+        )
+        qcents_s.append(qc)
+        codes_cols.append(assign["cluster"].to_numpy())
+        if ids is None:
+            ids = assign["vec_id"].to_numpy(np.int64)
+    codes = np.stack(codes_cols, axis=1)  # (n, m) small ints
+    qids, qq = _lowest_id_qvecs(emb, n_queries)
+    shortlists = {}
+    for qi in range(len(qq)):
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            table = _qd2(
+                qq[qi : qi + 1, s * sub : (s + 1) * sub], qcents_s[s]
+            )[0]
+            dist += table[codes[:, s]]
+        shortlists[qi] = ids[np.lexsort((ids, dist))[:rerank]]
+    # exact-rerank pass: broadcast the candidate sets, one scan, integer d2
+    from .clustering import _quantize, _stack
+
+    cand_all = np.unique(np.concatenate(list(shortlists.values())))
+    state = ray.put((cand_all, qq))
+
+    def rescore(df: pd.DataFrame) -> pd.DataFrame:
+        cands, qqv = ray.get(state)
+        vids = df["vec_id"].to_numpy(np.int64)
+        mask = np.isin(vids, cands)
+        if not mask.any():
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "query_id": pd.Series(dtype=np.int64),
+                "qd2": pd.Series(dtype=np.int64),
+            })
+        qx = _quantize(_stack(df.loc[mask, "embedding"]))
+        d2 = _qd2(qx, qqv)  # (n_cand_in_batch, n_queries)
+        n, nq = d2.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(vids[mask], nq),
+            "query_id": np.tile(np.arange(nq, dtype=np.int64), n),
+            "qd2": d2.ravel(),
+        })
+
+    scored = emb.map_batches(rescore, batch_format="pandas").to_pandas()
+    out = []
+    for qi in range(len(qq)):
+        sl = set(shortlists[qi].tolist())
+        g = scored[
+            (scored["query_id"] == qi) & scored["vec_id"].isin(sl)
+        ].sort_values(["qd2", "vec_id"], kind="mergesort")[:k]
+        out.append(pd.DataFrame({
+            "query_id": np.int64(qi),
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "qd2": g["qd2"].to_numpy(np.int64),
+            "rank": np.arange(1, len(g) + 1),
+        }))
+    return pd.concat(out, ignore_index=True)

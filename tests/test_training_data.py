@@ -1353,3 +1353,28 @@ def test_ivf_q_near_dups_recall_vs_brute():
     # blocking invariance
     got2 = SIM.embedding_near_dups_ivf_q(ds.repartition(6), threshold=0.3)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pq_recall_and_blocking_invariance():
+    """Integer-exact product-quantization ANN (the driver-legible
+    ann_pq_topk path): ADC shortlist + exact integer rerank recovers
+    >= 0.7 of the brute-force top-10, and the whole pipeline is
+    partition-invariant."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:3]]
+    )
+    bf = SIM.brute_force_topk(ds, q, k=10)
+    pqk = SIM.ann_pq_topk_q(ds, n_queries=3, k=10, m=16, kc=16, rerank=50)
+    for qi in (0, 1, 2):
+        a = set(bf[bf["query_id"] == qi]["vec_id"])
+        b = set(pqk[pqk["query_id"] == qi]["vec_id"])
+        assert len(a & b) / 10 >= 0.7, f"PQ recall too low for q{qi}"
+    # self at rank 1 with distance 0
+    r1 = pqk[(pqk["query_id"] == 2) & (pqk["rank"] == 1)]
+    assert r1["vec_id"].iloc[0] == 2 and r1["qd2"].iloc[0] == 0
+    pd.testing.assert_frame_equal(
+        pqk, SIM.ann_pq_topk_q(ds.repartition(7), n_queries=3, k=10,
+                               m=16, kc=16, rerank=50)
+    )
