@@ -149,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="replace a non-empty output dir (re-runs must "
                     "not append)")
 
+    fl = sub.add_parser(
+        "fsck-log",
+        help="audit a side-store log: every meta row claiming content "
+        "must resolve in its lsn-sorted sibling",
+    )
+    fl.add_argument("log_dir")
+
     cs = sub.add_parser(
         "convert-sidestore",
         help="convert an inline log IN PLACE to the content side-store "
@@ -439,6 +446,12 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 overwrite=args.overwrite,
             )))
+        elif args.cmd == "fsck-log":
+            from .pipelines.logtools import fsck_sidestore_log
+
+            rep = fsck_sidestore_log(args.log_dir)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
         elif args.cmd == "convert-sidestore":
             from .pipelines.logtools import convert_log_to_sidestore
 

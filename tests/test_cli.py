@@ -173,3 +173,30 @@ def test_cli_get_point_read(tmp_path):
     assert got["found"] and len(got["partition_probed"]) == 1
     assert got["partitions_total"] == 4
     assert got["rows"] == [{"content": row["content"], "lsn": int(row["lsn"])}]
+
+
+def test_cli_logtools_verbs(tmp_path):
+    """compact-log → convert-sidestore → fsck-log round-trip."""
+    import json as _json
+
+    from sql_etl_pipeline_ray.cli import main
+    from sql_etl_pipeline_ray.sources.datagen import (
+        ChangeLogSpec, write_change_log,
+    )
+
+    spec = ChangeLogSpec(n_events=3000, n_keys=200, seed=101)
+    log, comp = str(tmp_path / "log"), str(tmp_path / "comp")
+    write_change_log(spec, log)
+    assert main(["compact-log", log, comp, "--partitions", "2"]) == 0
+    assert main(["convert-sidestore", comp]) == 0
+    assert main(["fsck-log", comp]) == 0
+    # corrupt a sibling -> nonzero exit
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    sib = _glob.glob(os.path.join(comp, "**", "*.content.parquet"),
+                     recursive=True)[0]
+    t = _pq.read_table(sib)
+    _pq.write_table(t.slice(0, max(1, len(t) - 20)), sib)
+    assert main(["fsck-log", comp]) == 1
