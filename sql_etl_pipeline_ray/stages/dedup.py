@@ -303,9 +303,18 @@ def _join_verify_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # Cap join partitions at available CPUs: Ray 2.49's hash-shuffle Join
+    # schedules aggregator actors per partition, and a partition count far
+    # above the session's CPUs was observed to deadlock a long-lived
+    # 4-CPU session (64-partition Join backpressured for 100 minutes with
+    # zero blocks out; the identical call completes in seconds when the
+    # aggregator pool fits).  Per-partition work only shrinks with more
+    # partitions, so the cap never increases task memory.
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    jp = int(max(2, min(num_partitions, ncpu)))
     joined = cand.join(
-        ta, join_type="inner", num_partitions=num_partitions, on=(a_col,)
-    ).join(tb, join_type="inner", num_partitions=num_partitions, on=(b_col,))
+        ta, join_type="inner", num_partitions=jp, on=(a_col,)
+    ).join(tb, join_type="inner", num_partitions=jp, on=(b_col,))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         vals = np.fromiter(
