@@ -23,8 +23,11 @@ Reference analogue: the staging⋈final enrichment joins
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 
 from ..schemas import KEY_COLUMNS
@@ -92,6 +95,19 @@ def join_lakes(
     # b's column universe, for stable left-join schemas on b-less partitions
     b_cols = [n for n, _t in next(iter(mb.values()))["schema_fingerprint"]]
     keys = list(KEY_COLUMNS)
+    # b's Arrow types, read once from a committed file footer (the last
+    # chain file carries the evolved schema).  Left joins need them so a
+    # partition where b is ABSENT builds its placeholder frame typed, and
+    # so unmatched rows null-fill as typed ArrowDtype NA instead of
+    # upcasting ints to float64 — otherwise blocks drift to per-partition
+    # object/float schemas (the None-vs-NaN FutureWarning path).
+    p0 = next(iter(mb))
+    b_types = {
+        f.name: f.type
+        for f in pq.read_schema(
+            os.path.join(mf.partition_dir(b_dir, p0), mb[p0]["files"][-1])
+        )
+    }
 
     def one_part(batch: pa.Table) -> pa.Table:
         out = []
@@ -109,7 +125,23 @@ def join_lakes(
                     for c in (columns_b or b_cols)
                     if c in b_cols and c not in keys and c != "op"
                 ]
-                b = pd.DataFrame(columns=keys + want_b)
+                b = pd.DataFrame(
+                    {
+                        **{k: pd.Series(dtype=a[k].dtype) for k in keys},
+                        **{
+                            c: pd.Series(
+                                dtype=pd.ArrowDtype(b_types[c])
+                                if c in b_types
+                                else object
+                            )
+                            for c in want_b
+                        },
+                    }
+                )
+            if how == "left":
+                for c in b.columns:
+                    if c not in keys and c in b_types:
+                        b[c] = b[c].astype(pd.ArrowDtype(b_types[c]))
             ren = {
                 c: f"{c}{rsuffix}"
                 for c in b.columns

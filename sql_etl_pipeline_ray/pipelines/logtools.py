@@ -219,6 +219,22 @@ def _fsck_one(meta_file: str) -> dict:
         out["errors"].append("missing content sibling")
         return out
     m = pq.read_table(meta_file, columns=["lsn", "content_null"])
+    # Phase-2 late materialization prunes sibling row groups by their
+    # lsn column statistics; a group without them is fetched
+    # unconditionally (replay._attach_side_content), which is correct
+    # but defeats the layout — surface it so operators re-write the file.
+    cmeta = pq.ParquetFile(sib)
+    lsn_idx = cmeta.schema_arrow.get_field_index("lsn")
+    statless = sum(
+        1
+        for i in range(cmeta.metadata.num_row_groups)
+        if cmeta.metadata.row_group(i).column(lsn_idx).statistics is None
+    )
+    if statless:
+        out["errors"].append(
+            f"{statless} content row groups lack lsn statistics "
+            "(late-materialization pruning disabled for them)"
+        )
     c = pq.read_table(sib, columns=["lsn", "content"])
     clsn = c.column("lsn").to_numpy(zero_copy_only=False)
     if len(clsn) and not (clsn[1:] >= clsn[:-1]).all():

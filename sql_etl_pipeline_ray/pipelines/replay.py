@@ -1078,11 +1078,16 @@ def _attach_side_content(
     ctype = cpf.schema_arrow.field("content").type
     nbytes = 0
     if need.size:
+        # A row group without lsn statistics (lo is None) can never be
+        # proven irrelevant — fetch it unconditionally.  Engine-written
+        # siblings always carry stats, but convert_log_to_sidestore
+        # accepts foreign parquet; silently skipping a stat-less group
+        # would hand winners NULL content with no error.
         sel = [
             i
             for i, (lo, hi) in enumerate(side["rg_lsn"])
-            if lo is not None
-            and np.searchsorted(need, lo, "left")
+            if lo is None
+            or np.searchsorted(need, lo, "left")
             < np.searchsorted(need, hi, "right")
         ]
         ctabs = (

@@ -405,6 +405,22 @@ def replay_txn(
             "transactional lakes need keep_epochs >= 2: the published "
             "snapshot's files must survive the next replay's commit"
         )
+    # Pin self-heal, BEFORE any table commits (and hence before any lazy
+    # GC can run): a crash between _publish and the txn_snapshot pin
+    # write below leaves the published epochs held only by
+    # "txn_pending" — which THIS run overwrites with its own epochs
+    # pre-publish.  Two unlucky crashes in a row and later commits' GC
+    # could delete manifests the live published pointer still resolves.
+    # Re-deriving the "txn_snapshot" pin from the published pointer
+    # itself closes the window unconditionally: whatever the pointer
+    # names is pinned, no matter where the previous run died.
+    published = read_txn_snapshot(out_root)
+    if published is not None:
+        for tbl, pins in published.get("tables", {}).items():
+            mf.write_gc_pins(
+                _table_lake_dir(out_root, tbl), "txn_snapshot",
+                {int(p): int(e) for p, e in pins.items()},
+            )
     staging = os.path.join(out_root, "_staging")
     demux = demux_txn_log(log_dir, staging, sealed=sealed)
 

@@ -92,6 +92,12 @@ def test_left_join_and_pruning_and_suffix(tmp_path):
     )
     assert len(got) == len(da)          # every live a row survives
     assert got["lsn_b"].isna().any()    # some keys truly missing in b
+    # typed null-fill contract: b's int column stays integral (Arrow NA),
+    # never upcast to float64 NaN / object per-partition drift
+    assert pd.api.types.is_integer_dtype(got["lsn_b"].dtype), got["lsn_b"].dtype
+    # normalize the pandas-reference NaN to NA for value comparison
+    want = want.convert_dtypes(dtype_backend="pyarrow")
+    got = got.convert_dtypes(dtype_backend="pyarrow")
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False,
@@ -127,3 +133,51 @@ def test_join_refuses_mismatched_layout(tmp_path):
     j = join_lakes(a, b4, columns_a=["lsn"], columns_b=["lsn"]).to_pandas()
     assert len(j) == len(_df(a))
     assert (j["lsn"] == j["lsn_b"]).all()
+
+
+def test_left_join_b_empty_partitions_keep_one_schema(tmp_path):
+    """Regression (ADVICE r4): partitions where b has NO rows used to
+    build the placeholder frame with object dtypes — per-block schema
+    drift in the returned Dataset.  All blocks must share one typed
+    Arrow schema, derived from b's committed footer."""
+    spec = ChangeLogSpec(n_events=4000, n_keys=300, seed=91)
+    a = _mk_lake(tmp_path, "a5", spec)
+    da = _df(a)
+    keep_repo, keep_path = da.iloc[0][["repo", "path"]]
+    # b: the same log filtered to ONE key, so 3 of 4 partitions have no
+    # committed state at all and the placeholder-frame path runs
+    lb_src = str(tmp_path / "log_a5")
+    lb = str(tmp_path / "log_b5")
+    import glob
+
+    for f in sorted(glob.glob(os.path.join(lb_src, "**", "*.parquet"),
+                              recursive=True)):
+        t = pq.read_table(f)
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.equal(t.column("repo"), keep_repo),
+                    pc.equal(t.column("path"), keep_path))
+        ft = t.filter(m)
+        if not len(ft):
+            continue
+        d = os.path.join(lb, os.path.basename(os.path.dirname(f)))
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(ft, os.path.join(d, "events.parquet"))
+    lake_b = str(tmp_path / "lake_b5")
+    replay(lb, lake_b, ReplayConfig(num_partitions=4),
+           sink=SinkConfig(out_dir=lake_b, keep_epochs=2))
+    ds = join_lakes(a, lake_b, how="left", columns_a=["lsn"],
+                    columns_b=["lsn"])
+    # single unified Arrow schema across ALL blocks (would raise or
+    # show object/float drift pre-fix)
+    schemas = {
+        str(b.schema)
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    }
+    assert len(schemas) == 1, schemas
+    got = ds.to_pandas()
+    assert len(got) == len(da)
+    assert pd.api.types.is_integer_dtype(got["lsn_b"].dtype)
+    hit = got[(got["repo"] == keep_repo) & (got["path"] == keep_path)]
+    assert len(hit) == 1 and int(hit["lsn_b"].iloc[0]) == int(hit["lsn"].iloc[0])
+    assert got["lsn_b"].isna().sum() == len(da) - 1

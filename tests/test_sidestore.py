@@ -186,3 +186,38 @@ def test_random_partial_conversion_property(tmp_path):
         pd.testing.assert_frame_equal(
             got[sorted(got.columns)], want[sorted(want.columns)]
         )
+
+
+def test_statless_content_row_groups_fetched_and_fscked(tmp_path):
+    """Regression (ADVICE r4): a content sibling whose row groups lack
+    lsn statistics (foreign writer via convert_log_to_sidestore) must be
+    fetched unconditionally — silently skipping it hands winners NULL
+    content — and fsck_sidestore_log must surface the missing stats."""
+    from sql_etl_pipeline_ray.pipelines.logtools import fsck_sidestore_log
+
+    kw = dict(n_events=6000, n_keys=400, seed=21, delete_frac=0.1)
+    inline, side = ChangeLogSpec(**kw), ChangeLogSpec(**kw, layout="sidestore")
+    li, ls = str(tmp_path / "li"), str(tmp_path / "ls")
+    write_change_log(inline, li)
+    write_change_log(side, ls)
+    # strip statistics from every content sibling, preserving sort + rows
+    for sib in glob.glob(os.path.join(ls, "**", "*.content.parquet"),
+                         recursive=True):
+        t = pq.read_table(sib)
+        pq.write_table(t, sib, row_group_size=256, write_statistics=False)
+    scan = scan_change_log(ls)
+    assert all(
+        lo is None
+        for s in scan.side_content.values()
+        for lo, _hi in s["rg_lsn"]
+    )
+    lake_i, lake_s = str(tmp_path / "lakei"), str(tmp_path / "lakes")
+    replay(li, lake_i, ReplayConfig(num_partitions=4))
+    replay(ls, lake_s, ReplayConfig(num_partitions=4))
+    a, b = _state(lake_i), _state(lake_s)
+    assert b["content"].notna().all()
+    pd.testing.assert_frame_equal(a, b)
+    rep = fsck_sidestore_log(ls)
+    assert not rep["ok"]
+    assert any("lsn statistics" in e
+               for errs in rep["errors"].values() for e in errs)

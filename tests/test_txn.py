@@ -346,3 +346,78 @@ def test_published_snapshot_survives_repeated_unpublished_commits(tmp_path):
     assert res["snapshot"]["seq"] == snap1["seq"] + 1
     pins = mf.read_gc_pins(os.path.join(out, "tables", "meta"))
     assert "txn_snapshot" in pins and "txn_pending" not in pins
+
+
+def test_crash_between_publish_and_pin_write_self_heals(tmp_path, monkeypatch):
+    """Regression (ADVICE r4): a run dying between ``_publish`` and the
+    txn_snapshot pin write leaves the freshly-published epochs held only
+    by "txn_pending" — which the NEXT run overwrites with its own epochs
+    before publishing.  If that next run then dies pre-publish, later
+    commits' lazy GC could collect manifests the live published pointer
+    still resolves.  ``replay_txn`` must self-heal the pin registry from
+    the published pointer at startup."""
+    import sql_etl_pipeline_ray.pipelines.txn as txn_mod
+
+    rows = _events(10)
+    log, out = str(tmp_path / "log"), str(tmp_path / "out")
+    _write_log(rows, log)
+    replay_txn(log, out, sealed=True)
+    max_lsn = max(r["lsn"] for r in rows)
+
+    def increment(round_no):
+        inc = [dict(lsn=max_lsn + 100 * round_no + i + 1, op="U",
+                    tbl="meta", repo="r", path=f"m{t}",
+                    content=f"meta:v{round_no}:{t}",
+                    txn=50 + 10 * round_no + i)
+               for i, t in enumerate(range(7, 10))]
+        inc.append(dict(lsn=max_lsn + 100 * round_no + 50, op="U",
+                        tbl="files", repo="r", path="f0",
+                        content=f"files:v{round_no}",
+                        txn=50 + 10 * round_no + 9))
+        _write_log(inc, os.path.join(log, f"inc{round_no}"), buckets=1)
+
+    # run 2: publishes snapshot E2 — then we simulate its crash in the
+    # window AFTER the pointer moved but BEFORE pin consolidation, by
+    # rewinding the registry to the mid-sequence state {txn_snapshot:
+    # E1 (stale), txn_pending: E2}.
+    snap1 = read_txn_snapshot(out)
+    stale_pins = {
+        tbl: dict(mf.read_gc_pins(os.path.join(out, "tables", tbl))
+                  ["txn_snapshot"])
+        for tbl in ("files", "meta")
+    }
+    increment(0)
+    replay_txn(log, out, sealed=True)
+    snap2 = read_txn_snapshot(out)
+    assert snap2["seq"] == snap1["seq"] + 1
+    published_state = {t: _lake_state(d)
+                       for t, d in read_txn_tables(out).items()}
+    for tbl in ("files", "meta"):
+        lake = os.path.join(out, "tables", tbl)
+        mf.write_gc_pins(
+            lake, "txn_pending",
+            {int(p): int(e) for p, e in snap2["tables"][tbl].items()})
+        mf.write_gc_pins(
+            lake, "txn_snapshot",
+            {int(p): int(e) for p, e in stale_pins[tbl].items()})
+
+    # runs 3 and 4: each commits fresh epochs on both tables, then dies
+    # between the txn_pending overwrite and the publish CAS
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(txn_mod, "_publish", boom)
+    for round_no in (1, 2):
+        increment(round_no)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            replay_txn(log, out, sealed=True)
+    monkeypatch.undo()
+
+    # the published pointer is unmoved and must still resolve end to end
+    # (pre-fix: E2 lost its pin at run 3's txn_pending overwrite, and
+    # run 4's commits GC'd it — read_txn_tables raises)
+    assert read_txn_snapshot(out)["seq"] == snap2["seq"]
+    for tbl in ("files", "meta"):
+        mf.vacuum(os.path.join(out, "tables", tbl), keep_epochs=2)
+    got = {t: _lake_state(d) for t, d in read_txn_tables(out).items()}
+    assert got == published_state
