@@ -292,20 +292,26 @@ def run_bench() -> dict:
     inc_base = f"/tmp/cdc_bench/inc_base_{ncpu}"
     shutil.rmtree(inc_base, ignore_errors=True)
     replay(prefix_log, inc_base, ReplayConfig())  # untimed base build
-    # single rep per mode: a COW increment costs a whole-lake rewrite
-    # (that IS the finding), so min-of-2 would add two more full-replay
-    # walls to the bench; the bytes numbers are deterministic either way
+    # min-of-2 INTERLEAVED reps per mode, like every other row: this VM's
+    # host-contention bursts are multi-×10-second, and a single-shot row
+    # once recorded mor at 31.7 s vs cow 10.1 s — inverting the true
+    # relationship (interleaved A/Bs: mor ~2× FASTER).  The bytes numbers
+    # are deterministic; walls need the min.
+    inc_walls: dict[str, list[float]] = {"cow": [], "mor": []}
+    for _rep in range(2):
+        for mode in ("cow", "mor"):
+            lk = f"/tmp/cdc_bench/inc_{mode}_{ncpu}"
+            _hardlink_clone(inc_base, lk)
+            t0 = time.time()
+            r = replay(
+                log_dir, lk, ReplayConfig(),
+                sink=SinkConfig(out_dir=lk, merge_on_read=(mode == "mor")),
+                resume=True,
+            )
+            inc_walls[mode].append(time.time() - t0)
+            inc_bytes[mode] = int(r.metrics["bytes_written"].sum())
     for mode in ("cow", "mor"):
-        lk = f"/tmp/cdc_bench/inc_{mode}_{ncpu}"
-        _hardlink_clone(inc_base, lk)
-        t0 = time.time()
-        r = replay(
-            log_dir, lk, ReplayConfig(),
-            sink=SinkConfig(out_dir=lk, merge_on_read=(mode == "mor")),
-            resume=True,
-        )
-        queries[f"cdc_incremental_{mode}"] = round(time.time() - t0, 3)
-        inc_bytes[mode] = int(r.metrics["bytes_written"].sum())
+        queries[f"cdc_incremental_{mode}"] = round(min(inc_walls[mode]), 3)
 
     result = {
         "metric": "cdc_replay_wall_sec",
@@ -335,13 +341,19 @@ def run_bench() -> dict:
 def run_scaling(reps: int = 3) -> None:
     """Interleaved repetitions, min per level: the sandbox VM shows 2-4x
     run-to-run variance from host contention (kernel/steal time), so the
-    minimum approximates uncontended performance at each parallelism."""
-    lo, hi = SCALING_CPUS
-    times: dict[int, list[float]] = {lo: [], hi: []}
+    minimum approximates uncontended performance at each parallelism.
+
+    ``RAY_GRAFT_SCALING_CPUS`` may name MORE than two levels (e.g.
+    "2,8,32"): each run interleaves all levels, and the report carries
+    one efficiency per adjacent pair — the north rule's N→4N pair plus
+    the upper pair that shows where the single-box memory-bandwidth
+    envelope bends."""
+    levels = sorted(set(SCALING_CPUS))
+    times: dict[int, list[float]] = {n: [] for n in levels}
     events = 0
     host_bw: list[float] = []
     for _ in range(reps):
-        for ncpu in (lo, hi):
+        for ncpu in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_REPLAY="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -355,24 +367,23 @@ def run_scaling(reps: int = 3) -> None:
             events = r["events"]
             if "host_read_bw_gbps" in r:
                 host_bw.append(r["host_read_bw_gbps"])
-    t_lo, t_hi = min(times[lo]), min(times[hi])
-    eff = (t_lo / t_hi) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_scaling",
-                f"sec_{lo}cpu": t_lo,
-                f"sec_{hi}cpu": t_hi,
-                f"events_per_sec_{lo}cpu": round(events / t_lo, 1),
-                f"events_per_sec_{hi}cpu": round(events / t_hi, 1),
-                "scaling_efficiency": round(eff, 3),
-                "events": events,
-                f"all_sec_{lo}cpu": times[lo],
-                f"all_sec_{hi}cpu": times[hi],
-                "host_read_bw_gbps_per_run": host_bw,
-            }
-        )
-    )
+    best = {n: min(ts) for n, ts in times.items()}
+    out: dict = {"metric": "cdc_replay_scaling", "events": events}
+    for n in levels:
+        out[f"sec_{n}cpu"] = best[n]
+        out[f"events_per_sec_{n}cpu"] = round(events / best[n], 1)
+    pair_eff = {
+        f"{lo}to{hi}": round((best[lo] / best[hi]) / (hi / lo), 3)
+        for lo, hi in zip(levels, levels[1:])
+    }
+    # headline efficiency = the first adjacent pair (the documented N→4N)
+    out["scaling_efficiency"] = next(iter(pair_eff.values()))
+    if len(pair_eff) > 1:
+        out["scaling_efficiency_per_pair"] = pair_eff
+    for n in levels:
+        out[f"all_sec_{n}cpu"] = times[n]
+    out["host_read_bw_gbps_per_run"] = host_bw
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
