@@ -256,10 +256,12 @@ def demux_txn_log(
     wm = txn_watermark(log_dir, sealed=sealed)
     os.makedirs(staging_root, exist_ok=True)
     mpath = os.path.join(staging_root, DEMUX_MANIFEST)
-    state: dict[str, Any] = {"files": {}}
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            state = json.load(f)
+    from ..state.commitstore import store_for
+
+    state = {"files": {}}
+    mb = store_for(mpath).get(mpath)
+    if mb is not None:
+        state = json.loads(mb)
     files = sorted(
         _glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True)
     )
@@ -307,11 +309,11 @@ def _table_lake_dir(out_root: str, tbl: str) -> str:
 
 
 def read_txn_snapshot(out_root: str) -> dict[str, Any] | None:
+    from ..state.commitstore import store_for
+
     p = os.path.join(out_root, SNAPSHOT_POINTER)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    b = store_for(p).get(p)
+    return None if b is None else json.loads(b)
 
 
 def _publish(out_root: str, snapshot: dict[str, Any]) -> dict[str, Any]:
@@ -328,12 +330,13 @@ def _publish(out_root: str, snapshot: dict[str, Any]) -> dict[str, Any]:
     payload = json.dumps(snapshot, indent=1, sort_keys=True).encode()
     hist = os.path.join(out_root, f"txn_snapshot-{seq}.json")
     if not _create_exclusive_bytes(hist, payload):
-        with open(hist, "rb") as f:
-            if f.read() != payload:
-                raise mf.ConcurrentCommitError(
-                    f"txn snapshot seq {seq} was published by another writer "
-                    "with different content"
-                )
+        from ..state.commitstore import store_for
+
+        if store_for(hist).get(hist) != payload:
+            raise mf.ConcurrentCommitError(
+                f"txn snapshot seq {seq} was published by another writer "
+                "with different content"
+            )
     _atomic_write_bytes(os.path.join(out_root, SNAPSHOT_POINTER), payload)
     return snapshot
 

@@ -15,17 +15,26 @@ at ``src/etl_pipeline.py:238-245``).  We make it real:
 - The merge fold is deterministic, so a retried task re-derives identical
   bytes and a duplicate rename is harmless (idempotent under task retry —
   this is what makes the sink exactly-once rather than at-least-once).
+
+All storage I/O on the commit path goes through
+``state/commitstore.CommitStore`` — the five-op object-store contract
+(get / atomic put / conditional put / list / delete, NO rename, NO
+hardlink) — so the protocol is deployable on S3/GCS unchanged; the POSIX
+rename/link tricks live inside ``PosixStore`` as one realization of that
+contract, and the fault-injecting ``ObjectStoreEmulator`` proves the
+engine survives crash windows and CAS races using only those five ops.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from .commitstore import store_for
 
 MANIFEST_NAME = "manifest.json"
 
@@ -44,18 +53,8 @@ def partition_dir(out_dir: str, part: int) -> str:
 
 
 def _atomic_write_bytes(path: str, data: bytes) -> None:
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    """Atomically-visible full-object write via the governing store."""
+    store_for(path).put(path, data)
 
 
 HWM_NAME = "_log_hwm.json"
@@ -87,10 +86,11 @@ def write_log_hwm(out_dir: str, log_hwm: int) -> int:
 
 def read_log_hwm(out_dir: str) -> int:
     """The stamped log high-water mark, or -1 (pre-hwm lake / never run)."""
+    p = os.path.join(out_dir, HWM_NAME)
     try:
-        with open(os.path.join(out_dir, HWM_NAME), "rb") as f:
-            return int(json.load(f)["log_hwm"])
-    except (FileNotFoundError, ValueError, KeyError):
+        b = store_for(p).get(p)
+        return -1 if b is None else int(json.loads(b)["log_hwm"])
+    except (ValueError, KeyError):
         return -1
 
 
@@ -100,11 +100,14 @@ GC_PINS_NAME = "_gc_pins.json"
 def read_gc_pins(out_dir: str) -> dict[str, dict[str, int]]:
     """The lake's external-reference GC pin registry: ``{pin_name:
     {partition: epoch}}``.  Missing/corrupt file = no pins."""
+    p = os.path.join(out_dir, GC_PINS_NAME)
     try:
-        with open(os.path.join(out_dir, GC_PINS_NAME)) as f:
-            d = json.load(f)
+        b = store_for(p).get(p)
+        if b is None:
+            return {}
+        d = json.loads(b)
         return d if isinstance(d, dict) else {}
-    except (FileNotFoundError, ValueError):
+    except ValueError:
         return {}
 
 
@@ -153,29 +156,11 @@ def _pinned_epochs(out_dir: str, part: int) -> set[int]:
 
 
 def _create_exclusive_bytes(path: str, data: bytes) -> bool:
-    """Atomically create ``path`` with ``data`` iff it does not exist.
-
-    ``os.link`` of a fully-fsynced temp file is the POSIX
-    create-if-absent primitive (``os.replace`` silently overwrites) —
-    this is the compare-and-swap that serializes concurrent committers
-    of the same (partition, epoch).  Returns False when another writer
-    created the file first."""
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    """Create ``path`` with ``data`` iff it does not exist — the
+    conditional put (``If-None-Match: *``) that serializes concurrent
+    committers of the same (partition, epoch).  Returns False when
+    another writer created the object first."""
+    return store_for(path).put_if_absent(path, data)
 
 
 def commit_partition(
@@ -234,6 +219,7 @@ def commit_partition(
     orphan data file is swept by GC.
     """
     pdir = partition_dir(out_dir, part)
+    store = store_for(out_dir)
     os.makedirs(pdir, exist_ok=True)
     # digest-tagged name: retries of the deterministic fold reuse the name
     # (identical bytes — overwrite is harmless); a concurrent writer with
@@ -241,9 +227,13 @@ def commit_partition(
     # can never leave a winner's manifest pointing at a loser's bytes
     fname = f"data-e{epoch}-{digest[:12]}.parquet"
     fpath = os.path.join(pdir, fname)
-    tmp = fpath + ".inprogress"
-    pq.write_table(table, tmp, compression=compression)
-    os.replace(tmp, fpath)
+    # One full-object put, the way an object store ingests it (readers
+    # only ever open files a committed manifest names, so visibility
+    # atomicity is what matters; durability is the manifest commit
+    # point's job — durable=False skips the POSIX-only fsync)
+    sink_buf = pa.BufferOutputStream()
+    pq.write_table(table, sink_buf, compression=compression)
+    store.put(fpath, sink_buf.getvalue(), durable=False)
     manifest = {
         "part": part,
         "epoch": epoch,
@@ -266,9 +256,8 @@ def commit_partition(
     # (superseded on retry, GC'd with its data file).  Exclusive create =
     # the concurrent-writer CAS: exactly one writer owns epoch N.
     snap_path = os.path.join(pdir, f"manifest-e{epoch}.json")
-    if not _create_exclusive_bytes(snap_path, payload):
-        with open(snap_path) as f:
-            existing = f.read()
+    if not store.put_if_absent(snap_path, payload):
+        existing = (store.get(snap_path) or b"{}").decode()
         winner = json.loads(existing)
         if winner.get("digest") != digest:
             raise ConcurrentCommitError(
@@ -285,7 +274,7 @@ def commit_partition(
     # return the JSON-normalized form either way, so retry winners and
     # losers hand back byte-identical manifests
     manifest = json.loads(payload)
-    _atomic_write_bytes(os.path.join(pdir, MANIFEST_NAME), payload)
+    store.put(os.path.join(pdir, MANIFEST_NAME), payload)
     # Lazy GC: epoch files (data + snapshot manifests) older than the grace
     # window are unreferenced by any manifest a reader could still be
     # acting on; remove them.  Time-travel reach == keep_epochs, by design:
@@ -297,7 +286,7 @@ def commit_partition(
     # no matter how far below the floor they fall.
     floor = epoch - max(1, keep_epochs) + 1
     pinned = _pinned_epochs(out_dir, part)
-    listing = os.listdir(pdir)
+    listing = store.list_dir(pdir)
     referenced: set[str] = set(manifest["files"])
     for f in listing:
         if f.startswith("manifest-e") and f.endswith(".json"):
@@ -307,9 +296,10 @@ def commit_partition(
                 continue
             if (floor <= e < epoch) or e in pinned:
                 try:
-                    with open(os.path.join(pdir, f)) as fh:
-                        referenced.update(json.load(fh).get("files", []))
-                except (OSError, ValueError):
+                    b = store.get(os.path.join(pdir, f))
+                    if b is not None:
+                        referenced.update(json.loads(b).get("files", []))
+                except ValueError:
                     pass
     for f in listing:
         if f.startswith("data-e") and f.endswith(".parquet"):
@@ -331,10 +321,7 @@ def commit_partition(
                 continue
         else:
             continue
-        try:
-            os.unlink(os.path.join(pdir, f))
-        except OSError:
-            pass
+        store.delete(os.path.join(pdir, f))
     return manifest
 
 
@@ -356,22 +343,20 @@ def read_manifest(
     latest epoch not beyond E).  Raises if that snapshot has been GC'd
     (epochs start at 0, so a partition with any history always had one)."""
     pdir = partition_dir(out_dir, part)
+    store = store_for(out_dir)
     if asof_epoch is None:
-        p = os.path.join(pdir, MANIFEST_NAME)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        b = store.get(os.path.join(pdir, MANIFEST_NAME))
+        return None if b is None else json.loads(b)
     retained = sorted(
         int(f[len("manifest-e"):-len(".json")])
-        for f in (os.listdir(pdir) if os.path.isdir(pdir) else [])
+        for f in store.list_dir(pdir)
         if f.startswith("manifest-e") and f.endswith(".json")
     )
     if not retained:
         # No snapshot manifests at all: either an un-committed partition
         # (no current manifest either → absent in every epoch) or a lake
         # written before snapshot manifests existed.
-        if os.path.exists(os.path.join(pdir, MANIFEST_NAME)):
+        if store.get(os.path.join(pdir, MANIFEST_NAME)) is not None:
             raise ValueError(
                 f"partition {part} has no snapshot manifests — lake was "
                 "committed by a pre-time-travel build; re-commit to enable "
@@ -385,8 +370,8 @@ def read_manifest(
             f"retained (earliest retained epoch is {retained[0]}; raise "
             "SinkConfig.keep_epochs to extend time-travel reach)"
         )
-    with open(os.path.join(pdir, f"manifest-e{eligible[-1]}.json")) as f:
-        return json.load(f)
+    b = store.get(os.path.join(pdir, f"manifest-e{eligible[-1]}.json"))
+    return json.loads(b)
 
 
 def read_manifest_exact(out_dir: str, part: int, epoch: int) -> dict[str, Any]:
@@ -400,14 +385,14 @@ def read_manifest_exact(out_dir: str, part: int, epoch: int) -> dict[str, Any]:
     still ≤ 3, but newer state).  An exact pin cannot.  Raises when the
     snapshot is missing (GC'd: raise ``SinkConfig.keep_epochs``)."""
     p = os.path.join(partition_dir(out_dir, part), f"manifest-e{epoch}.json")
-    if not os.path.exists(p):
+    b = store_for(out_dir).get(p)
+    if b is None:
         raise ValueError(
             f"partition {part} has no retained snapshot at epoch {epoch} "
             "(GC'd or never committed); raise SinkConfig.keep_epochs so "
             "published epochs outlive the next commit"
         )
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(b)
 
 
 def manifests_at(
@@ -424,9 +409,7 @@ def read_all_manifests(
     out_dir: str, asof_epoch: int | None = None
 ) -> dict[int, dict[str, Any]]:
     out: dict[int, dict[str, Any]] = {}
-    if not os.path.isdir(out_dir):
-        return out
-    for d in os.listdir(out_dir):
+    for d in store_for(out_dir).list_dir(out_dir):
         if d.startswith("part="):
             m = read_manifest(out_dir, int(d.split("=", 1)[1]), asof_epoch)
             if m is not None:
@@ -466,13 +449,12 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
     at any time; concurrent readers inside the retention window are
     unaffected.  Returns removal counts."""
     removed = {"tmp": 0, "data": 0, "manifests": 0}
-    if not os.path.isdir(out_dir):
-        return removed
-    for d in os.listdir(out_dir):
+    store = store_for(out_dir)
+    for d in store.list_dir(out_dir):
         if not d.startswith("part="):
             continue
         pdir = os.path.join(out_dir, d)
-        listing = os.listdir(pdir)
+        listing = store.list_dir(pdir)
         for f in listing:
             if f.endswith(".inprogress") or f.endswith(".tmp"):
                 try:
@@ -480,11 +462,10 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
                     removed["tmp"] += 1
                 except OSError:
                     pass
-        cur_path = os.path.join(pdir, MANIFEST_NAME)
-        if not os.path.exists(cur_path):
+        cur_b = store.get(os.path.join(pdir, MANIFEST_NAME))
+        if cur_b is None:
             continue
-        with open(cur_path) as fh:
-            cur = json.load(fh)
+        cur = json.loads(cur_b)
         epoch = cur["epoch"]
         floor = epoch - max(1, keep_epochs) + 1
         try:
@@ -501,9 +482,10 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
                     continue
                 if (floor <= e <= epoch) or e in pinned:
                     try:
-                        with open(os.path.join(pdir, f)) as fh:
-                            referenced.update(json.load(fh).get("files", []))
-                    except (OSError, ValueError):
+                        b = store.get(os.path.join(pdir, f))
+                        if b is not None:
+                            referenced.update(json.loads(b).get("files", []))
+                    except ValueError:
                         pass
         for f in listing:
             if f.startswith("data-e") and f.endswith(".parquet"):
@@ -526,9 +508,6 @@ def vacuum(out_dir: str, keep_epochs: int = 1) -> dict[str, int]:
                 kind = "manifests"
             else:
                 continue
-            try:
-                os.unlink(os.path.join(pdir, f))
-                removed[kind] += 1
-            except OSError:
-                pass
+            store.delete(os.path.join(pdir, f))
+            removed[kind] += 1
     return removed
