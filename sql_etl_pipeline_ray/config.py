@@ -217,6 +217,17 @@ class SinkConfig:
     merge_on_read: bool = False
     max_delta_files: int = 8
 
+    # Parquet row-group size (rows) for committed data files; None =
+    # pyarrow's default (1Mi rows).  Row groups are the pruning quantum:
+    # filtered reads, point lookups and the partition-wise join's
+    # key-range slicing (``pipelines/lakejoin.py``) can skip no finer
+    # than one group, so lakes serving selective reads want smaller
+    # groups (e.g. 64k-256k rows) — especially with ``cluster_by_key``,
+    # where sorted keys make group statistics genuinely selective.  The
+    # trade is more page/dictionary headers and slightly worse
+    # compression per group.
+    row_group_rows: int | None = None
+
 
 def bench_cpus() -> int:
     """Parallelism level for bench runs (driver contract: RAY_GRAFT_CPUS)."""

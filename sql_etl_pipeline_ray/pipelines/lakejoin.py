@@ -48,13 +48,18 @@ def _layout(out_dir: str) -> tuple[dict[int, dict], int, int]:
 
 
 def _read_part(
-    out_dir: str, part: int, m: dict | None, columns: list[str] | None
+    out_dir: str,
+    part: int,
+    m: dict | None,
+    columns: list[str] | None,
+    bounds=None,
 ) -> pd.DataFrame:
     if m is None:
         return pd.DataFrame()
     pdir = mf.partition_dir(out_dir, part)
     t = _read_chain_folded(
-        pdir, m["files"], keep_tombstones=False, columns=columns
+        pdir, m["files"], keep_tombstones=False,
+        prefold_filter=bounds, columns=columns,
     )
     if "op" in t.column_names:
         t = t.drop_columns(["op"])
@@ -65,6 +70,72 @@ def _read_part(
     return df
 
 
+def _range_expr(lo: tuple | None, hi: tuple | None):
+    """Key-tuple range predicate ``lo < (repo, path) <= hi`` as a pyarrow
+    dataset expression (open end = None).  Key predicates commute with
+    the LWW fold (``replay._read_chain_folded``'s prefold contract), so
+    this pushes into every chain file's Parquet scan and — on a
+    ``cluster_by_key`` lake — prunes to the row groups that overlap the
+    range."""
+    import pyarrow.dataset as pads
+
+    r, p = pads.field("repo"), pads.field("path")
+    expr = None
+    if lo is not None:
+        e = (r > lo[0]) | ((r == lo[0]) & (p > lo[1]))
+        expr = e
+    if hi is not None:
+        e = (r < hi[0]) | ((r == hi[0]) & (p <= hi[1]))
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def _slice_splits(
+    dirs_manifests: list[tuple[str, dict | None]], part: int, slice_rows: int
+) -> list[tuple[str, str]]:
+    """Split keys for one partition so each key range folds ≤ roughly
+    ``slice_rows`` physical rows (summed over BOTH sides' chain files).
+    Derived from row-group key statistics — metadata only, no data read.
+    Any tuple is a valid split point (range-partitioning the key space
+    never depends on splits being actual keys), so truncated Parquet
+    string statistics are fine.  Returns [] when one slice suffices or
+    statistics are missing."""
+    groups: list[tuple[str, str, int]] = []
+    for d, m in dirs_manifests:
+        if m is None:
+            continue
+        pdir = mf.partition_dir(d, part)
+        for f in m["files"]:
+            pf = pq.ParquetFile(os.path.join(pdir, f))
+            sch = pf.schema_arrow
+            try:
+                ir = sch.names.index("repo")
+                ip = sch.names.index("path")
+            except ValueError:
+                return []
+            md = pf.metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                sr, sp = rg.column(ir).statistics, rg.column(ip).statistics
+                if sr is None or sp is None or sr.max is None:
+                    return []
+                groups.append((sr.max, sp.max, rg.num_rows))
+    total = sum(g[2] for g in groups)
+    if total <= slice_rows or len(groups) < 2:
+        return []
+    groups.sort(key=lambda g: (g[0], g[1]))
+    splits: list[tuple[str, str]] = []
+    acc = 0
+    for repo_max, path_max, rows in groups[:-1]:
+        acc += rows
+        if acc >= slice_rows:
+            key = (repo_max, path_max)
+            if not splits or key > splits[-1]:
+                splits.append(key)
+                acc = 0
+    return splits
+
+
 def join_lakes(
     a_dir: str,
     b_dir: str,
@@ -72,6 +143,7 @@ def join_lakes(
     columns_a: list[str] | None = None,
     columns_b: list[str] | None = None,
     rsuffix: str = "_b",
+    slice_rows: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Join two co-partitioned lakes on the key columns (module docstring).
 
@@ -79,7 +151,17 @@ def join_lakes(
     where ``b`` has no matching key).  ``columns_a``/``columns_b`` prune
     each side's read (keys always included); ``b``'s non-key columns that
     collide with ``a``'s are suffixed with ``rsuffix``.
-    """
+
+    MEMORY ENVELOPE: a task never materializes a whole partition.  Each
+    partition is split into key-tuple ranges of roughly ``slice_rows``
+    physical rows (row-group statistics, metadata only); every slice
+    folds + joins ONLY its range — the key predicate commutes with the
+    LWW fold and pushes into each file's Parquet scan, so on
+    ``cluster_by_key`` lakes a slice reads just the row groups that
+    overlap its range.  Peak task heap is O(slice_rows), however large
+    the partition grew; output stays one block per slice.  Lakes without
+    key statistics fall back to one slice per partition (the r4
+    whole-partition behavior)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only 'inner' and 'left' joins")
     ma, pa_n, va = _layout(a_dir)
@@ -109,14 +191,17 @@ def join_lakes(
         )
     }
 
-    def one_part(batch: pa.Table) -> pa.Table:
+    def one_slice(batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             p = int(row["part"])
-            a = _read_part(a_dir, p, ma.get(p), columns_a)
+            lo = (row["lo_repo"], row["lo_path"]) if row["lo_repo"] is not None else None
+            hi = (row["hi_repo"], row["hi_path"]) if row["hi_repo"] is not None else None
+            bounds = _range_expr(lo, hi)
+            a = _read_part(a_dir, p, ma.get(p), columns_a, bounds)
             if not len(a):
                 continue
-            b = _read_part(b_dir, p, mb.get(p), columns_b)
+            b = _read_part(b_dir, p, mb.get(p), columns_b, bounds)
             if not len(b):
                 if how == "inner":
                     continue
@@ -154,6 +239,40 @@ def join_lakes(
         return pa.concat_tables(out, promote_options="permissive")
 
     parts = sorted(set(ma) & set(mb)) if how == "inner" else sorted(ma)
+
+    def make_slices(row: dict) -> list[dict]:
+        p = int(row["part"])
+        splits = _slice_splits(
+            [(a_dir, ma.get(p)), (b_dir, mb.get(p))], p, slice_rows
+        )
+        return [
+            {
+                "part": p,
+                "lo_repo": lo[0] if lo else None,
+                "lo_path": lo[1] if lo else None,
+                "hi_repo": hi[0] if hi else None,
+                "hi_path": hi[1] if hi else None,
+            }
+            for lo, hi in zip(
+                [None] + splits, splits + [None]
+            )
+        ]
+
+    # Slice planning is a parallel METADATA pass (parquet footers only);
+    # the take_all collects one descriptor per slice — bounded by the
+    # slice count, never by data.
+    slices = (
+        ray.data.from_items(
+            [{"part": p} for p in parts],
+            override_num_blocks=max(1, len(parts)),
+        )
+        .flat_map(make_slices)
+        .take_all()
+    )
+    if not slices:
+        return ray.data.from_items([]).map_batches(
+            one_slice, batch_format="pyarrow", batch_size=None
+        )
     return ray.data.from_items(
-        [{"part": p} for p in parts], override_num_blocks=max(1, len(parts))
-    ).map_batches(one_part, batch_format="pyarrow", batch_size=None)
+        slices, override_num_blocks=len(slices)
+    ).map_batches(one_slice, batch_format="pyarrow", batch_size=None)

@@ -141,6 +141,7 @@ def _commit_with_metrics(
         keep_epochs=args.get("keep_epochs", 1),
         chain_files=chain_files,
         chain_rows=chain_rows,
+        row_group_rows=args.get("row_group_rows"),
     )
     metrics = {
         **stats,
@@ -1424,6 +1425,7 @@ def replay(
         "cluster_by_key": sink.cluster_by_key,
         "keep_epochs": sink.keep_epochs,
         "keep_tombstones": sink.keep_tombstones,
+        "row_group_rows": sink.row_group_rows,
     }
     if mor:
         # Merge-on-read: prior state never re-reads — neither phase feeds

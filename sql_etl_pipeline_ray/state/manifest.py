@@ -174,6 +174,7 @@ def commit_partition(
     keep_epochs: int = 1,
     chain_files: list[str] | None = None,
     chain_rows: int = 0,
+    row_group_rows: int | None = None,
 ) -> dict[str, Any]:
     """Atomically commit one partition's full state for an epoch.
 
@@ -232,7 +233,8 @@ def commit_partition(
     # atomicity is what matters; durability is the manifest commit
     # point's job — durable=False skips the POSIX-only fsync)
     sink_buf = pa.BufferOutputStream()
-    pq.write_table(table, sink_buf, compression=compression)
+    pq.write_table(table, sink_buf, compression=compression,
+                   row_group_size=row_group_rows)
     store.put(fpath, sink_buf.getvalue(), durable=False)
     manifest = {
         "part": part,
