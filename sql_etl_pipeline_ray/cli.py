@@ -126,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser(
         "compact",
         help="fold merge-on-read delta chains back into single base files "
-        "(one Ray task per chained partition, exactly-once commits)",
+        "(one Ray task per chained partition, exactly-once commits); "
+        "dispatches on the lake kind — LWW fold for document/derived "
+        "lakes, ⊕ state-merge for aggregate lakes",
     )
     cp.add_argument("lake_dir")
     cp.add_argument(
@@ -134,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         help="only partitions with at least this many chained files",
     )
     cp.add_argument("--keep-epochs", type=int, default=1)
+    cp.add_argument(
+        "--kind", choices=("auto", "document", "aggregate"), default="auto",
+        help="override the manifest-stats lake-kind detection",
+    )
 
     cl = sub.add_parser(
         "compact-log",
@@ -426,17 +432,31 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res.summary))
         elif args.cmd == "compact":
-            from .pipelines.replay import compact_lake
+            from .state import manifest as _mf
 
-            print(
-                json.dumps(
-                    compact_lake(
+            kind = args.kind
+            if kind == "auto":
+                kind = _mf.lake_kind(_mf.read_all_manifests(args.lake_dir))
+            if kind == "aggregate":
+                from .pipelines.aggregate import compact_aggregate_lake
+
+                res = compact_aggregate_lake(
+                    args.lake_dir,
+                    min_chain=args.min_chain,
+                    keep_epochs=args.keep_epochs,
+                )
+            else:
+                from .pipelines.replay import compact_lake
+
+                res = {
+                    **compact_lake(
                         args.lake_dir,
                         min_chain=args.min_chain,
                         keep_epochs=args.keep_epochs,
-                    )
-                )
-            )
+                    ),
+                    "lake_kind": "document",
+                }
+            print(json.dumps(res))
         elif args.cmd == "compact-log":
             from .pipelines.logtools import compact_change_log
 

@@ -1031,9 +1031,14 @@ def _quantile_cols_from(manifests: dict[int, dict]) -> tuple[list[str], int]:
     return [], 128
 
 
-def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
+def compact_aggregate_lake(
+    out_dir: str, min_chain: int = 2, keep_epochs: int = 1
+) -> dict[str, Any]:
     """Fold merge-on-read chains back into single base files (exactly-once
-    commits at the next epoch; checkpoint/watermark carried unchanged)."""
+    commits at the next epoch; checkpoint/watermark carried unchanged).
+    The aggregate-lake counterpart of ``replay.compact_lake`` — the ⊕
+    fold replaces the LWW fold; same maintenance surface (CLI
+    ``compact`` auto-dispatches on the lake kind)."""
     from ..hashing import table_digest
 
     manifests = mf.read_all_manifests(out_dir)
@@ -1064,12 +1069,13 @@ def compact_aggregate_lake(out_dir: str, min_chain: int = 2) -> dict[str, Any]:
             "num_partitions": stats.get("num_partitions", max(manifests) + 1),
             "compression": "zstd",
             "cluster_by_key": False,
-            "keep_epochs": 1,
+            "keep_epochs": keep_epochs,
             "keep_tombstones": False,
         }
         _commit_with_metrics(p, folded, stats, args)
         compacted += 1
-    return {"partitions_compacted": compacted, "out_dir": out_dir}
+    return {"partitions_compacted": compacted, "out_dir": out_dir,
+            "lake_kind": "aggregate"}
 
 
 def aggregate_get(

@@ -3204,6 +3204,17 @@ def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
         "orphan_files": orphans,
         "temp_files": temps,
         "deep": deep,
+        # maintenance receipts: which fold maintains this lake, and how
+        # much merge-on-read chain is outstanding (CLI `compact`'s input)
+        "lake_kind": mf.lake_kind(manifests),
+        "chained_partitions": sum(
+            1 for m in manifests.values() if m.get("kind") == "delta"
+        ),
+        "chain_files_total": sum(
+            len(m["files"]) - 1
+            for m in manifests.values()
+            if m.get("kind") == "delta"
+        ),
     }
 
 

@@ -428,6 +428,24 @@ def manifest_data_files(out_dir: str, manifests: dict[int, dict[str, Any]]) -> l
     return files
 
 
+def lake_kind(manifests: dict[int, dict[str, Any]]) -> str:
+    """Which fold maintains this lake: "aggregate" (keyed ⊕-mergeable
+    state — manifests carry the sticky ``value_cols`` /
+    ``distinct_cols`` / ``quantile_cols`` stats written by
+    ``pipelines/aggregate.py``) or "document" (LWW row state — replay
+    and derived lakes).  Maintenance verbs (compact, fsck) dispatch on
+    this so every lake kind gets the same surface."""
+    for m in manifests.values():
+        st = m.get("stats", {})
+        if (
+            st.get("value_cols")
+            or "distinct_cols" in st
+            or "quantile_cols" in st
+        ):
+            return "aggregate"
+    return "document"
+
+
 def checkpoints(manifests: dict[int, dict[str, Any]]) -> dict[int, int]:
     """Per-partition applied-LSN high-water marks (the resume watermark —
     reference analogue ``get_last_processed_timestamp``,

@@ -200,3 +200,97 @@ def test_cli_logtools_verbs(tmp_path):
     t = _pq.read_table(sib)
     _pq.write_table(t.slice(0, max(1, len(t) - 20)), sib)
     assert main(["fsck-log", comp]) == 1
+
+
+def test_cli_compact_and_fsck_all_lake_kinds(tmp_path):
+    """Maintenance-surface parity (VERDICT r4 #4): CLI ``compact``
+    auto-dispatches on the lake kind and CLI ``fsck`` reports the kind
+    plus outstanding chain receipts — identically for document lakes,
+    derived lakes and aggregate-state lakes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_etl_pipeline_ray.pipelines.aggregate import (
+        read_aggregate_lake, replay_aggregate)
+    from sql_etl_pipeline_ray.pipelines.derive import refresh_derived_lake
+    from sql_etl_pipeline_ray.pipelines.replay import read_lake
+    from sql_etl_pipeline_ray.config import SinkConfig
+
+    def lake_df(lake, agg=False):
+        ds = read_aggregate_lake(lake) if agg else read_lake(lake)
+        return (ds.to_pandas().sort_values(["repo", "path"])
+                .reset_index(drop=True))
+
+    # 1. document lake with a MOR chain, built entirely via the CLI
+    # (chunk-invariant datagen: same seed + more events = LSN extension)
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    doc = str(tmp_path / "doc_lake")
+    run_cli("gen-data", log1, "--events", "2000", "--keys", "300",
+            "--buckets", "4")
+    run_cli("gen-data", log2, "--events", "4000", "--keys", "300",
+            "--buckets", "4")
+    run_cli("--num-cpus", "4", "replay", log1, doc, "--partitions", "4")
+
+    # 2. derived lake: base refresh on the pre-increment doc state, then
+    # a merge-on-read refresh after the doc lake's MOR increment — both
+    # lakes end chained
+    derived = str(tmp_path / "derived_lake")
+
+    def n_chars(df):
+        out = df[["repo", "path"]].copy()
+        out["n_chars"] = df["content"].str.len().astype("int64")
+        return out
+
+    refresh_derived_lake(doc, derived, n_chars, keep_epochs=2)
+    run_cli("--num-cpus", "4", "replay", log2, doc, "--resume",
+            "--merge-on-read")
+    refresh_derived_lake(doc, derived, n_chars, keep_epochs=2,
+                         merge_on_read=True)
+
+    # 3. aggregate lake with a MOR chain (int64-delta metrics log)
+    rng = np.random.default_rng(7)
+    rows = [(i + 1, "I" if i % 2 else "U", f"r{int(k) % 3}", f"k{int(k)}",
+             int(v))
+            for i, (k, v) in enumerate(
+                zip(rng.integers(0, 120, 3000), rng.integers(-5, 90, 3000)))]
+    alog1, alog2 = str(tmp_path / "alog1"), str(tmp_path / "alog2")
+    for d, chunk in ((alog1, rows[:1500]), (alog2, rows)):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "lsn": pa.array([r[0] for r in chunk], pa.int64()),
+                "op": pa.array([r[1] for r in chunk]),
+                "repo": pa.array([r[2] for r in chunk]),
+                "path": pa.array([r[3] for r in chunk]),
+                "delta": pa.array([r[4] for r in chunk], pa.int64()),
+            }), os.path.join(d, "b00.parquet"))
+    agg = str(tmp_path / "agg_lake")
+    replay_aggregate(alog1, agg, value_cols=["delta"], num_partitions=4)
+    replay_aggregate(alog2, agg, value_cols=["delta"], num_partitions=4,
+                     resume=True,
+                     sink=SinkConfig(out_dir=agg, merge_on_read=True))
+
+    matrix = [
+        (doc, "document", False),
+        (derived, "document", False),
+        (agg, "aggregate", True),
+    ]
+    for lake, kind, is_agg in matrix:
+        before = lake_df(lake, agg=is_agg)
+        fk = run_cli("fsck", lake)
+        assert fk["ok"], (lake, fk["issues"])
+        assert fk["lake_kind"] == kind, (lake, fk)
+        assert fk["chained_partitions"] > 0, (lake, fk)
+        cp = run_cli("compact", lake)
+        assert cp["lake_kind"] == kind and cp["partitions_compacted"] > 0
+        fk2 = run_cli("fsck", lake, "--deep")
+        assert fk2["ok"], (lake, fk2["issues"])
+        assert fk2["chained_partitions"] == 0
+        after = lake_df(lake, agg=is_agg)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(before, after)
+    # explicit --kind override still works
+    cp = run_cli("compact", agg, "--kind", "aggregate")
+    assert cp["lake_kind"] == "aggregate" and cp["partitions_compacted"] == 0
