@@ -66,7 +66,14 @@ def _convert_one(src: str, meta_rg_rows: int, content_rg_rows: int) -> dict:
         .sort_by([("lsn", "ascending")])
     )
     sib = src[: -len(".parquet")] + ".content.parquet"
-    for path, tbl, rg in ((src, meta, meta_rg_rows), (sib, side, content_rg_rows)):
+    # Sibling FIRST, meta second — the order is load-bearing: the meta
+    # rename destroys the only inline copy of the content, so it must be
+    # the LAST step.  A crash after the sibling lands leaves the inline
+    # file plus a stray sibling, which the scan ignores (inline files
+    # carry their own content) and a re-run overwrites.  The reverse
+    # order loses every content byte of the file to a crash between the
+    # two renames (meta in place, no sibling, inline bytes gone).
+    for path, tbl, rg in ((sib, side, content_rg_rows), (src, meta, meta_rg_rows)):
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
         os.close(fd)
         pq.write_table(tbl, tmp, row_group_size=rg)

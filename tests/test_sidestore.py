@@ -221,3 +221,88 @@ def test_statless_content_row_groups_fetched_and_fscked(tmp_path):
     assert not rep["ok"]
     assert any("lsn statistics" in e
                for errs in rep["errors"].values() for e in errs)
+
+
+def test_convert_compact_crash_composition_property(tmp_path, monkeypatch):
+    """Property (VERDICT r4 #8): random interleavings of convert →
+    log-compaction → partial re-convert → replay, with crashes injected
+    BETWEEN a conversion's two file renames, always replay to the exact
+    inline-layout oracle state.  Also pins the rename ORDER: a crash
+    window must leave the inline file intact (stray sibling), never a
+    content-less meta (data loss)."""
+    import numpy as np
+
+    from sql_etl_pipeline_ray.pipelines.logtools import (
+        _convert_one,
+        compact_change_log,
+        convert_log_to_sidestore,
+    )
+
+    spec = ChangeLogSpec(n_events=8000, n_keys=450, seed=67, num_buckets=6,
+                         delete_frac=0.12)
+    want = (
+        replay_oracle(generate_change_log(spec))
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+
+    def crash_convert(f, when):
+        """Run one conversion that dies between (when=2) or before
+        (when=1) its renames."""
+        calls = {"n": 0}
+        real = os.replace
+
+        def bomb(src, dst):
+            calls["n"] += 1
+            if calls["n"] >= when:
+                raise RuntimeError("injected crash between renames")
+            return real(src, dst)
+
+        monkeypatch.setattr(os, "replace", bomb)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                _convert_one(f, 131_072, 256)
+        finally:
+            monkeypatch.setattr(os, "replace", real)
+
+    for case in range(3):
+        rng = np.random.default_rng(500 + case)
+        log = str(tmp_path / f"log{case}")
+        write_change_log(spec, log)
+        for rnd in range(2):
+            files = sorted(
+                f
+                for f in glob.glob(os.path.join(log, "**", "*.parquet"),
+                                   recursive=True)
+                if not f.endswith(".content.parquet")
+            )
+            inline = [
+                f for f in files
+                if "content" in pq.read_schema(f).names
+            ]
+            # crash some conversions mid-flight
+            for f in inline:
+                r = rng.random()
+                if r < 0.25:
+                    crash_convert(f, when=1 + int(rng.random() < 0.5))
+                    # the inline file must still carry its content: the
+                    # crash may leave a stray sibling, never a torn meta
+                    assert "content" in pq.read_schema(f).names
+                elif r < 0.6:
+                    _convert_one(f, 131_072, 256)
+            # the mixed log must scan clean and replay exactly
+            scan = scan_change_log(log)
+            # log compaction is inline-only by contract ("convert AFTER
+            # compacting") — compose it whenever the log is still inline
+            if not scan.side_content and rng.random() < 0.7:
+                nxt = str(tmp_path / f"log{case}_r{rnd}")
+                compact_change_log(log, nxt, keep_tombstones=True)
+                log = nxt
+        # converge any half-converted state, then randomly re-convert all
+        if rng.random() < 0.5:
+            convert_log_to_sidestore(log)
+        lake = str(tmp_path / f"lake{case}")
+        replay(log, lake, ReplayConfig(num_partitions=4))
+        got = _state(lake)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
