@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish pretokenizer token counts (GPT-2 regex; the brief's
         # "whitespace + a BPE-ish regex" token-counting pair)
         "doc_bpe_tokens": T.doc_bpe_tokens,
+        # REAL merge-table BPE encoding: exact token sequence + count
+        # under a deterministic 64-merge table (oracle replays the same
+        # table via a recursive CTE — see _BPE_ENCODED_SQL)
+        "doc_bpe_encoded": T.doc_bpe_encoded,
         # grouped bottom-k quantile sketch (per event_type)
         "events_type_value_quantiles": T.events_type_value_quantiles,
         # token-budget curation: best docs until 60% of corpus tokens
@@ -911,6 +915,58 @@ _HLL_NUM = repr(float((1 << 64) * _HLL_M * _HLL_M))
 
 from sql_etl_pipeline_ray.stages.text import PII_PATTERNS as _PII
 from sql_etl_pipeline_ray.stages.text import BPE_PRETOKEN_PATTERN as _BPE_PAT
+
+def _bpe_encoded_sql() -> str:
+    """Table-driven SQL replay of the REAL BPE encoder
+    (``stages/text.BpeEncode``): the deterministic 64-merge table is
+    embedded as a VALUES list and applied in rank order by a recursive
+    CTE over a delimiter representation — each symbol wrapped in
+    ``chr(31)`` so a merge (a,b) is one global REPLACE of
+    ``␟a␟␟b␟ → ␟ab␟`` (leftmost, non-overlapping = BPE semantics), with
+    ``chr(30)`` pretoken boundaries merges can never cross.  Rank-order
+    foldl is equivalent to iterative lowest-rank merging (a merge only
+    creates adjacencies for later-learned rules; pinned by property test
+    in tests/test_text.py)."""
+    from sql_etl_pipeline_ray.stages.text import bpe_merge_table
+
+    merges = bpe_merge_table(64)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",".join(
+        f"({i + 1}, chr(31)||'{esc(a)}'||chr(31)||chr(31)||'{esc(b)}'||chr(31),"
+        f" chr(31)||'{esc(a + b)}'||chr(31))"
+        for i, (a, b) in enumerate(merges)
+    )
+    pat = esc(_BPE_PAT)
+    return rf"""
+    WITH RECURSIVE merges(rank, pat, rep) AS (VALUES {vals}),
+    base AS (
+      SELECT doc_id,
+        COALESCE(array_to_string(
+          list_transform(
+            regexp_extract_all(COALESCE(text,''), '{pat}'),
+            t -> regexp_replace(t, '([\s\S])', chr(31)||'\1'||chr(31), 'g')
+          ), chr(30)), '') AS s
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, s, 0 AS rank FROM base
+      UNION ALL
+      SELECT e.doc_id, REPLACE(e.s, m.pat, m.rep) AS s, m.rank
+      FROM enc e JOIN merges m ON m.rank = e.rank + 1
+    ),
+    fin AS (SELECT doc_id, s FROM enc WHERE rank = {len(merges)})
+    SELECT doc_id,
+      CAST((LENGTH(s) - LENGTH(REPLACE(s, chr(31), ''))) / 2 AS BIGINT)
+        AS bpe_token_count,
+      CASE WHEN s = '' THEN ''
+           ELSE TRIM(REPLACE(REPLACE(s, chr(30), ''), chr(31)||chr(31),
+                     chr(31)), chr(31)) END AS bpe_tokens
+    FROM fin
+    """
+
 
 # Shared by doc_quality_score and docs_quality_quantile_gate: exactly the
 # stages/text.py:QualityScore arithmetic (token/punct counts, 6-decimal
@@ -2035,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """
         )(_BPE_PAT.replace("'", "''")),
+        "doc_bpe_encoded": _bpe_encoded_sql(),
         "doc_quality_score": _QUALITY_SCORE_SQL,
         # global-order budget gate as one window cumsum; the engine's
         # histogram + boundary-tier prefix sum reproduces it exactly

@@ -72,6 +72,21 @@ def doc_bpe_tokens(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_bpe_encoded(sf_dir: str) -> ray.data.Dataset:
+    """REAL merge-table BPE encoding (stages/text.BpeEncode): the exact
+    token sequence and count under a deterministic 64-merge char-level
+    table trained on the in-repo seed corpus.  Token-exact budgets are
+    what packing/chunking/token-budget selection actually need; the
+    pretokenizer count (``doc_bpe_tokens``) is the cheap upper bound.
+    SQL oracle replays the SAME merge table with a recursive CTE over a
+    delimiter representation — table-driven, not re-trained."""
+    from ..stages.text import BpeEncode
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeEncode, batch_format="pandas", concurrency=autoscale_pool()
+    )
+
+
 def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """Composite quality score + pass/fail gate (C4/Gopher-style rules)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(

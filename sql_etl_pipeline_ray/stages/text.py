@@ -150,6 +150,153 @@ class BpePretokenStats:
         )
 
 
+# ---------------------------------------------------------------------------
+# Real merge-table BPE encoding (char-level, deterministic)
+# ---------------------------------------------------------------------------
+
+# Deterministic in-repo seed corpus for merge-table training: code-ish
+# English so the learned merges look like real subwords over the synthetic
+# documents table.  Training on a CONSTANT (not the input corpus) keeps the
+# merge table identical between the Ray encoder and the SQL oracle without
+# either having to retrain per scale factor.
+BPE_SEED_CORPUS = (
+    "def process_batch(batch): return batch.filter(lambda row: row.valid)\n"
+    "the quick brown fox jumps over the lazy dog while the engine streams\n"
+    "for part in partitions: commit(part, epoch, table, stats, digest)\n"
+    "import numpy as np; values = np.zeros(128, dtype=np.int64)\n"
+    "select repo, path, count(*) as n from events group by repo, path\n"
+    "a change event reader emits insert update delete events keyed by\n"
+    "the merge fold is deterministic so a retried task re derives the\n"
+    "same bytes and a duplicate rename is harmless under task retry\n"
+    "replaying the change log converges to the exact final table state\n"
+    "with content sha256 equality verified for every surviving row\n"
+) * 2
+
+
+def bpe_merge_table(n_merges: int = 64) -> list[tuple[str, str]]:
+    """Train a char-level BPE merge table on ``BPE_SEED_CORPUS`` —
+    classic Sennrich-style training (count adjacent symbol pairs over
+    pretoken frequencies, merge the most frequent, repeat), with a
+    lexicographic tie-break so the table is bit-deterministic.  ~64
+    merges is enough to exercise multi-level merges (single chars →
+    bigrams → subwords) while keeping the SQL oracle's recursive replay
+    cheap."""
+    import re as _re
+    from collections import Counter
+
+    pat = _re.compile(BPE_PRETOKEN_PATTERN)
+    words = Counter(pat.findall(BPE_SEED_CORPUS))
+    seqs = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        # tie-break: highest count, then lexicographically largest pair
+        best = max(pairs, key=lambda p: (pairs[p], p))
+        merges.append(best)
+        a, b = best
+        for w, s in seqs.items():
+            i, out = 0, []
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int],
+                    n_merges: int) -> list[str]:
+    """Encode one pretoken by applying merges in rank order (foldl).
+    Equivalent to the iterative lowest-rank-pair algorithm: a merge can
+    only create adjacencies for HIGHER-rank rules (a rule containing the
+    merged token was necessarily learned after it), so rank order never
+    misses an opportunity."""
+    s = list(word)
+    if len(s) < 2:
+        return s
+    present = True
+    for rank in range(n_merges):
+        if not present:
+            break
+        i, out, hit = 0, [], False
+        while i < len(s):
+            if (
+                i < len(s) - 1
+                and ranks.get((s[i], s[i + 1])) == rank
+            ):
+                out.append(s[i] + s[i + 1])
+                i += 2
+                hit = True
+            else:
+                out.append(s[i])
+                i += 1
+        if hit:
+            s = out
+        if len(s) < 2:
+            break
+    return s
+
+
+class BpeEncode:
+    """Actor-pool stage: REAL merge-table BPE encoding (not just the
+    pretokenizer).  The merge table, rank dict and pretokenizer regex
+    build once per actor; encoding caches pretoken→tokens per actor
+    (Zipfian pretoken reuse makes the cache hit rate very high).
+    Outputs the exact token sequence (joined with ``\\x1f``) plus the
+    real token count — SQL-oracled by replaying the same merge table
+    with a recursive CTE over a delimiter representation.
+
+    Reference analogue: the closest thing the reference has is
+    LENGTH()-based truncation checks (``src/data_transformer.py``);
+    token-exact budgeting is a training-data-pipeline requirement."""
+
+    SEP = "\x1f"
+
+    def __init__(self, text_col: str = "text", n_merges: int = 64):
+        import re as _re
+
+        self.text_col = text_col
+        self.n_merges = n_merges
+        self.pattern = _re.compile(BPE_PRETOKEN_PATTERN)
+        merges = bpe_merge_table(n_merges)
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self._cache: dict[str, list[str]] = {}
+
+    def _encode(self, tok: str) -> list[str]:
+        hit = self._cache.get(tok)
+        if hit is None:
+            hit = bpe_encode_word(tok, self.ranks, self.n_merges)
+            if len(self._cache) < 1_000_000:
+                self._cache[tok] = hit
+        return hit
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(df), dtype=np.int64)
+        joined: list[str] = []
+        for i, text in enumerate(df[self.text_col].fillna("")):
+            toks: list[str] = []
+            for pre in self.pattern.findall(text):
+                toks.extend(self._encode(pre))
+            counts[i] = len(toks)
+            joined.append(self.SEP.join(toks))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "bpe_token_count": counts,
+                "bpe_tokens": joined,
+            }
+        )
+
+
 class QualityScore:
     """Composite 0-100 quality score with pass/fail gate.
 

@@ -117,3 +117,75 @@ def test_gopher_gate_splits_synthetic_corpus():
     out = docs_gopher_gate("/root/testdata/sf0.001").to_pandas()
     rate = out["passes_gopher"].mean()
     assert 0.05 < rate < 0.99, rate
+
+
+# ---------------------------------------------------------------------------
+# Real merge-table BPE (stages/text.bpe_merge_table / BpeEncode)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_table_deterministic_and_multilevel():
+    from sql_etl_pipeline_ray.stages.text import bpe_merge_table
+
+    m1, m2 = bpe_merge_table(64), bpe_merge_table(64)
+    assert m1 == m2 and len(m1) == 64
+    # multi-level: some merges consume tokens produced by earlier merges
+    produced = {a + b for a, b in m1}
+    assert any(a in produced or b in produced for a, b in m1)
+
+
+def test_bpe_foldl_equals_iterative_lowest_rank():
+    """Property: rank-order foldl == iterative lowest-rank merging (the
+    equivalence the SQL oracle's recursive replay relies on)."""
+    import random
+    import re
+
+    from sql_etl_pipeline_ray.stages.text import (
+        BPE_PRETOKEN_PATTERN, bpe_encode_word, bpe_merge_table)
+
+    merges = bpe_merge_table(64)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def iterative(word):
+        s = list(word)
+        while len(s) > 1:
+            best, bi = None, None
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            s = s[:bi] + [s[bi] + s[bi + 1]] + s[bi + 2:]
+        return s
+
+    rng = random.Random(3)
+    alpha = "abcdefghij eor tn()_:.123'"
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    for _ in range(2000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for pre in pat.findall(w):
+            assert bpe_encode_word(pre, ranks, 64) == iterative(pre), pre
+
+
+def test_bpe_encode_stage_roundtrip_and_cache():
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.stages.text import BpeEncode
+
+    enc = BpeEncode()
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the engine returns the table", "", None,
+                 "the engine returns the table"],
+    })
+    out = enc(df)
+    # concatenating the tokens reproduces the exact input text
+    assert out["bpe_tokens"][0].replace("\x1f", "") == df["text"][0]
+    assert out["bpe_token_count"][1] == 0 and out["bpe_tokens"][1] == ""
+    assert out["bpe_token_count"][2] == 0
+    # identical docs encode identically (and exercise the cache)
+    assert out["bpe_tokens"][3] == out["bpe_tokens"][0]
+    assert len(enc._cache) > 0
+    # real merging happened: fewer tokens than characters
+    assert out["bpe_token_count"][0] < len(df["text"][0])
