@@ -184,6 +184,7 @@ def _make_agg_router(
     distinct_cols: list[str] | None = None,
     late_filter: tuple[str, int] | None = None,
     quantile_cols: list[str] | None = None,
+    forbid_resets: bool = False,
 ):
     """Normalize + route: trim keys, validate, int64-cast deltas, key-hash
     partition, checkpoint row prune.  Invalid events (bad op, null
@@ -222,6 +223,14 @@ def _make_agg_router(
         is_d = pc.fill_null(pc.equal(op, "D"), False).to_numpy(
             zero_copy_only=False
         )
+        if forbid_resets and bool(is_d.any()):
+            # reset_free is a DECLARED contract the valve's full
+            # pre-aggregation depends on — enforce it, never trust it
+            raise ValueError(
+                f"reset_free=True but the feed carries {int(is_d.sum())} "
+                "op='D' reset events; reset-free pre-aggregation would "
+                "be wrong — replay without reset_free"
+            )
         vals = {}
         carried = list(dict.fromkeys(
             list(value_cols) + list(distinct_cols or [])
@@ -432,6 +441,116 @@ def _prior_as_rows(
     )
 
 
+def make_reset_barrier_compact():
+    """Exchange-actor memory valve for the DEFAULT aggregate feed (resets
+    allowed): per key in the buffered subset, drop adds below the key's
+    max reset LSN and all reset rows but that max one.
+
+    EXACT under arbitrary arrival order — both drops are invariants of
+    the final fold: an add below a reset dies there regardless of what
+    else arrives (the retained reset row keeps the barrier for rows in
+    other slices), and only a key's max-LSN reset matters (the max of a
+    union is unchanged by dropping non-max elements of a subset).
+
+    This is also the exactness FRONTIER with resets in play: the fold is
+    not a semilattice — a partial aggregate of adds cannot be split by a
+    reset LSN that arrives later, so pre-aggregating adds mid-stream
+    would be wrong under reordered arrival.  Memory for a hot key is
+    bounded by its adds since its last reset (the realistic hot counter
+    resets periodically); for declared reset-free feeds use
+    ``reset_free=True``, whose valve pre-aggregates fully."""
+
+    def compact(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        tbl = tbl.sort_by(
+            [(KEY_HASH_COL, "ascending")]
+            + [(k, "ascending") for k in KEY_COLUMNS]
+            + [("lsn", "ascending")]
+        )
+        n = len(tbl)
+        _, seg = _segment_last_mask(tbl)
+        pos = np.arange(n, dtype=np.int64)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], seg[1:] != seg[:-1]))
+        )
+        is_d = pc.equal(tbl.column("op"), "D").to_numpy(zero_copy_only=False)
+        dpos = np.where(is_d, pos, np.int64(-1))
+        last_d = np.maximum.reduceat(dpos, seg_starts)
+        ld = last_d[seg]
+        keep = (pos > ld) | (is_d & (pos == ld))
+        return tbl.filter(pa.array(keep)) if not keep.all() else tbl
+
+    return compact
+
+
+def make_reset_free_compact(value_cols: list[str]):
+    """Exchange-actor memory valve for DECLARED reset-free feeds
+    (``replay_aggregate(reset_free=True)``; the router raises on any
+    op='D', so the declaration is enforced, not trusted): fully
+    pre-aggregate the buffered subset per key into contribution rows —
+    sum/min/max are a commutative monoid without resets, so partial ⊕ in
+    any arrival order is exact.  Actor memory drops from O(events) to
+    O(live keys per actor) however skewed the key distribution.
+
+    Output rows carry ``{c}__sum/__min/__max`` + ``__n`` (the same
+    contribution schema ``_prior_as_rows`` uses) at the key's max LSN;
+    ``_agg_commit_fn`` folds them mixed with later raw rows via the
+    ``__n``-validity discriminator.  Re-compaction of already-compacted
+    rows composes (the fn accepts mixed input)."""
+
+    def compact(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        tbl = tbl.sort_by(
+            [(KEY_HASH_COL, "ascending")]
+            + [(k, "ascending") for k in KEY_COLUMNS]
+            + [("lsn", "ascending")]
+        )
+        n = len(tbl)
+        _, seg = _segment_last_mask(tbl)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], seg[1:] != seg[:-1]))
+        )
+        ends = np.append(seg_starts[1:], n) - 1
+        has_contrib = "__n" in tbl.column_names
+        cols: dict[str, Any] = {
+            "lsn": tbl.column("lsn").take(pa.array(ends)),
+            "op": pa.array(["I"] * len(seg_starts)),
+            "repo": tbl.column("repo").take(pa.array(seg_starts)),
+            "path": tbl.column("path").take(pa.array(seg_starts)),
+        }
+        if has_contrib:
+            nn = pc.fill_null(tbl.column("__n"), 1).cast(pa.int64())
+        else:
+            nn = pa.array(np.ones(n, np.int64))
+        for c in value_cols:
+            raw = (
+                tbl.column(c).cast(pa.int64())
+                if c in tbl.column_names
+                else pa.nulls(n, pa.int64())
+            )
+            if has_contrib:
+                s = pc.coalesce(tbl.column(f"{c}__sum"), raw)
+                mn = pc.coalesce(tbl.column(f"{c}__min"), raw)
+                mx = pc.coalesce(tbl.column(f"{c}__max"), raw)
+            else:
+                s = mn = mx = raw
+            s = s.to_numpy(zero_copy_only=False)
+            mn = mn.to_numpy(zero_copy_only=False)
+            mx = mx.to_numpy(zero_copy_only=False)
+            cols[f"{c}__sum"] = pa.array(np.add.reduceat(s, seg_starts))
+            cols[f"{c}__min"] = pa.array(np.minimum.reduceat(mn, seg_starts))
+            cols[f"{c}__max"] = pa.array(np.maximum.reduceat(mx, seg_starts))
+        cols["__n"] = pa.array(
+            np.add.reduceat(nn.to_numpy(zero_copy_only=False), seg_starts)
+        )
+        cols[KEY_HASH_COL] = tbl.column(KEY_HASH_COL).take(pa.array(seg_starts))
+        return pa.table(cols)
+
+    return compact
+
+
 def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     """Fold one partition: sort by (kh, key, lsn), mask everything at/
     below each key's last reset, segment-reduce, merge prior state,
@@ -462,8 +581,12 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
     if mor and len(prior_m["files"]) > int(args.get("max_delta_files", 8)):
         mor = False
     # widen raw events to contribution columns (sum=min=max=delta, n=1),
-    # then append prior state rows (already in contribution form)
+    # then append prior state rows (already in contribution form).  When
+    # the reset-free exchange valve engaged, the buffer is a MIX of raw
+    # rows and valve-produced contribution rows — __n validity is the
+    # discriminator (raw rows never carry it).
     if len(tbl):
+        valve_mixed = "__n" in tbl.column_names
         cols = {
             "lsn": tbl.column("lsn"),
             "op": tbl.column("op"),
@@ -471,17 +594,31 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
             "path": tbl.column("path"),
         }
         for c in value_cols:
-            v = tbl.column(c)
-            cols[f"{c}__sum"] = v
-            cols[f"{c}__min"] = v
-            cols[f"{c}__max"] = v
+            v = (
+                tbl.column(c).cast(pa.int64())
+                if c in tbl.column_names
+                else pa.nulls(len(tbl), pa.int64())
+            )
+            if valve_mixed:
+                cols[f"{c}__sum"] = pc.coalesce(tbl.column(f"{c}__sum"), v)
+                cols[f"{c}__min"] = pc.coalesce(tbl.column(f"{c}__min"), v)
+                cols[f"{c}__max"] = pc.coalesce(tbl.column(f"{c}__max"), v)
+            else:
+                cols[f"{c}__sum"] = v
+                cols[f"{c}__min"] = v
+                cols[f"{c}__max"] = v
         for c in distinct_cols:
             cols[f"{c}__dv"] = tbl.column(c)
         for c in quantile_cols:
             cols[f"{c}__qv"] = tbl.column(c)
-        cols["__n"] = pa.array(np.ones(len(tbl), np.int64))
+        cols["__n"] = (
+            pc.fill_null(tbl.column("__n"), 1).cast(pa.int64())
+            if valve_mixed
+            else pa.array(np.ones(len(tbl), np.int64))
+        )
         cols[KEY_HASH_COL] = tbl.column(KEY_HASH_COL)
         wide = pa.table(cols)
+        events_in = int(pc.sum(cols["__n"]).as_py() or 0) if valve_mixed else events_in
     else:
         wide = None
     prior = (
@@ -747,6 +884,17 @@ def _agg_stats(part, args, events_in, state_rows, live, deleted, tbl):
     }
 
 
+def _skew_share(timings: list[dict]) -> float:
+    """Hottest partition's share of routed exchange bytes (pre-valve)."""
+    per_part = [
+        int(t.get("bytes", 0))
+        for per_actor in timings
+        for t in per_actor.values()
+    ]
+    total = sum(per_part)
+    return round(max(per_part) / total, 4) if total else 0.0
+
+
 def replay_aggregate(
     log_dir: str,
     out_dir: str,
@@ -759,6 +907,8 @@ def replay_aggregate(
     event_time: tuple[str, int] | None = None,
     quantile_cols: list[str] | None = None,
     bottomk_k: int = 128,
+    reset_free: bool = False,
+    compact_threshold_rows: int = 16_000_000,
 ) -> ReplayResult:
     """Replay a metrics change log into a keyed aggregate lake.
 
@@ -933,20 +1083,55 @@ def replay_aggregate(
     router = _make_agg_router(
         num_partitions, list(value_cols), ckpts, list(distinct_cols or []),
         late_filter=late_filter, quantile_cols=list(quantile_cols or []),
+        forbid_resets=bool(reset_free),
     )
+    # Hot-key memory valve (skew safety): the exchange buffers raw routed
+    # rows, so one key owning half the stream would otherwise grow one
+    # actor's heap to O(events).  reset_free feeds pre-aggregate fully
+    # (O(live keys)); feeds with resets get the exact reset-barrier
+    # filter (memory ∝ adds since each key's last reset) — full partial
+    # aggregation under reordered resets is provably not exact, see
+    # make_reset_barrier_compact.
+    if reset_free:
+        if distinct_cols or quantile_cols:
+            raise ValueError(
+                "reset_free pre-aggregation currently supports value_cols "
+                "only (sum/min/max/count); distinct/quantile sketch state "
+                "keeps the default reset-barrier valve — drop reset_free"
+            )
+        compact_fn = make_reset_free_compact(list(value_cols))
+    else:
+        compact_fn = make_reset_barrier_compact()
+    timings: list[dict] = []
     metrics_rows = run_exchange(
         ds, router, _agg_commit_fn, commit_args, num_partitions, num_actors,
         batch_size=None,
+        compact_fn=compact_fn,
+        compact_threshold_rows=compact_threshold_rows,
+        timings_out=timings,
     )
     metrics = pd.DataFrame(metrics_rows)
+    total_ev = int(metrics["events_in"].sum()) if len(metrics) else 0
     summary = {
         "mode": "aggregate",
-        "events_in": int(metrics["events_in"].sum()) if len(metrics) else 0,
+        "events_in": total_ev,
         "live_rows": int(metrics["live_rows"].sum()) if len(metrics) else 0,
         "partitions_committed": len(metrics),
         "num_partitions": num_partitions,
         "value_cols": list(value_cols),
         "duration_s": round(time.time() - t0, 4),
+        # skew receipt: the hottest partition's share of ROUTED exchange
+        # bytes (pre-valve, so it reports the feed's true skew) — the
+        # number that says whether one partition is the wall
+        "skew_max_share": _skew_share(timings),
+        "valve": "reset_free" if reset_free else "reset_barrier",
+        "valve_compactions": int(
+            sum(
+                t.get("compactions", 0)
+                for per_actor in timings
+                for t in per_actor.values()
+            )
+        ),
     }
     os.makedirs(out_dir, exist_ok=True)
     if event_time is not None:

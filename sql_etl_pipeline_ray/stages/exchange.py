@@ -85,6 +85,7 @@ class ExchangeActor:
         self.buffered_rows: dict[int, int] = {}
         self.routed_bytes: dict[int, int] = {}
         self.seen_spans: set[tuple[int, int, int, int]] = set()
+        self.compactions: dict[int, int] = {}
         self.compact_threshold = compact_threshold_rows
         # Governs only the direct add() entry point (tests / custom
         # callers): False buffers the caller's table as-is (a zero-copy
@@ -152,6 +153,7 @@ class ExchangeActor:
             compacted = self.compact_fn(merged)
             self.buffers[part] = [compacted]
             self.buffered_rows[part] = len(compacted)
+            self.compactions[part] = self.compactions.get(part, 0) + 1
         return len(tbl)
 
     def finalize(self, fn_ser: bytes, args: dict[str, Any]) -> list[Any]:
@@ -175,10 +177,12 @@ class ExchangeActor:
                 "rows": len(tbl),
                 "chunks": len(self.buffers[part]),
                 "bytes": self.routed_bytes.get(part, 0),
+                "compactions": self.compactions.get(part, 0),
             }
         self.buffers.clear()
         self.buffered_rows.clear()
         self.routed_bytes.clear()
+        self.compactions.clear()
         return out
 
     def finalize_timings(self) -> dict[int, dict]:
@@ -267,10 +271,15 @@ def run_exchange(
     batch_size: int | None,
     compact_fn=None,
     compact_threshold_rows: int = 16_000_000,
+    timings_out: list | None = None,
 ) -> list[Any]:
     """Feed a Dataset through the actor exchange and finalize.
 
-    Returns the flattened per-partition finalize results."""
+    Returns the flattened per-partition finalize results.  With
+    ``timings_out`` (a caller-owned list), appends each actor's
+    per-partition finalize timings dict — concat/fn wall, rows, routed
+    bytes and memory-valve compaction counts — the skew/straggler
+    observability hook."""
     import ray.cloudpickle as pickle
 
     compact_ser = pickle.dumps(compact_fn) if compact_fn is not None else None
@@ -284,6 +293,10 @@ def run_exchange(
     ).count()  # consume: drives the feed with streaming backpressure
     fn_ser = pickle.dumps(finalize_fn)
     results = ray.get([a.finalize.remote(fn_ser, finalize_args) for a in actors])
+    if timings_out is not None:
+        timings_out.extend(
+            ray.get([a.finalize_timings.remote() for a in actors])
+        )
     for a in actors:
         ray.kill(a)
     return [r for rows in results for r in rows]
