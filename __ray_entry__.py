@@ -35,6 +35,8 @@ from sql_etl_pipeline_ray.pipelines.flagship import (
     run_sidestore_flagship,
     run_compacted_flagship,
     run_lakejoin_flagship,
+    run_lakejoin_left_flagship,
+    run_aggregate_skewed_flagship,
 )
 
 
@@ -125,6 +127,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joined with its derived shadow in the same hash layout — the
         # storage-partitioned-join path (pipelines/lakejoin.py)
         "cdc_lake_join": lambda sf: run_lakejoin_flagship(sf),
+        # partition-wise LEFT join under key-range SLICING: lake b holds
+        # only every third doc's keys, so most rows null-fill as typed
+        # Arrow NA, and slice_rows ≪ partition size forces the
+        # memory-bounded sliced plan (pipelines/lakejoin.py)
+        "cdc_lake_join_left": lambda sf: run_lakejoin_left_flagship(sf),
+        # aggregate ingest under EXTREME key skew with the hot-key
+        # memory valve ENGAGED mid-stream (reset-free pre-aggregation;
+        # threshold ≪ hot-key rows) — the driver row verifies the
+        # valve's arithmetic, not just the quiet path
+        "cdc_aggregate_skewed": lambda sf: run_aggregate_skewed_flagship(sf),
         # op='P' partial updates (Debezium/Mongo partial-image shape):
         # patches carry only changed columns (null = unchanged); the merge
         # composes base image + patch stack per key column-wise
@@ -1254,6 +1266,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(text || ' [rev2]') AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id % 10 <> 0
+        """,
+        # left join: b holds only every third doc's keys (delete events
+        # included, so the %10 tombstones stay consistent); unmatched
+        # rows null-fill lsn_b as typed Arrow NA
+        "cdc_lake_join_left": """
+            SELECT source AS repo,
+                   'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   CAST(3 * doc_id + 2 AS BIGINT) AS lsn,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(3 * doc_id + 2 AS BIGINT) END AS lsn_b
+            FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        "cdc_aggregate_skewed": """
+            WITH ev AS (
+                SELECT event_id AS lsn, 'evt' AS repo, event_type AS path,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT repo, path,
+                   CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                   MIN(cents) AS cents_min,
+                   MAX(cents) AS cents_max,
+                   COUNT(*) AS n_events,
+                   MAX(lsn) AS last_lsn
+            FROM ev GROUP BY repo, path
         """,
         "cdc_log_compaction": """
             SELECT source AS repo,

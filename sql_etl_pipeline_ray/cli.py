@@ -122,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
         help="resume commits the increment's partial aggregates as a "
         "chained delta instead of rewriting partitions",
     )
+    ag.add_argument(
+        "--reset-free", action="store_true",
+        help="declare the feed carries no op='D' resets (enforced: the "
+        "router raises on one) — unlocks full per-key pre-aggregation "
+        "in the hot-key memory valve",
+    )
+    ag.add_argument(
+        "--compact-threshold", type=int, default=16_000_000,
+        help="exchange-actor buffered-row threshold that engages the "
+        "hot-key valve (per partition)",
+    )
 
     cp = sub.add_parser(
         "compact",
@@ -429,6 +440,8 @@ def main(argv: list[str] | None = None) -> int:
                     out_dir=args.lake_dir,
                     merge_on_read=args.merge_on_read,
                 ),
+                reset_free=args.reset_free,
+                compact_threshold_rows=args.compact_threshold,
             )
             print(json.dumps(res.summary))
         elif args.cmd == "compact":

@@ -980,3 +980,109 @@ def _derived_n_chars(df):
     out = df[["repo", "path"]].copy()
     out["n_chars"] = df["content"].str.len().astype("int64")
     return out
+
+
+def run_lakejoin_left_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Partition-wise LEFT join under key-range slicing: lake b holds
+    only every third document's keys (all events of docs with
+    doc_id % 3 == 0, selected by the lsn↔doc_id arithmetic), so most a
+    rows null-fill — exercising the typed-Arrow-NA placeholder path —
+    and ``slice_rows`` far below the partition size forces the sliced
+    (memory-bounded) join plan.  One SQL oracle replays the whole
+    composition."""
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .lakejoin import join_lakes
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_lakejoin_left/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    log_b = os.path.join(work, "log_b")
+    lake_a = os.path.join(work, "lake_a")
+    lake_b = os.path.join(work, "lake_b")
+    for d in (log_b, lake_a, lake_b):
+        shutil.rmtree(d, ignore_errors=True)
+    build_change_log(sf_dir, log_dir)
+    from ..config import SinkConfig
+
+    replay(log_dir, lake_a, ReplayConfig(num_partitions=num_partitions),
+           sink=SinkConfig(out_dir=lake_a, keep_epochs=2))
+    os.makedirs(log_b, exist_ok=True)
+    for i, f in enumerate(sorted(_glob.glob(
+            os.path.join(log_dir, "**", "*.parquet"), recursive=True))):
+        t = _pq.read_table(f)
+        doc = _pc.divide(t.column("lsn"), 3)
+        ft = t.filter(_pc.equal(_pc.subtract(
+            doc, _pc.multiply(_pc.divide(doc, 3), 3)), 0))
+        if len(ft):
+            _pq.write_table(ft, os.path.join(log_b, f"b{i:03d}.parquet"))
+    replay(log_b, lake_b, ReplayConfig(num_partitions=num_partitions),
+           sink=SinkConfig(out_dir=lake_b, keep_epochs=2))
+    return join_lakes(lake_a, lake_b, how="left",
+                      columns_a=["lsn"], columns_b=["lsn"],
+                      slice_rows=256)
+
+
+def run_aggregate_skewed_flagship(
+    sf_dir: str, work_dir: str | None = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Aggregate ingest under EXTREME key skew with the hot-key memory
+    valve engaged: the metrics log keys every event by its event TYPE
+    alone (a handful of keys; the hottest owns a large share), the feed
+    is declared ``reset_free`` (router-enforced), and the compaction
+    threshold sits far below the hot key's row count so the exchange
+    valve pre-aggregates mid-stream.  The driver row therefore verifies
+    the VALVE's arithmetic, not just the quiet path.  Summary receipts:
+    ``skew_max_share``, ``valve_compactions`` (asserted > 0 when the
+    feed is big enough to cross the threshold)."""
+    from .aggregate import read_aggregate_lake, replay_aggregate
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    work = work_dir or f"/tmp/cdc_agg_skew/{tag}-{os.getpid()}"
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(
+        _derive_type_keyed_events, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(log_dir)
+    threshold = 512
+    res = replay_aggregate(
+        log_dir, lake_dir, ["cents"], num_partitions=num_partitions,
+        reset_free=True, compact_threshold_rows=threshold,
+    )
+    if res.summary["events_in"] > 4 * threshold:
+        assert res.summary["valve_compactions"] > 0, res.summary
+    return read_aggregate_lake(lake_dir)
+
+
+def _derive_type_keyed_events(batch: pa.Table) -> pa.Table:
+    """events rows → a reset-free metrics log keyed per event TYPE —
+    deliberately skewed (few keys, Zipfian types)."""
+    import numpy as np
+
+    n = len(batch)
+    val = batch.column("value")
+    val_np = (
+        val.to_numpy() if isinstance(val, pa.Array)
+        else val.combine_chunks().to_numpy()
+    )
+    return pa.table(
+        {
+            "lsn": batch.column("event_id"),
+            "op": pa.array(["I"] * n, pa.string()),
+            "repo": pa.array(["evt"] * n, pa.string()),
+            "path": batch.column("event_type"),
+            "cents": pa.array(np.floor(val_np * 100.0).astype(np.int64)),
+        }
+    )
