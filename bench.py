@@ -259,6 +259,16 @@ def run_bench() -> dict:
     timed("docs_stratified_sample", T.docs_stratified_sample)
     timed("docs_weighted_sample", T.docs_weighted_sample)
     timed("docs_mixture_sample", T.docs_mixture_sample)
+    # round-5 rows: skew-valve aggregate ingest (reset-free valve engaged
+    # mid-stream), sliced left lake join, real merge-table BPE encode
+    from sql_etl_pipeline_ray.pipelines.flagship import (
+        run_aggregate_skewed_flagship,
+        run_lakejoin_left_flagship,
+    )
+
+    timed("cdc_aggregate_skewed", run_aggregate_skewed_flagship)
+    timed("cdc_lake_join_left", run_lakejoin_left_flagship)
+    timed("doc_bpe_encoded", T.doc_bpe_encoded)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once
