@@ -484,24 +484,42 @@ def make_reset_barrier_compact():
     return compact
 
 
-def make_reset_free_compact(value_cols: list[str]):
+def make_reset_free_compact(
+    value_cols: list[str],
+    distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    hll_p: int = 12,
+    bottomk_k: int = 128,
+):
     """Exchange-actor memory valve for DECLARED reset-free feeds
     (``replay_aggregate(reset_free=True)``; the router raises on any
     op='D', so the declaration is enforced, not trusted): fully
     pre-aggregate the buffered subset per key into contribution rows —
-    sum/min/max are a commutative monoid without resets, so partial ⊕ in
-    any arrival order is exact.  Actor memory drops from O(events) to
-    O(live keys per actor) however skewed the key distribution.
+    sum/min/max/count form a commutative monoid, HLL registers a max
+    semilattice and the bottom-k KMV sample a semilattice under
+    "bottom-k of union", so without resets partial ⊕ in ANY arrival
+    order is exact for every supported state kind.  Actor memory drops
+    from O(events) to O(live keys per actor) however skewed the keys.
 
-    Output rows carry ``{c}__sum/__min/__max`` + ``__n`` (the same
-    contribution schema ``_prior_as_rows`` uses) at the key's max LSN;
-    ``_agg_commit_fn`` folds them mixed with later raw rows via the
-    ``__n``-validity discriminator.  Re-compaction of already-compacted
-    rows composes (the fn accepts mixed input)."""
+    Output rows carry ``{c}__sum/__min/__max`` + ``__n`` + ``{c}_hll``
+    + ``{c}_bk_h/_bk_v`` (the same contribution schema
+    ``_prior_as_rows`` uses) at the key's max LSN; ``_agg_commit_fn``
+    folds them mixed with later raw rows via the ``__n``-validity
+    discriminator.  Raw quantile values hash by their OWN row LSN at
+    compaction time (before the per-row LSN is folded away), exactly as
+    the commit fold would.  Re-compaction composes (the fn accepts
+    mixed input)."""
+    distinct_cols = list(distinct_cols or [])
+    quantile_cols = list(quantile_cols or [])
+    hll_m = 1 << int(hll_p)
+    bk_k = int(bottomk_k)
 
     def compact(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return tbl
+        from ..stages.bloom import _splitmix64
+        from ..stages.sketch import hll_idx_rho
+
         tbl = tbl.sort_by(
             [(KEY_HASH_COL, "ascending")]
             + [(k, "ascending") for k in KEY_COLUMNS]
@@ -512,11 +530,12 @@ def make_reset_free_compact(value_cols: list[str]):
         seg_starts = np.flatnonzero(
             np.concatenate(([True], seg[1:] != seg[:-1]))
         )
+        G = len(seg_starts)
         ends = np.append(seg_starts[1:], n) - 1
         has_contrib = "__n" in tbl.column_names
         cols: dict[str, Any] = {
             "lsn": tbl.column("lsn").take(pa.array(ends)),
-            "op": pa.array(["I"] * len(seg_starts)),
+            "op": pa.array(["I"] * G),
             "repo": tbl.column("repo").take(pa.array(seg_starts)),
             "path": tbl.column("path").take(pa.array(seg_starts)),
         }
@@ -542,6 +561,66 @@ def make_reset_free_compact(value_cols: list[str]):
             cols[f"{c}__sum"] = pa.array(np.add.reduceat(s, seg_starts))
             cols[f"{c}__min"] = pa.array(np.minimum.reduceat(mn, seg_starts))
             cols[f"{c}__max"] = pa.array(np.maximum.reduceat(mx, seg_starts))
+        for c in distinct_cols:
+            regs = np.zeros((G, hll_m), dtype=np.uint8)
+            if c in tbl.column_names:
+                dv = tbl.column(c)
+                mask = pc.is_valid(dv).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    idx, rho = hll_idx_rho(
+                        dv.to_numpy(zero_copy_only=False)[mask]
+                        .astype(np.int64),
+                        int(hll_p),
+                    )
+                    np.maximum.at(
+                        regs.reshape(-1), seg[mask] * hll_m + idx, rho
+                    )
+            if f"{c}_hll" in tbl.column_names:
+                hv = tbl.column(f"{c}_hll")
+                hmask = pc.is_valid(hv).to_numpy(zero_copy_only=False)
+                if hmask.any():
+                    mat = _fsb_to_matrix(
+                        tbl.filter(pa.array(hmask)).column(f"{c}_hll"),
+                        hll_m,
+                    )
+                    np.maximum.at(regs, seg[hmask], mat)
+            cols[f"{c}_hll"] = _matrix_to_fsb(regs)
+        if quantile_cols:
+            lsns = tbl.column("lsn").to_numpy(zero_copy_only=False)
+            for c in quantile_cols:
+                grps, hs, vs = [], [], []
+                if c in tbl.column_names:
+                    qv = tbl.column(c)
+                    mask = pc.is_valid(qv).to_numpy(zero_copy_only=False)
+                    if mask.any():
+                        h = _splitmix64(
+                            lsns[mask].view(np.uint64)
+                        ).view(np.int64)
+                        grps.append(seg[mask])
+                        hs.append(h)
+                        vs.append(
+                            qv.to_numpy(zero_copy_only=False)[mask]
+                            .astype(np.int64)
+                        )
+                if f"{c}_bk_h" in tbl.column_names:
+                    hflat, hrows = _flatten_list_col(tbl.column(f"{c}_bk_h"))
+                    vflat, _ = _flatten_list_col(tbl.column(f"{c}_bk_v"))
+                    if len(hflat):
+                        grps.append(seg[hrows])
+                        hs.append(hflat)
+                        vs.append(vflat)
+                if grps:
+                    lh, lv = _bottomk_lists(
+                        np.concatenate(grps),
+                        np.concatenate(hs).view(np.uint64).astype(np.uint64),
+                        np.concatenate(vs), G, bk_k,
+                    )
+                else:
+                    off = pa.array(np.zeros(G + 1, np.int32))
+                    lh = pa.ListArray.from_arrays(off, pa.array([], pa.int64()))
+                    lv = pa.ListArray.from_arrays(off, pa.array([], pa.int64()))
+                cols[f"{c}_bk_h"] = lh
+                cols[f"{c}_bk_v"] = lv
         cols["__n"] = pa.array(
             np.add.reduceat(nn.to_numpy(zero_copy_only=False), seg_starts)
         )
@@ -608,9 +687,22 @@ def _agg_commit_fn(part: int, tbl: pa.Table, args: dict) -> dict[str, Any]:
                 cols[f"{c}__min"] = v
                 cols[f"{c}__max"] = v
         for c in distinct_cols:
-            cols[f"{c}__dv"] = tbl.column(c)
+            cols[f"{c}__dv"] = (
+                tbl.column(c)
+                if c in tbl.column_names
+                else pa.nulls(len(tbl), pa.int64())
+            )
+            if f"{c}_hll" in tbl.column_names:  # valve contribution rows
+                cols[f"{c}_hll"] = tbl.column(f"{c}_hll")
         for c in quantile_cols:
-            cols[f"{c}__qv"] = tbl.column(c)
+            cols[f"{c}__qv"] = (
+                tbl.column(c)
+                if c in tbl.column_names
+                else pa.nulls(len(tbl), pa.int64())
+            )
+            if f"{c}_bk_h" in tbl.column_names:  # valve contribution rows
+                cols[f"{c}_bk_h"] = tbl.column(f"{c}_bk_h")
+                cols[f"{c}_bk_v"] = tbl.column(f"{c}_bk_v")
         cols["__n"] = (
             pc.fill_null(tbl.column("__n"), 1).cast(pa.int64())
             if valve_mixed
@@ -1093,13 +1185,10 @@ def replay_aggregate(
     # aggregation under reordered resets is provably not exact, see
     # make_reset_barrier_compact.
     if reset_free:
-        if distinct_cols or quantile_cols:
-            raise ValueError(
-                "reset_free pre-aggregation currently supports value_cols "
-                "only (sum/min/max/count); distinct/quantile sketch state "
-                "keeps the default reset-barrier valve — drop reset_free"
-            )
-        compact_fn = make_reset_free_compact(list(value_cols))
+        compact_fn = make_reset_free_compact(
+            list(value_cols), list(distinct_cols or []),
+            list(quantile_cols or []), int(hll_p), int(bottomk_k),
+        )
     else:
         compact_fn = make_reset_barrier_compact()
     timings: list[dict] = []

@@ -794,3 +794,59 @@ def test_compact_fns_exact_over_random_splits():
             compacted = [head] + tabs[4:]
         got = final_fold(compacted)
         assert got == want, f"case {case}"
+
+
+def test_reset_free_valve_sketch_state_exact(tmp_path):
+    """reset_free valve over DISTINCT (HLL) and QUANTILE (bottom-k KMV)
+    state: both are semilattices without resets, so valve-engaged runs
+    must produce BIT-identical lake state to a never-engaged run of the
+    same log (which is itself oracle-pinned elsewhere)."""
+    import pandas as pd
+
+    from sql_etl_pipeline_ray.pipelines.aggregate import read_aggregate_lake
+
+    rng = np.random.default_rng(59)
+    n = 40_000
+    hot = rng.random(n) < 0.5
+    k = rng.integers(1, 80, n)
+    uid = rng.integers(0, 500, n)
+    v = rng.integers(-40, 150, n)
+    rows = []
+    for i in range(n):
+        rows.append(dict(
+            lsn=i + 1, op="I" if i % 2 else "U",
+            repo="rhot" if hot[i] else f"r{int(k[i]) % 4}",
+            path="khot" if hot[i] else f"k{int(k[i])}",
+            delta=int(v[i]), uid=int(uid[i]), val=int(v[i]) * 3,
+        ))
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    per = n // 4
+    for b in range(4):
+        chunk = rows[b * per:(b + 1) * per]
+        pq.write_table(pa.Table.from_pylist(chunk),
+                       os.path.join(log, f"b{b}.parquet"),
+                       row_group_size=512)
+
+    def run(name, threshold):
+        lake = str(tmp_path / name)
+        res = replay_aggregate(
+            log, lake, value_cols=["delta"], num_partitions=4,
+            distinct_cols=["uid"], quantile_cols=["val"],
+            reset_free=True, compact_threshold_rows=threshold,
+        )
+        df = (read_aggregate_lake(lake).to_pandas()
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+        # bottom-k lists are set-semantics: canonicalize order
+        df["bk"] = [
+            tuple(sorted(zip(h, vv)))
+            for h, vv in zip(df["val_bk_h"], df["val_bk_v"])
+        ]
+        df["hll"] = [bytes(x) for x in df["uid_hll"]]
+        return res, df.drop(columns=["val_bk_h", "val_bk_v", "uid_hll"])
+
+    res_quiet, quiet = run("lake_quiet", 10_000_000)   # never engages
+    res_valve, valve = run("lake_valve", 1_500)        # engages repeatedly
+    assert res_quiet.summary["valve_compactions"] == 0
+    assert res_valve.summary["valve_compactions"] > 0
+    pd.testing.assert_frame_equal(quiet, valve)
