@@ -850,3 +850,49 @@ def test_reset_free_valve_sketch_state_exact(tmp_path):
     assert res_quiet.summary["valve_compactions"] == 0
     assert res_valve.summary["valve_compactions"] > 0
     pd.testing.assert_frame_equal(quiet, valve)
+
+
+def test_windowed_ingest_skewed_valve_and_lateness_compose(tmp_path):
+    """Windowed rollup under key skew: the hot window key triggers the
+    valve mid-stream while event-time lateness still finalizes closed
+    windows on resume — the two mechanisms compose (lateness filters at
+    the router, BEFORE rows ever reach the valve)."""
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    rng = np.random.default_rng(61)
+    n = 20_000
+    # 60% of events hit window key k|w1; ts within [1000, 2000)
+    rows = []
+    for i in range(n):
+        hot = rng.random() < 0.6
+        w = "k|w1" if hot else f"k|w{int(rng.integers(2, 30))}"
+        rows.append((i + 1, "I", w, int(rng.integers(1, 9)),
+                     int(rng.integers(1000, 2000))))
+    _write_ts(rows, log, buckets=4)
+    r1 = replay_aggregate(log, lake, ["delta"], num_partitions=2,
+                          event_time=("ts", 100), reset_free=True,
+                          compact_threshold_rows=1_000)
+    assert r1.summary["valve_compactions"] > 0
+    assert r1.summary["skew_max_share"] > 0.4
+    wm = r1.summary["event_watermark"]
+    # resume: one in-lateness event for the hot key, one too-late, both
+    # for already-seen windows, plus a fresh window
+    p2 = [(n + 1, "I", "k|w1", 1000, wm - 50),
+          (n + 2, "I", "k|w2", 999, wm - 500),
+          (n + 3, "I", "k|w_new", 3, wm + 100)]
+    _write_ts(p2, os.path.join(log, "inc"), buckets=1)
+    r2 = replay_aggregate(log, lake, ["delta"], resume=True,
+                          event_time=("ts", 100), reset_free=True,
+                          compact_threshold_rows=1_000)
+    assert r2.summary["late_events"] == 1
+    st = {p: (s, nev) for (rp, p), (s, mn, mx, nev, ll) in
+          _lake_state(lake).items()}
+    want_sum: dict[str, int] = {}
+    want_n: dict[str, int] = {}
+    for _lsn, _op, p, d, _ts in rows:
+        want_sum[p] = want_sum.get(p, 0) + d
+        want_n[p] = want_n.get(p, 0) + 1
+    want_sum["k|w1"] += 1000
+    want_n["k|w1"] += 1
+    want_sum["k|w_new"] = 3
+    want_n["k|w_new"] = 1
+    assert st == {p: (want_sum[p], want_n[p]) for p in want_sum}
