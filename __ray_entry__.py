@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # under a deterministic 64-merge table (oracle replays the same
         # table via a recursive CTE — see _BPE_ENCODED_SQL)
         "doc_bpe_encoded": T.doc_bpe_encoded,
+        # token-budget curation at REAL BPE granularity (the budget unit
+        # a pretraining token target actually means)
+        "docs_token_budget_bpe": T.docs_token_budget_bpe,
         # grouped bottom-k quantile sketch (per event_type)
         "events_type_value_quantiles": T.events_type_value_quantiles,
         # token-budget curation: best docs until 60% of corpus tokens
@@ -2130,6 +2133,24 @@ def oracle_sql() -> dict[str, str]:
         """
         )(_BPE_PAT.replace("'", "''")),
         "doc_bpe_encoded": _bpe_encoded_sql(),
+        # BPE-budget curation: join the recursive-CTE BPE replay with the
+        # quality arithmetic, budget = 60% of ENCODED tokens, the same
+        # (score DESC, doc_id) window-cumsum gate
+        "docs_token_budget_bpe": f"""
+            WITH enc AS ({_bpe_encoded_sql()}),
+            q AS ({_QUALITY_SCORE_SQL}),
+            je AS (SELECT q.doc_id, enc.bpe_token_count, q.quality_score
+                   FROM q JOIN enc ON q.doc_id = enc.doc_id),
+            b AS (SELECT CAST(FLOOR(SUM(bpe_token_count) * 0.6) AS BIGINT)
+                    AS budget FROM je),
+            o AS (SELECT doc_id, bpe_token_count, quality_score,
+                    SUM(bpe_token_count) OVER (
+                      ORDER BY quality_score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM je)
+            SELECT doc_id, bpe_token_count, quality_score
+            FROM o, b WHERE cum <= budget
+        """,
         "doc_quality_score": _QUALITY_SCORE_SQL,
         # global-order budget gate as one window cumsum; the engine's
         # histogram + boundary-tier prefix sum reproduces it exactly

@@ -87,6 +87,56 @@ def doc_bpe_encoded(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class _BpeBudgetStats:
+    """One actor-pool pass computing BOTH the real-BPE token count and
+    the quality score per document (the text decodes once; merge tables
+    and regexes build once per actor)."""
+
+    def __init__(self):
+        from ..stages.text import BpeEncode, QualityScore
+
+        self.bpe = BpeEncode()
+        self.q = QualityScore()
+
+    def __call__(self, df):
+        import pandas as pd
+
+        b = self.bpe(df)
+        q = self.q(df)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "bpe_token_count": b["bpe_token_count"],
+                "quality_score": q["quality_score"],
+            }
+        )
+
+
+def docs_token_budget_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget curation at REAL BPE granularity: keep the
+    highest-quality documents until 60% of the corpus's ENCODED tokens
+    are spent.  Same bounded-histogram selection machinery as
+    ``docs_token_budget_select`` (no global sort); the budget unit is
+    the merge-table encoder's exact token count instead of the
+    whitespace proxy — the number a pretraining token target actually
+    means."""
+    from ..stages.curation import token_budget_select
+
+    stats = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _BpeBudgetStats, batch_format="pandas",
+            concurrency=autoscale_pool(),
+        )
+        .materialize()  # narrow (id, tokens, score) frame, ~24 B/doc
+    )
+    total = stats.sum("bpe_token_count")
+    budget = int(np.floor(total * 0.6))
+    return token_budget_select(
+        stats, budget, tokens_col="bpe_token_count"
+    )
+
+
 def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """Composite quality score + pass/fail gate (C4/Gopher-style rules)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
