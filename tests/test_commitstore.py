@@ -321,3 +321,32 @@ sys.exit(0)
 
     rep = fsck_lake(lake, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+def test_crash_during_gc_delete_leaves_lake_readable(tmp_path):
+    """Crash while lazy GC deletes superseded epoch files (AFTER the
+    pointer moved): the commit is already durable — the lake reads the
+    new epoch; the stranded old files are plain orphans a disarmed
+    vacuum sweeps."""
+    lake = str(tmp_path / "lake")
+    cs.install_emulator(lake)
+    t1 = pa.table({"repo": ["r"], "path": ["p"], "lsn": [1]})
+    t2 = pa.table({"repo": ["r"], "path": ["p"], "lsn": [2]})
+    mf.commit_partition(lake, 0, 0, t1, {"max_lsn": 1}, "aaaa" * 4)
+    cs.set_faults(lake, [
+        {"op": "delete", "match": "data-e0", "action": "crash_before"},
+    ])
+    with pytest.raises(cs.InjectedFault):
+        mf.commit_partition(lake, 0, 1, t2, {"max_lsn": 2}, "bbbb" * 4,
+                            keep_epochs=1)
+    # pointer moved before GC: the new epoch is the visible state
+    m = mf.read_manifest(lake, 0)
+    assert m["epoch"] == 1 and m["digest"] == "bbbb" * 4
+    # the stranded epoch-0 data file is an orphan; vacuum sweeps it
+    cs.set_faults(lake, None)
+    pdir = mf.partition_dir(lake, 0)
+    assert any(f.startswith("data-e0") for f in os.listdir(pdir))
+    removed = mf.vacuum(lake, keep_epochs=1)
+    assert removed["data"] >= 1
+    assert not any(f.startswith("data-e0") for f in os.listdir(pdir))
+    assert mf.read_manifest(lake, 0)["digest"] == "bbbb" * 4
