@@ -269,6 +269,7 @@ def run_bench() -> dict:
     timed("cdc_aggregate_skewed", run_aggregate_skewed_flagship)
     timed("cdc_lake_join_left", run_lakejoin_left_flagship)
     timed("doc_bpe_encoded", T.doc_bpe_encoded)
+    timed("docs_token_budget_bpe", T.docs_token_budget_bpe)
 
     # Incremental-ingest scenario: a caught-up-minus-one-bucket lake takes
     # the last LSN bucket (~1/64 of the log) as an increment, once
